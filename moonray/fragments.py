@@ -1,0 +1,127 @@
+"""Fragment writing + scanning.
+
+A *fragment* is one immutable parquet file carrying the user columns plus
+``_rowoff`` (uint32 in-fragment row offset — the explicit form of the
+reference's ``RecordLocation::DiskFile(file_id, row_offset)``,
+src/moonlink/src/storage/storage_utils.rs:83-91). Fragment writes happen
+inside ``map_batches`` tasks on any worker; each write emits
+
+- the parquet file under ``fragments/``,
+- a JSON *sidecar* under ``staging/{job}/meta/`` with rows/bytes/zone
+  maps (min/max per zone column — the Iceberg-manifest stats analogue,
+  reference: src/moonlink/src/storage/table/iceberg/parquet_stats_utils.rs),
+- and returns the key-index entry rows ``(key, _frag, _off)`` downstream
+  (the reference builds its GlobalIndex from the same triples at flush:
+  src/moonlink/src/storage/mooncake_table.rs:862-955).
+
+Writes are idempotent per (job, task uuid): files land under unique
+names and only become visible when a manifest references them; a crashed
+job leaves invisible orphans that ``expire_snapshots`` GCs.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from moonray.util import atomic_write_json
+
+ROWOFF = "_rowoff"
+
+
+def compute_zones(table: pa.Table, zone_cols) -> dict:
+    zones = {}
+    for c in zone_cols:
+        if c in table.column_names and len(table) > 0:
+            mm = pc.min_max(table[c])
+            zones[c] = [mm["min"].as_py(), mm["max"].as_py()]
+    return zones
+
+
+def write_fragment(
+    root: str,
+    job_id: str,
+    table: pa.Table,
+    *,
+    key_col: str,
+    zone_cols,
+    frag_id: str | None = None,
+    compression: str = "snappy",
+) -> tuple[dict, pa.Table]:
+    """Write one fragment parquet + sidecar; return (meta, index_entries)."""
+    if frag_id is None:
+        frag_id = f"f-{job_id}-{uuid.uuid4().hex[:10]}"
+    rel = os.path.join("fragments", f"{frag_id}.parquet")
+    path = os.path.join(root, rel)
+    n = len(table)
+    offs = pa.array(np.arange(n, dtype=np.uint32))
+    out = table.append_column(ROWOFF, offs)
+    tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
+    pq.write_table(out, tmp, compression=compression)
+    os.rename(tmp, path)
+    meta = {
+        "id": frag_id,
+        "path": rel,
+        "rows": n,
+        "bytes": os.path.getsize(path),
+        "dv": None,
+        "dv_count": 0,
+        "zones": compute_zones(table, zone_cols),
+    }
+    meta_dir = os.path.join(root, "staging", job_id, "meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    atomic_write_json(os.path.join(meta_dir, f"{frag_id}.json"), meta)
+    entries = pa.table(
+        {
+            key_col: table[key_col],
+            "_frag": pa.array([frag_id] * n, pa.string()),
+            "_off": offs,
+        }
+    )
+    return meta, entries
+
+
+class FragmentWriter:
+    """map_batches stage: Arrow batch in → index-entry rows out, fragment
+    parquet + sidecar written as a side effect. Stateless w.r.t. batches;
+    used as a task (plain callable would also work) — kept as a class so
+    config is serialized once per actor."""
+
+    def __init__(self, root: str, job_id: str, key_col: str, zone_cols,
+                 compression: str = "snappy"):
+        self.root = root
+        self.job_id = job_id
+        self.key_col = key_col
+        self.zone_cols = list(zone_cols)
+        self.compression = compression
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {self.key_col: batch[self.key_col],
+                 "_frag": pa.array([], pa.string()),
+                 "_off": pa.array([], pa.uint32())}
+            )
+        _meta, entries = write_fragment(
+            self.root, self.job_id, batch,
+            key_col=self.key_col, zone_cols=self.zone_cols,
+            compression=self.compression,
+        )
+        return entries
+
+
+def collect_staged_fragment_meta(root: str, job_id: str) -> list[dict]:
+    """Driver-side: gather the sidecars a job's write stages produced."""
+    import glob as _glob
+    import json
+
+    metas = []
+    for p in sorted(_glob.glob(os.path.join(root, "staging", job_id, "meta", "*.json"))):
+        with open(p) as f:
+            metas.append(json.load(f))
+    return metas

@@ -1,0 +1,196 @@
+"""Hash-partitioned persistent key index.
+
+The analogue of the reference's ``GlobalIndex`` — a persisted hash map of
+``key → (file, row)`` built at flush and merged in the background
+(reference: src/moonlink/src/storage/index/persisted_bucket_hash_map.rs,
+build_from_flush :1375, build_from_merge :1458; batch lookup
+hash_index.rs:392). Here each index *partition* ``p = hash(key) % P``
+owns a list of parquet files of ``(key, _frag, _off)`` rows sorted by
+key; lookups hash-partition the probe keys the same way and merge-join
+per partition — so a MERGE round touches O(changes) index rows, never
+the table.
+
+Entries are append-only and may go stale (point at fragments no longer
+live or at DV'd rows). Staleness is harmless: probes filter candidate
+fragments against the pinned manifest's live set, and re-deleting an
+already-deleted row offset is an idempotent DV union. ``merge_partitions``
+(optimize("index")) rewrites each partition to a single sorted file and
+drops dead entries — the index-merge maintenance op (reference trigger:
+src/moonlink/src/storage/mooncake_table/snapshot_maintenance.rs:227-309).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from moonray.util import as_fn, hash_key_array
+
+PART_COL = "_part"
+
+
+def add_partition_column(batch: pa.Table, key_col: str, num_partitions: int) -> pa.Table:
+    h = hash_key_array(batch[key_col])
+    part = (h % np.uint64(num_partitions)).astype(np.int32)
+    return batch.append_column(PART_COL, pa.array(part))
+
+
+class WriteIndexDelta:
+    """map_groups stage over ``_part``: write one sorted index-delta
+    parquet per partition for this job; return (part, path, rows)."""
+
+    def __init__(self, root: str, job_id: str, key_col: str):
+        self.root = root
+        self.job_id = job_id
+        self.key_col = key_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        part = int(group[PART_COL][0].as_py())
+        tbl = group.drop_columns([PART_COL]).sort_by(self.key_col)
+        rel_dir = os.path.join("index", f"p{part:04d}")
+        os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
+        rel = os.path.join(rel_dir, f"idx-{self.job_id}-{part:04d}.parquet")
+        path = os.path.join(self.root, rel)
+        tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
+        pq.write_table(tbl, tmp, compression="snappy")
+        os.rename(tmp, path)
+        return pa.table({"part": [part], "path": [rel], "rows": [len(tbl)]})
+
+
+def write_index_deltas(entries_ds, root: str, job_id: str, key_col: str,
+                       num_partitions: int) -> dict[str, list[str]]:
+    """Shuffle index entries to their partitions and write delta files.
+    Returns {part: [rel_path]} for the manifest. The shuffle moves only
+    (key, frag, off) triples — never payload bytes."""
+    with_part = entries_ds.map_batches(
+        lambda b: add_partition_column(b, key_col, num_partitions),
+        batch_format="pyarrow",
+    )
+    summary = with_part.groupby(PART_COL).map_groups(
+        as_fn(WriteIndexDelta(root, job_id, key_col)), batch_format="pyarrow"
+    )
+    out: dict[str, list[str]] = {}
+    for row in summary.take_all():
+        out.setdefault(str(row["part"]), []).append(row["path"])
+    return out
+
+
+class ProbeIndex:
+    """map_groups stage over ``_part``: join this partition's probe keys
+    against its index files → hit rows (key, _frag, _off). Candidates in
+    dead fragments are dropped (broadcast live-fragment set). The
+    identity-verification step of the reference (compare key columns at
+    the candidate location, row/moonlink_row.rs:195-248) is subsumed by
+    the exact equi-join on the key itself."""
+
+    def __init__(self, root: str, key_col: str, partitions: dict[str, list[str]],
+                 live_frags: set[str]):
+        self.root = root
+        self.key_col = key_col
+        self.partitions = partitions
+        self.live_frags = live_frags
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        empty = pa.table({self.key_col: group[self.key_col].slice(0, 0),
+                          "_frag": pa.array([], pa.string()),
+                          "_off": pa.array([], pa.uint32())})
+        if len(group) == 0:
+            return empty
+        part = str(int(group[PART_COL][0].as_py()))
+        files = self.partitions.get(part, [])
+        if not files:
+            return empty
+        probe = pd.DataFrame({self.key_col: group[self.key_col].to_pandas()})
+        pieces = []
+        for rel in files:
+            idx = pq.read_table(os.path.join(self.root, rel))
+            df = idx.to_pandas()
+            df = df[df["_frag"].isin(self.live_frags)]
+            hit = df.merge(probe, on=self.key_col, how="inner")
+            if len(hit):
+                pieces.append(hit)
+        if not pieces:
+            return empty
+        hits = pd.concat(pieces, ignore_index=True).drop_duplicates()
+        return pa.table({
+            self.key_col: pa.array(hits[self.key_col], type=group[self.key_col].type),
+            "_frag": pa.array(hits["_frag"], pa.string()),
+            "_off": pa.array(hits["_off"].to_numpy(dtype=np.uint32)),
+        })
+
+
+def probe_keys(keys_ds, root: str, key_col: str, num_partitions: int,
+               partitions: dict[str, list[str]], live_frags: set[str]):
+    """Distributed index probe: hash-partition probe keys, per-partition
+    merge-join → Dataset of (key, _frag, _off) hits."""
+    with_part = keys_ds.map_batches(
+        lambda b: add_partition_column(b, key_col, num_partitions),
+        batch_format="pyarrow",
+    )
+    return with_part.groupby(PART_COL).map_groups(
+        as_fn(ProbeIndex(root, key_col, partitions, live_frags)), batch_format="pyarrow"
+    )
+
+
+class MergeIndexPartition:
+    """One task per partition: fold all delta files into a single sorted
+    file, dropping entries whose fragment is dead or whose row is DV'd."""
+
+    def __init__(self, root: str, job_id: str, key_col: str,
+                 partitions: dict[str, list[str]], live_frags: set[str],
+                 dv_paths: dict[str, str]):
+        self.root = root
+        self.job_id = job_id
+        self.key_col = key_col
+        self.partitions = partitions
+        self.live_frags = live_frags
+        self.dv_paths = dv_paths
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from moonray.dv import load_dv
+
+        out_parts, out_paths, out_rows = [], [], []
+        for part in batch["part"].to_pylist():
+            part = str(part)
+            files = self.partitions.get(part, [])
+            tables = [pq.read_table(os.path.join(self.root, rel)) for rel in files]
+            if tables:
+                merged = pa.concat_tables(tables)
+                mask = np.isin(np.asarray(merged["_frag"]), list(self.live_frags))
+                merged = merged.filter(pa.array(mask))
+                if len(merged):
+                    df = merged.to_pandas()
+                    keep = np.ones(len(df), dtype=bool)
+                    for frag, dvrel in self.dv_paths.items():
+                        sel = df["_frag"].to_numpy() == frag
+                        if sel.any():
+                            dv = load_dv(os.path.join(self.root, dvrel))
+                            keep[sel] &= ~np.isin(df["_off"].to_numpy()[sel], dv)
+                    merged = pa.Table.from_pandas(df[keep], preserve_index=False,
+                                                  schema=merged.schema)
+            else:
+                merged = None
+            if merged is None or len(merged) == 0:
+                out_parts.append(int(part)); out_paths.append(""); out_rows.append(0)
+                continue
+            merged = merged.sort_by(self.key_col)
+            rel_dir = os.path.join("index", f"p{int(part):04d}")
+            os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
+            rel = os.path.join(rel_dir, f"idx-{self.job_id}-{int(part):04d}.parquet")
+            path = os.path.join(self.root, rel)
+            tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
+            pq.write_table(merged, tmp, compression="snappy")
+            os.rename(tmp, path)
+            out_parts.append(int(part)); out_paths.append(rel); out_rows.append(len(merged))
+        return pa.table({"part": pa.array(out_parts, pa.int32()),
+                         "path": pa.array(out_paths, pa.string()),
+                         "rows": pa.array(out_rows, pa.int64())})

@@ -1,0 +1,262 @@
+"""Maintenance passes: bin-packing compaction, index merge, Z-order
+clustering, manifest rewrite. The heart of the reference (SURVEY.md §2.8).
+
+Compaction mirrors the reference's trigger + executor: select fragments
+below final size or ≥50% deleted, bounded group sizes, stream-read each
+source, apply the DV, append into ~final-size outputs, then rewrite the
+covering key-index entries (reference: trigger
+src/moonlink/src/storage/mooncake_table/snapshot_maintenance.rs:42-199,
+config src/moonlink/src/storage/compaction/compaction_config.rs:47-54,
+executor src/moonlink/src/storage/compaction/compactor.rs:82-466).
+Instead of the reference's old→new RecordLocation remap, each compaction
+task emits *fresh* index entries for surviving rows; stale entries die
+at probe time (live-fragment filter) and physically at index merge.
+
+All passes plan on the driver over manifest *metadata* (tiny) and
+execute as Ray tasks over disjoint fragment groups — safe to run wide in
+parallel, unlike the reference's ≤1-maintenance-op-in-flight limit which
+exists only because of its single-process shared state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from moonray import manifest as mf
+from moonray.checkpoint import LineageLog
+from moonray.dv import filter_batch, load_dv
+from moonray.fragments import ROWOFF, FragmentWriter, write_fragment
+from moonray.keyindex import MergeIndexPartition, write_index_deltas
+from moonray.util import as_fn, atomic_write_json, new_job_id, read_json
+from moonray.zorder import ZKEY, AddZKey
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # reference flush target: 128 MiB
+DEFAULT_DV_FRAC = 0.5                     # reference: ≥50% rows deleted
+DEFAULT_MAX_GROUP = 32                    # reference: ≤32 files per round
+
+
+def plan_compaction(fragments: list[dict], *, target_bytes: int,
+                    small_bytes: int, dv_frac: float,
+                    min_group: int, max_group: int, force_full: bool) -> list[dict]:
+    """Driver-side bin-packing over manifest metadata. Returns groups of
+    fragment metas; each group rewrites into ~target_bytes outputs."""
+    def live_bytes(f):
+        frac_live = 1.0 - (f["dv_count"] / max(1, f["rows"]))
+        return int(f["bytes"] * frac_live)
+
+    if force_full:
+        cands = list(fragments)
+    else:
+        cands = [f for f in fragments
+                 if f["bytes"] < small_bytes
+                 or f["dv_count"] / max(1, f["rows"]) >= dv_frac]
+    cands.sort(key=lambda f: f["id"])
+    groups, cur, cur_bytes = [], [], 0
+    for f in cands:
+        if cur and (cur_bytes + live_bytes(f) > target_bytes or len(cur) >= max_group):
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += live_bytes(f)
+    if cur:
+        groups.append(cur)
+    out = []
+    for g in groups:
+        has_dv = any(x["dv_count"] > 0 for x in g)
+        if len(g) >= min_group or has_dv or force_full:
+            out.append({"frags": g})
+    return out
+
+
+class CompactGroup:
+    """One task per fragment group: read members (streamed per fragment),
+    fold in the DV, rewrite as ZSTD fragments (reference compacted-file
+    compression: src/moonlink/src/storage/parquet_utils.rs:16-19), emit
+    fresh index entries. Idempotent per (job, gid): a done-marker +
+    staged entries parquet short-circuit the rerun — this is the
+    fragment-granular resume the north rule requires."""
+
+    def __init__(self, root: str, job_id: str, key_col: str, zone_cols,
+                 rows_per_fragment: int):
+        self.root = root
+        self.job_id = job_id
+        self.key_col = key_col
+        self.zone_cols = list(zone_cols)
+        self.rpf = rows_per_fragment
+
+    def _marker(self, gid: int) -> str:
+        return os.path.join(self.root, "staging", self.job_id, f"compact-g{gid}.done.json")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_entries = []
+        for row in batch.to_pylist():
+            gid = int(row["gid"])
+            spec = json.loads(row["spec"])
+            marker = self._marker(gid)
+            entries_path = os.path.join(self.root, "staging", self.job_id,
+                                        f"compact-g{gid}-entries.parquet")
+            if os.path.exists(marker):
+                out_entries.append(pq.read_table(entries_path))
+                continue
+            pieces = []
+            for f in spec["frags"]:
+                t = pq.read_table(os.path.join(self.root, f["path"]))
+                if f.get("dv"):
+                    t = filter_batch(t, ROWOFF, load_dv(os.path.join(self.root, f["dv"])))
+                pieces.append(t.drop_columns([ROWOFF]))
+            data = pa.concat_tables(pieces) if pieces else None
+            group_entries = []
+            if data is not None and len(data):
+                for i, start in enumerate(range(0, len(data), self.rpf)):
+                    chunk = data.slice(start, self.rpf)
+                    _meta, entries = write_fragment(
+                        self.root, self.job_id, chunk,
+                        key_col=self.key_col, zone_cols=self.zone_cols,
+                        frag_id=f"c-{self.job_id}-g{gid}-{i:04d}",
+                        compression="zstd",
+                    )
+                    group_entries.append(entries)
+            if group_entries:
+                merged = pa.concat_tables(group_entries)
+            else:
+                key_type = data[self.key_col].type if data is not None else pa.string()
+                merged = pa.table({self.key_col: pa.array([], key_type),
+                                   "_frag": pa.array([], pa.string()),
+                                   "_off": pa.array([], pa.uint32())})
+            pq.write_table(merged, entries_path)
+            atomic_write_json(marker, {"gid": gid, "rows": len(merged)})
+            out_entries.append(merged)
+        return pa.concat_tables(out_entries) if out_entries else pa.table({})
+
+
+def compact(table, *, target_bytes: int = DEFAULT_TARGET_BYTES,
+            small_bytes: int | None = None, dv_frac: float = DEFAULT_DV_FRAC,
+            min_group: int = 2, max_group: int = DEFAULT_MAX_GROUP,
+            force_full: bool = False, job_id: str | None = None) -> int:
+    """Bin-packing small-file / DV-heavy compaction → new version."""
+    import ray.data as rd
+
+    job_id = job_id or new_job_id()
+    prev = mf.find_version_by_job(table.root, job_id)
+    if prev is not None:
+        return prev
+    m = table.manifest()
+    log = LineageLog(table.root, job_id)
+    plan = plan_compaction(
+        m["fragments"], target_bytes=target_bytes,
+        small_bytes=small_bytes if small_bytes is not None else target_bytes // 2,
+        dv_frac=dv_frac, min_group=min_group, max_group=max_group,
+        force_full=force_full,
+    )
+    if not plan:
+        return m["version"]
+    log.stage_start("compact")
+    items = [{"gid": i, "spec": json.dumps(g)} for i, g in enumerate(plan)]
+    entries = rd.from_items(items).map_batches(
+        as_fn(CompactGroup(table.root, job_id, m["key_col"], m["zone_cols"],
+                           m["rows_per_fragment"])),
+        batch_format="pyarrow", batch_size=1,
+    )
+    deltas = write_index_deltas(entries, table.root, job_id, m["key_col"],
+                                m["index"]["num_partitions"])
+    new_frags = [read_json(p) for p in _staged_meta_paths(table.root, job_id)]
+    replaced = {f["id"] for g in plan for f in g["frags"]}
+    log.stage_done("compact", {"counters": {
+        "groups": len(plan), "replaced": len(replaced),
+        "new_fragments": len(new_frags)}})
+    return table._commit_append(m, new_frags, deltas, m["commit_lsn"], job_id,
+                                replaced_frag_ids=replaced)
+
+
+def _staged_meta_paths(root: str, job_id: str) -> list[str]:
+    import glob
+    return sorted(glob.glob(os.path.join(root, "staging", job_id, "meta", "*.json")))
+
+
+def merge_index(table, *, job_id: str | None = None, tasks_per_batch: int = 4) -> int:
+    """Fold every index partition's delta files into one sorted file and
+    drop dead entries (reference index-merge:
+    snapshot_maintenance.rs:227-309, build_from_merge at
+    persisted_bucket_hash_map.rs:1458)."""
+    import ray.data as rd
+
+    job_id = job_id or new_job_id()
+    prev = mf.find_version_by_job(table.root, job_id)
+    if prev is not None:
+        return prev
+    m = table.manifest()
+    parts = list(m["index"]["partitions"].keys())
+    if not parts:
+        return m["version"]
+    log = LineageLog(table.root, job_id)
+    log.stage_start("index_merge")
+    live = {f["id"] for f in m["fragments"]}
+    dv_paths = {f["id"]: f["dv"] for f in m["fragments"] if f.get("dv")}
+    summary = rd.from_items([{"part": int(p)} for p in parts]).map_batches(
+        as_fn(MergeIndexPartition(table.root, job_id, m["key_col"],
+                                  m["index"]["partitions"], live, dv_paths)),
+        batch_format="pyarrow", batch_size=tasks_per_batch,
+    )
+    new_partitions: dict[str, list[str]] = {}
+    for row in summary.take_all():
+        if row["path"]:
+            new_partitions[str(row["part"])] = [row["path"]]
+    log.stage_done("index_merge", {"counters": {"partitions": len(new_partitions)}})
+    return table._commit_append(m, [], new_partitions, m["commit_lsn"], job_id,
+                                replace_index=True)
+
+
+def cluster(table, *, cols=None, salt_bits: int = 8,
+            job_id: str | None = None) -> int:
+    """Z-order clustering: global sort of the live table by the salted
+    interleaved key → full fragment + index rewrite with fresh zone maps.
+    The one all-to-all shuffle in the engine; skew from hot phash ranges
+    is broken by the key-hash salt (see zorder.py)."""
+    job_id = job_id or new_job_id()
+    prev = mf.find_version_by_job(table.root, job_id)
+    if prev is not None:
+        return prev
+    m = table.manifest()
+    cols = list(cols or m["zone_cols"])
+    log = LineageLog(table.root, job_id)
+    log.stage_start("cluster")
+    ranges = {}
+    for c in cols:
+        mins = [f["zones"][c][0] for f in m["fragments"] if c in f.get("zones", {})]
+        maxs = [f["zones"][c][1] for f in m["fragments"] if c in f.get("zones", {})]
+        ranges[c] = (min(mins), max(maxs)) if mins else (0.0, 0.0)
+    ds = table.scan(version=m["version"])
+    ds = ds.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits),
+                        batch_format="pyarrow")
+    ds = ds.sort(ZKEY).map_batches(lambda b: b.drop_columns([ZKEY]),
+                                   batch_format="pyarrow")
+    writer = FragmentWriter(table.root, job_id, m["key_col"], m["zone_cols"],
+                            compression="zstd")
+    entries = ds.map_batches(as_fn(writer), batch_format="pyarrow",
+                             batch_size=m["rows_per_fragment"])
+    deltas = write_index_deltas(entries, table.root, job_id, m["key_col"],
+                                m["index"]["num_partitions"])
+    new_frags = [read_json(p) for p in _staged_meta_paths(table.root, job_id)]
+    replaced = {f["id"] for f in m["fragments"]}
+    log.stage_done("cluster", {"counters": {
+        "new_fragments": len(new_frags),
+        "rows": sum(f["rows"] for f in new_frags)}})
+    return table._commit_append(m, new_frags, deltas, m["commit_lsn"], job_id,
+                                replaced_frag_ids=replaced, replace_index=True)
+
+
+def rewrite_manifest(table, *, job_id: str | None = None) -> int:
+    """Manifest rewrite: republish the current state as a fresh version
+    (drops tombstoned metadata, normalizes entries) without touching
+    data — the metadata-only half of the reference's Iceberg manifest
+    rewrite at each sync (iceberg_table_syncer.rs)."""
+    job_id = job_id or new_job_id()
+    prev = mf.find_version_by_job(table.root, job_id)
+    if prev is not None:
+        return prev
+    m = table.manifest()
+    return table._commit_append(m, [], {}, m["commit_lsn"], job_id)

@@ -1,0 +1,161 @@
+"""Versioned table manifests: atomic publish, pinning, expiry.
+
+One manifest JSON per committed version — the analogue of a mooncake/
+Iceberg snapshot (reference: ``Snapshot`` at
+src/moonlink/src/storage/mooncake_table.rs:159-184 maps 1:1 to an
+Iceberg snapshot; commit via the iceberg syncer at
+src/moonlink/src/storage/table/iceberg/iceberg_table_syncer.rs).
+
+Layout under a table root::
+
+    versions/v{N:08d}.json   immutable manifest per version
+    versions/LATEST          current version number (temp+rename publish)
+    pins/{token}             reader pins: version numbers expiry must keep
+    fragments/ dv/ index/    data files referenced by manifests
+    lineage/                 per-job checkpoint logs (checkpoint.py)
+
+Manifest contents: fragment list (path, rows, bytes, DV ref + count,
+zone maps, created_version), hash-partitioned key-index file lists,
+``commit_lsn`` (LSN visibility: a scan of version V sees exactly the
+changes committed at LSN ≤ commit_lsn(V) — reference rule at
+src/moonlink/src/storage/mooncake_table.rs:438-443), and the job_id that
+committed it (idempotent resume).
+
+Single-writer model (as in the reference: one TableHandler per table);
+readers are lock-free — they read an immutable manifest file.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from moonray.util import HASH_IMPL, atomic_write_json, atomic_write_text, read_json
+
+FORMAT = "moonray/1"
+
+
+def _vpath(root: str, version: int) -> str:
+    return os.path.join(root, "versions", f"v{version:08d}.json")
+
+
+def init_table_dirs(root: str) -> None:
+    for d in ("versions", "fragments", "dv", "index", "pins", "lineage", "staging"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+
+
+def latest_version(root: str) -> int:
+    p = os.path.join(root, "versions", "LATEST")
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def load_manifest(root: str, version: int | None = None) -> dict:
+    if version is None:
+        version = latest_version(root)
+    m = read_json(_vpath(root, version))
+    assert m["format"] == FORMAT, f"unknown table format {m['format']}"
+    if m["hash_impl"] != HASH_IMPL:  # pragma: no cover
+        raise RuntimeError(
+            f"table was written with hash impl {m['hash_impl']}, runtime has {HASH_IMPL}; "
+            "index partitioning would diverge"
+        )
+    return m
+
+
+def list_versions(root: str) -> list[int]:
+    out = []
+    for p in glob.glob(os.path.join(root, "versions", "v*.json")):
+        out.append(int(os.path.basename(p)[1:-5]))
+    return sorted(out)
+
+
+def commit_manifest(root: str, manifest: dict) -> int:
+    """Atomically publish a new version: immutable manifest file first,
+    then flip the LATEST pointer (both temp+rename). A crash between the
+    two leaves LATEST at the parent — the new version is simply invisible,
+    matching the reference's atomic Iceberg transaction commit."""
+    version = manifest["version"]
+    manifest.setdefault("format", FORMAT)
+    manifest.setdefault("hash_impl", HASH_IMPL)
+    path = _vpath(root, version)
+    assert not os.path.exists(path), f"version {version} already committed"
+    atomic_write_json(path, manifest)
+    atomic_write_text(os.path.join(root, "versions", "LATEST"), str(version))
+    return version
+
+
+def find_version_by_job(root: str, job_id: str) -> int | None:
+    """Resume support: has job_id already committed a version?"""
+    for v in reversed(list_versions(root)):
+        m = read_json(_vpath(root, v))
+        if m.get("job_id") == job_id:
+            return v
+    return None
+
+
+def pin(root: str, version: int, token: str) -> None:
+    atomic_write_text(os.path.join(root, "pins", token), str(version))
+
+
+def unpin(root: str, token: str) -> None:
+    try:
+        os.remove(os.path.join(root, "pins", token))
+    except FileNotFoundError:
+        pass
+
+
+def pinned_versions(root: str) -> set[int]:
+    out = set()
+    for p in glob.glob(os.path.join(root, "pins", "*")):
+        with open(p) as f:
+            out.add(int(f.read().strip()))
+    return out
+
+
+def referenced_files(manifest: dict) -> set[str]:
+    refs: set[str] = set()
+    for f in manifest["fragments"]:
+        refs.add(f["path"])
+        if f.get("dv"):
+            refs.add(f["dv"])
+    for paths in manifest["index"]["partitions"].values():
+        refs.update(paths)
+    return refs
+
+
+def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
+    """True snapshot expiry (the reference has no distinct operator — it
+    removes replaced files at each Iceberg commit, see
+    src/moonlink/src/storage/table/iceberg/moonlink_catalog.rs:28-34 —
+    the north rule requires explicit ``expire_snapshots``).
+
+    Retains: the newest ``keep_last`` versions, every pinned version,
+    and ``keep_versions``. Deletes older manifest files and any data/DV/
+    index file not referenced by a retained manifest."""
+    versions = list_versions(root)
+    cur = latest_version(root)
+    keep = set(versions[-keep_last:]) | {cur} | set(keep_versions) | pinned_versions(root)
+    keep = {v for v in keep if v in versions}
+    retained_refs: set[str] = set()
+    for v in keep:
+        retained_refs |= referenced_files(read_json(_vpath(root, v)))
+    removed_manifests, removed_files = [], []
+    for v in versions:
+        if v not in keep:
+            os.remove(_vpath(root, v))
+            removed_manifests.append(v)
+    for sub in ("fragments", "dv", "index"):
+        base = os.path.join(root, sub)
+        for dirpath, _dirs, files in os.walk(base):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, root)
+                if rel not in retained_refs and not fn.endswith((".tmp", ".meta.json")):
+                    os.remove(full)
+                    removed_files.append(rel)
+    return {
+        "kept_versions": sorted(keep),
+        "removed_versions": removed_manifests,
+        "removed_files": len(removed_files),
+    }

@@ -1,0 +1,279 @@
+"""MoonrayTable — the user-facing table API.
+
+The Ray-native analogue of the reference's backend facade
+(``create_table / scan_table(lsn) / optimize_table / create_snapshot``,
+src/moonlink_backend/src/lib.rs:37-460) and its blocking admin API
+(``TableEventManager``,
+src/moonlink/src/storage/mooncake_table/table_event_manager.rs:9-123):
+
+    t = MoonrayTable.create(root, key_col="image_id", zone_cols=("phash","w","h"))
+    t.bulk_load(ds)                      # LoadFiles / initial copy
+    t.merge(changes_ds)                  # CDC apply / MERGE INTO
+    t.scan(version=None)                 # snapshot-isolated union read
+    t.optimize("data"|"index"|"full")    # compaction / index merge
+    t.cluster()                          # Z-order clustering
+    t.expire_snapshots(keep_last=2)
+    t.pin(version, token) / t.unpin(token)
+    t.describe()                         # TableSnapshotStatus analogue
+
+Scans never materialize the table: they return a lazy ``ray.data.Dataset``
+(parquet read pruned by zone maps → zero-copy Arrow ``map_batches`` DV
+filter), mirroring the reference's union read of parquet + DVs
+(src/moonlink/src/storage/mooncake_table/snapshot_read.rs:152-241).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from moonray import manifest as mf
+from moonray.dv import load_dv
+from moonray.fragments import ROWOFF, FragmentWriter, collect_staged_fragment_meta
+from moonray.keyindex import write_index_deltas
+from moonray.util import as_fn, new_job_id
+
+DEFAULT_ROWS_PER_FRAGMENT = 4096  # reference mem-slice: 4096-row batches × 32
+PATH_COL = "path"  # added by read_parquet(include_paths=True)
+
+
+class DVFilter:
+    """Actor-pool scan stage: drop DV'd rows via vectorized isin on the
+    in-fragment ``_rowoff``. The DV map {abs fragment path → offsets} is
+    put in the object store ONCE and fetched per actor in __init__ —
+    broadcast, not re-shipped per batch."""
+
+    def __init__(self, dv_ref, drop_internal: bool):
+        self.dvs: dict[str, np.ndarray] = ray.get(dv_ref)
+        self.drop_internal = drop_internal
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        paths = batch[PATH_COL].to_numpy(zero_copy_only=False)
+        offs = batch[ROWOFF].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(batch), dtype=bool)
+        for p in np.unique(paths):
+            dv = self.dvs.get(p)
+            if dv is not None and len(dv):
+                sel = paths == p
+                keep[sel] = ~np.isin(offs[sel], dv)
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+        if self.drop_internal:
+            batch = batch.drop_columns([PATH_COL, ROWOFF])
+        return batch
+
+
+def _zones_overlap(zones: dict, ranges: dict) -> bool:
+    for col, (lo, hi) in ranges.items():
+        z = zones.get(col)
+        if z is None:
+            continue
+        zmin, zmax = z
+        if zmin is None or zmax is None:
+            continue
+        if (lo is not None and zmax < lo) or (hi is not None and zmin > hi):
+            return False
+    return True
+
+
+class MoonrayTable:
+    def __init__(self, root: str):
+        self.root = root
+
+    # ---------------- lifecycle ----------------
+    @staticmethod
+    def create(root: str, *, key_col: str, schema: pa.Schema,
+               zone_cols=(), index_partitions: int = 16,
+               rows_per_fragment: int = DEFAULT_ROWS_PER_FRAGMENT) -> "MoonrayTable":
+        """Create an empty table at version 0."""
+        mf.init_table_dirs(root)
+        m = {
+            "version": 0,
+            "parent": None,
+            "commit_lsn": 0,
+            "job_id": "create",
+            "key_col": key_col,
+            "zone_cols": list(zone_cols),
+            "index": {"num_partitions": index_partitions, "partitions": {}},
+            "fragments": [],
+            "rows_per_fragment": rows_per_fragment,
+            "schema_ipc": schema.serialize().to_pybytes().hex(),
+            "stats": {},
+        }
+        mf.commit_manifest(root, m)
+        return MoonrayTable(root)
+
+    @staticmethod
+    def open(root: str) -> "MoonrayTable":
+        mf.latest_version(root)  # raises if absent
+        return MoonrayTable(root)
+
+    # ---------------- metadata ----------------
+    def manifest(self, version: int | None = None) -> dict:
+        return mf.load_manifest(self.root, version)
+
+    def schema(self) -> pa.Schema:
+        return pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(self.manifest()["schema_ipc"])))
+
+    def latest_version(self) -> int:
+        return mf.latest_version(self.root)
+
+    def versions(self) -> list[int]:
+        return mf.list_versions(self.root)
+
+    def describe(self, version: int | None = None) -> dict:
+        """TableSnapshotStatus analogue (reference:
+        src/moonlink/src/storage/mooncake_table/table_status.rs:5-14)."""
+        m = self.manifest(version)
+        rows = sum(f["rows"] - f["dv_count"] for f in m["fragments"])
+        return {
+            "version": m["version"],
+            "commit_lsn": m["commit_lsn"],
+            "cardinality": rows,
+            "num_fragments": len(m["fragments"]),
+            "bytes": sum(f["bytes"] for f in m["fragments"]),
+            "deleted_rows": sum(f["dv_count"] for f in m["fragments"]),
+            "index_files": sum(len(v) for v in m["index"]["partitions"].values()),
+        }
+
+    def pin(self, version: int, token: str) -> None:
+        mf.pin(self.root, version, token)
+
+    def unpin(self, token: str) -> None:
+        mf.unpin(self.root, token)
+
+    def expire_snapshots(self, keep_last: int = 2, keep_versions=()) -> dict:
+        return mf.expire_snapshots(self.root, keep_last, keep_versions)
+
+    # ---------------- write paths ----------------
+    def bulk_load(self, ds, *, lsn: int = 0, job_id: str | None = None,
+                  rows_per_fragment: int | None = None) -> int:
+        """Bulk ingest a Dataset as new fragments + index entries + one
+        commit — the reference's LoadFiles / initial-copy path
+        (src/moonlink/src/storage/mooncake_table/batch_ingestion.rs:65-120).
+        Streams: fragment writes and index-entry emission happen inside
+        map_batches tasks; only (key, frag, off) triples shuffle."""
+        job_id = job_id or new_job_id()
+        prev = mf.find_version_by_job(self.root, job_id)
+        if prev is not None:
+            return prev
+        m = self.manifest()
+        rpf = rows_per_fragment or m["rows_per_fragment"]
+        writer = FragmentWriter(self.root, job_id, m["key_col"], m["zone_cols"])
+        entries = ds.map_batches(as_fn(writer), batch_format="pyarrow", batch_size=rpf)
+        deltas = write_index_deltas(entries, self.root, job_id, m["key_col"],
+                                    m["index"]["num_partitions"])
+        new_frags = collect_staged_fragment_meta(self.root, job_id)
+        return self._commit_append(m, new_frags, deltas, lsn, job_id)
+
+    def _commit_append(self, parent: dict, new_frags: list[dict],
+                       index_deltas: dict[str, list[str]], lsn: int, job_id: str,
+                       replaced_frag_ids: set[str] = frozenset(),
+                       dv_updates: dict[str, dict] | None = None,
+                       replace_index: bool = False) -> int:
+        """Build + atomically publish the child manifest (driver-side
+        single-writer commit, like the reference's snapshot commit at
+        src/moonlink/src/storage/mooncake_table/snapshot.rs:484-662)."""
+        frags = []
+        for f in parent["fragments"]:
+            if f["id"] in replaced_frag_ids:
+                continue
+            if dv_updates and f["id"] in dv_updates:
+                upd = dv_updates[f["id"]]
+                f = dict(f, dv=upd["dv"], dv_count=upd["dv_count"])
+                if f["dv_count"] >= f["rows"]:
+                    continue  # fully dead fragment drops out of the manifest
+            frags.append(f)
+        for nf in new_frags:
+            if nf["rows"] > 0:
+                frags.append(nf)
+        if replace_index:
+            partitions = {p: [x for x in v if x] for p, v in index_deltas.items()}
+            partitions = {p: v for p, v in partitions.items() if v}
+        else:
+            partitions = {p: list(v) for p, v in parent["index"]["partitions"].items()}
+            for p, paths in index_deltas.items():
+                partitions.setdefault(p, []).extend(x for x in paths if x)
+        child = {
+            "version": parent["version"] + 1,
+            "parent": parent["version"],
+            "commit_lsn": max(lsn, parent["commit_lsn"]),
+            "job_id": job_id,
+            "key_col": parent["key_col"],
+            "zone_cols": parent["zone_cols"],
+            "index": {"num_partitions": parent["index"]["num_partitions"],
+                      "partitions": partitions},
+            "fragments": frags,
+            "rows_per_fragment": parent["rows_per_fragment"],
+            "schema_ipc": parent["schema_ipc"],
+            "stats": {"new_fragments": len(new_frags),
+                      "replaced_fragments": len(replaced_frag_ids),
+                      "dv_updates": len(dv_updates or {})},
+        }
+        return mf.commit_manifest(self.root, child)
+
+    def merge(self, changes, *, job_id: str | None = None) -> int:
+        from moonray.merge import merge_into
+
+        return merge_into(self, changes, job_id=job_id)
+
+    def optimize(self, mode: str = "data", **kw) -> int:
+        """optimize(mode ∈ {data, index, full}) — mirrors the reference RPC
+        ``optimize_table`` (src/moonlink_backend/src/lib.rs:353-384)."""
+        from moonray import maintenance
+
+        if mode == "data":
+            return maintenance.compact(self, **kw)
+        if mode == "index":
+            return maintenance.merge_index(self, **kw)
+        if mode == "full":
+            v = maintenance.compact(self, force_full=True, **kw)
+            return maintenance.merge_index(self)
+        raise ValueError(f"unknown optimize mode {mode!r}")
+
+    def cluster(self, cols=None, **kw) -> int:
+        from moonray import maintenance
+
+        return maintenance.cluster(self, cols=cols, **kw)
+
+    # ---------------- read path ----------------
+    def scan(self, version: int | None = None, *, columns=None,
+             predicate_ranges: dict | None = None, with_internal: bool = False,
+             concurrency=None):
+        """Snapshot-isolated scan → lazy Dataset.
+
+        - zone-map pruning: fragments whose min/max don't overlap
+          ``predicate_ranges`` {col: (lo, hi)} are never read;
+        - column pruning at the parquet read;
+        - DV filter as a broadcast map_batches stage (zero-copy Arrow).
+        Note: ``predicate_ranges`` prunes fragments only — callers apply
+        the exact row filter downstream (scan_filtered does both)."""
+        import ray.data as rd
+
+        m = self.manifest(version)
+        frags = m["fragments"]
+        if predicate_ranges:
+            frags = [f for f in frags if _zones_overlap(f["zones"], predicate_ranges)]
+        frags = [f for f in frags if f["dv_count"] < f["rows"]]
+        user_schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
+        if not frags:
+            cols = columns or user_schema.names
+            empty = pa.table({c: pa.array([], user_schema.field(c).type) for c in cols})
+            return rd.from_arrow(empty)
+        paths = [os.path.join(self.root, f["path"]) for f in frags]
+        dvs = {
+            os.path.join(self.root, f["path"]): load_dv(os.path.join(self.root, f["dv"]))
+            for f in frags if f.get("dv")
+        }
+        read_cols = list(columns) if columns else [x for x in user_schema.names]
+        ds = rd.read_parquet(paths, columns=read_cols + [ROWOFF],
+                             include_paths=True)
+        dv_ref = ray.put(dvs)
+        return ds.map_batches(
+            DVFilter, fn_constructor_args=(dv_ref, not with_internal),
+            batch_format="pyarrow", concurrency=concurrency or (1, 8),
+        )

@@ -1,0 +1,102 @@
+"""Deterministic hashing + small helpers shared across stages.
+
+Key hashing must be deterministic ACROSS PROCESSES AND SESSIONS (the
+index partition assignment ``hash(key) % P`` is persisted on disk), so
+Python's builtin ``hash`` is never used. Int keys use a vectorized
+splitmix64; string keys use polars' vectorized hash with a fixed seed
+(stable within a polars version; the manifest records the impl so a
+mismatch is detected at open, mirroring how moonlink persists its index
+hash layout — reference: src/moonlink/src/storage/index/persisted_bucket_hash_map.rs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+
+try:  # vectorized string hashing
+    import polars as pl
+
+    _HAS_POLARS = True
+except ImportError:  # pragma: no cover
+    _HAS_POLARS = False
+
+HASH_IMPL = "splitmix64+polars0" if _HAS_POLARS else "splitmix64+blake2b8"
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over a uint64 array (public-domain constants)."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_key_array(arr) -> np.ndarray:
+    """uint64 hash of a key column (pa.Array / pa.ChunkedArray / np / list)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.Array):
+        if pa.types.is_integer(arr.type):
+            vals = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+            return splitmix64(vals)
+        if _HAS_POLARS:
+            return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
+        return np.array(
+            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+             for s in arr.to_pylist()],
+            dtype=np.uint64,
+        )
+    arr_np = np.asarray(arr)
+    if np.issubdtype(arr_np.dtype, np.integer):
+        return splitmix64(arr_np.astype(np.uint64))
+    return hash_key_array(pa.array(arr_np))
+
+
+def stable_hash_str(s: str) -> int:
+    """Deterministic 64-bit hash of one string (seed derivation, frag bucketing)."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+def new_job_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def as_fn(obj, name: str | None = None):
+    """Wrap a callable config object as a named plain function so Ray Data
+    treats it as a stateless task UDF (map_groups requires __name__; a
+    class instance would otherwise demand an actor pool)."""
+    def fn(batch):
+        return obj(batch)
+
+    fn.__name__ = name or type(obj).__name__
+    return fn
+
+
+def atomic_write_json(path: str, obj) -> None:
+    """Write JSON via temp file + rename (atomic publish on POSIX)."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def atomic_write_text(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def read_json(path: str):
+    with open(path) as f:
+        return json.load(f)

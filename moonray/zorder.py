@@ -1,0 +1,66 @@
+"""Z-order key computation (bit interleaving) for clustering.
+
+Not present in the reference (its physical order is flush order — see
+SURVEY.md §2.8); required by the north rule: interleave the bits of
+``(phash, w, h)`` so a global sort co-locates perceptually/dimensionally
+similar images, then per-fragment zone maps make range predicates prune.
+
+Each column is min-max scaled to 16 bits from the table's global zone
+maps (no extra pass over the data), interleaved MSB-first, then salted
+in the LOW bits with the key hash: hot ranges (e.g. 5% of keys sharing
+phash top-8 bits — the FIXTURES.md skew knob) would otherwise produce
+millions of equal sort keys and skew Ray's range-partitioned sort; the
+salt spreads ties uniformly while leaving the Z-order prefix intact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from moonray.util import hash_key_array
+
+ZKEY = "_zkey"
+_BITS = 16
+
+
+def _scale_u16(vals: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    v = vals.astype(np.float64)
+    if hi <= lo:
+        return np.zeros(len(v), dtype=np.uint64)
+    u = np.clip((v - lo) / (hi - lo), 0.0, 1.0)
+    return (u * 65535.0).astype(np.uint64)
+
+
+def interleave_bits(cols: list[np.ndarray]) -> np.ndarray:
+    """Interleave n uint64 columns' low 16 bits → uint64 Z-value."""
+    n = len(cols)
+    z = np.zeros(len(cols[0]), dtype=np.uint64)
+    one = np.uint64(1)
+    for b in range(_BITS):
+        for i, c in enumerate(cols):
+            bit = (c >> np.uint64(b)) & one
+            z |= bit << np.uint64(b * n + (n - 1 - i))
+    return z
+
+
+class AddZKey:
+    """map_batches stage: append the salted Z-order key column."""
+
+    def __init__(self, cols: list[str], ranges: dict[str, tuple[float, float]],
+                 key_col: str, salt_bits: int = 8):
+        self.cols = cols
+        self.ranges = ranges
+        self.key_col = key_col
+        self.salt_bits = salt_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scaled = []
+        for c in self.cols:
+            vals = batch[c].to_numpy(zero_copy_only=False)
+            lo, hi = self.ranges[c]
+            scaled.append(_scale_u16(vals, lo, hi))
+        z = interleave_bits(scaled)
+        salt = hash_key_array(batch[self.key_col]) & np.uint64((1 << self.salt_bits) - 1)
+        z = (z << np.uint64(self.salt_bits)) | salt
+        return batch.append_column(ZKEY, pa.array(z.astype(np.int64) & np.int64(2**63 - 1)))

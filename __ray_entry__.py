@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in the moonray library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline on /root/testdata/sf0.001 — bulk load
+  customer, MERGE the orders-derived CDC log, full maintenance, scan.
+- ``queries()``: one entry per implemented operator/pipeline from
+  SURVEY.md §2 + the training-data ops; each callable takes sf_dir.
+- ``oracle_sql()``: matching DuckDB SQL on the pre-registered views.
+  Entries absent here (minhash/simhash/images) are engine-native or
+  non-SQL-expressible → driver records rows-only checks; their exact
+  oracles live in tests/ (brute-force pandas/pyarrow).
 """
 
 from __future__ import annotations
@@ -18,27 +18,249 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+# ---------------------------------------------------------------- SQL
+
+_MERGE_SQL = """
+WITH changes AS (
+  SELECT
+    CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+         WHEN o_orderkey % 10 < 5 THEN 'I' ELSE 'U' END AS op,
+    o_orderkey AS lsn,
+    CASE WHEN o_orderkey % 10 >= 2 AND o_orderkey % 10 < 5
+         THEN o_custkey + 10000000 ELSE o_custkey END AS c_custkey,
+    'name-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+    CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+    o_totalprice AS c_acctbal,
+    'SEG' AS c_mktsegment
+  FROM orders
+),
+winners AS (
+  SELECT * FROM changes
+  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY lsn DESC) = 1
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+FROM customer c
+WHERE c.c_custkey NOT IN (SELECT c_custkey FROM winners)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM winners WHERE op <> 'D'
+"""
+
+_CUSTOMER_SQL = (
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+)
+
+_KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+sims AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, nid,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= 10
+"""
+
+_NEAR_DUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+"""
+
+# ------------------------------------------------------------ queries
+
+
+def _q_merge(maintenance=None, scan_version=None):
+    def run(sf_dir: str):
+        from moonray.pipelines.relational import merge_customer
+
+        return merge_customer(sf_dir, maintenance=maintenance,
+                              scan_version=scan_version)
+
+    return run
+
+
+def _q_zone_pruned(sf_dir: str):
+    from moonray.pipelines.relational import zone_pruned_scan
+
+    return zone_pruned_scan(sf_dir, 1000.0, 5000.0)
+
+
+def _q_tumbling(sf_dir: str):
+    from moonray.pipelines.relational import tumbling_window_events
+
+    return tumbling_window_events(sf_dir)
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_text_stats(sf_dir: str):
+    from moonray.functions.text import text_stats
+
+    return text_stats(_docs(sf_dir))
+
+
+def _q_dedup_exact(sf_dir: str):
+    from moonray.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_dedup_prefix(sf_dir: str):
+    from moonray.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir), prefix_len=64)
+
+
+def _q_lang_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    return (_docs(sf_dir).groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="sum_chars")))
+
+
+def _q_knn(sf_dir: str):
+    import ray.data as rd
+
+    from moonray.functions.knn import knn_cosine
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = [r for r in ds.take_all() if r["vec_id"] < 5]
+    queries = [(r["vec_id"], np.asarray(r["embedding"])) for r in qrows]
+    return knn_cosine(ds, queries, k=10)
+
+
+def _q_near_dups(sf_dir: str):
+    import ray.data as rd
+
+    from moonray.functions.dedup import embedding_near_dups
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(ds, threshold=0.3)
+
+
+def _q_minhash(sf_dir: str):
+    from moonray.functions.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir), jaccard_threshold=0.8)
+
+
+def _q_simhash(sf_dir: str):
+    from moonray.functions.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(sf_dir)).select_columns(["doc_id", "simhash"])
+
+
+def _q_images_flagship(sf_dir: str):
+    """Engine-native flagship on the synthetic image+caption table
+    (BASELINE.json input_hint schema): bulk load → MERGE CDC → compact →
+    cluster → scan. Verified against the brute-force oracle in tests/."""
+    import tempfile
+
+    from moonray.fixtures import IMAGE_SCHEMA, make_changes_dataset, make_images_dataset
+    from moonray.table import MoonrayTable
+
+    root = tempfile.mkdtemp(prefix="moonray-img-")
+    t = MoonrayTable.create(root, key_col="image_id", schema=IMAGE_SCHEMA,
+                            zone_cols=("phash", "w", "h"), index_partitions=8,
+                            rows_per_fragment=128)
+    t.bulk_load(make_images_dataset(400, seed=42))
+    t.merge(make_changes_dataset(250, 400, seed=42))
+    t.optimize("data", target_bytes=1 << 30)
+    t.cluster()
+    return t.scan(columns=["image_id", "w", "h", "fmt", "caption", "phash"])
+
+
+def _q_images_decode(sf_dir: str):
+    from moonray.fixtures import make_images_dataset
+    from moonray.functions.multimodal import decode_stats
+
+    ds = decode_stats(make_images_dataset(200, seed=42))
+    return ds.select_columns(["image_id", "w", "h", "meta_ok", "phash",
+                              "phash_recomputed"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: MERGE INTO + full maintenance over sf0.001."""
+    from moonray.pipelines.relational import merge_customer
+
+    return merge_customer("/root/testdata/sf0.001", maintenance="full")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ---- lakehouse engine (MoonrayTable) ----
+        "merge_upsert": _q_merge(),
+        "merge_then_compact": _q_merge(maintenance="compact"),
+        "merge_then_cluster": _q_merge(maintenance="cluster"),
+        "merge_full_maintenance_expire": _q_merge(maintenance="full"),
+        "snapshot_isolation_pre_merge": _q_merge(scan_version="pre_merge"),
+        "zone_pruned_scan": _q_zone_pruned,
+        "images_merge_maintenance": _q_images_flagship,
+        # ---- streaming-shaped ----
+        "tumbling_window_events": _q_tumbling,
+        # ---- text analysis ----
+        "text_stats": _q_text_stats,
+        "docs_lang_stats": _q_lang_stats,
+        # ---- dedup ----
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_prefix": _q_dedup_prefix,
+        "minhash_lsh_dedup": _q_minhash,
+        "simhash_fingerprints": _q_simhash,
+        "embedding_near_dup_pairs": _q_near_dups,
+        # ---- similarity search ----
+        "knn_cosine_top10": _q_knn,
+        # ---- multimodal ----
+        "images_decode_stats": _q_images_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from moonray.functions.text import text_stats_oracle_sql
+
+    return {
+        "merge_upsert": _MERGE_SQL,
+        "merge_then_compact": _MERGE_SQL,
+        "merge_then_cluster": _MERGE_SQL,
+        "merge_full_maintenance_expire": _MERGE_SQL,
+        "snapshot_isolation_pre_merge": _CUSTOMER_SQL,
+        "zone_pruned_scan": _CUSTOMER_SQL
+        + " WHERE c_acctbal >= 1000.0 AND c_acctbal <= 5000.0",
+        "tumbling_window_events": """
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "text_stats": text_stats_oracle_sql(),
+        "docs_lang_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "dedup_exact": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+        "dedup_exact_prefix": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(substr(text, 1, 64)) ORDER BY doc_id) = 1
+        """,
+        "embedding_near_dup_pairs": _NEAR_DUP_SQL,
+        "knn_cosine_top10": _KNN_SQL,
+    }

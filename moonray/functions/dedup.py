@@ -1,0 +1,281 @@
+"""Deduplication operators over document-shaped tables.
+
+- exact_dedup: content-hash partition + per-group first (min id) — the
+  canonical exact dedup (hash shuffle of keys only, payload follows its
+  bucket once).
+- minhash_lsh_dedup: word-shingle MinHash → banded LSH buckets →
+  candidate pairs → exact-Jaccard verify → connected components →
+  keep cluster representative (min id). The scale path: only
+  (band_hash, id) pairs shuffle; pair verification is per-bucket.
+- simhash64: 64-bit SimHash fingerprints (near-dup by hamming radius).
+- embedding_near_dups: cosine-similarity pairs over an embedding column
+  via broadcast matrix (numpy matmul per batch) — brute-force baseline;
+  at 100 TB scale the same stage runs per LSH/IVF bucket.
+
+All hash functions are deterministic across processes (splitmix64 /
+md5), never Python's builtin hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from moonray.util import as_fn, splitmix64
+
+TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+# ---------------- exact dedup ----------------
+
+class AddContentHash:
+    def __init__(self, text_col: str, prefix_len: int | None):
+        self.text_col = text_col
+        self.prefix_len = prefix_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        if self.prefix_len:
+            texts = [t[: self.prefix_len] for t in texts]
+        hs = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        return batch.append_column("_chash", pa.array(hs, pa.string()))
+
+
+class KeepFirstPerHash:
+    def __init__(self, id_col: str):
+        self.id_col = id_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t = group.sort_by([(self.id_col, "ascending")])
+        hashes = np.asarray(t["_chash"].to_pandas(), dtype=object)
+        _, first = np.unique(hashes, return_index=True)
+        return t.take(pa.array(np.sort(first))).drop_columns(["_chash", "_bkt"])
+
+
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                prefix_len: int | None = None, buckets: int = 32):
+    """Keep the min-id row per content hash (md5 of text, optionally of a
+    prefix). groupby shuffles hash buckets, not one group per document."""
+    def bucketed(b: pa.Table) -> pa.Table:
+        h = np.array([int(x[:8], 16) for x in b["_chash"].to_pylist()], dtype=np.uint64)
+        return b.append_column("_bkt", pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+    withh = ds.map_batches(as_fn(AddContentHash(text_col, prefix_len), "add_chash"),
+                           batch_format="pyarrow")
+    withb = withh.map_batches(bucketed, batch_format="pyarrow")
+    return withb.groupby("_bkt").map_groups(
+        as_fn(KeepFirstPerHash(id_col), "keep_first"), batch_format="pyarrow")
+
+
+# ---------------- MinHash + LSH ----------------
+
+def _shingle_set(text: str, n: int = 3) -> list[int]:
+    toks = [t.lower() for t in TOKEN_RE.findall(text)]
+    if len(toks) < n:
+        shingles = {" ".join(toks)} if toks else {""}
+    else:
+        shingles = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    return [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+            for s in shingles]
+
+
+class MinHashBands:
+    """map_batches: doc → (band_id, band_hash, id) rows. num_perm hash
+    functions simulated by splitmix64 with per-permutation seed mixes."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int):
+        assert num_perm % bands == 0
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = np.array(_shingle_set(text), dtype=np.uint64)
+        # num_perm × n_shingles hash matrix → min per permutation
+        sig = np.empty(self.num_perm, dtype=np.uint64)
+        for i, seed in enumerate(self.seeds):
+            sig[i] = splitmix64(sh ^ seed).min()
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_band, out_hash, out_id = [], [], []
+        ids = batch[self.id_col].to_pylist()
+        for text, did in zip(batch[self.text_col].to_pylist(), ids):
+            sig = self.signature(text)
+            for b in range(self.bands):
+                band = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                h = hashlib.md5(band.tobytes() + bytes([b])).hexdigest()[:16]
+                out_band.append(b)
+                out_hash.append(h)
+                out_id.append(did)
+        return pa.table({"band": pa.array(out_band, pa.int32()),
+                         "bhash": pa.array(out_hash, pa.string()),
+                         "id": pa.array(out_id, pa.int64())})
+
+
+def _jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16,
+                      jaccard_threshold: float = 0.8):
+    """Near-dup dedup: returns the Dataset filtered to cluster
+    representatives (min id per near-dup cluster).
+
+    Scale notes: the LSH shuffle carries only (band, bhash, id); the
+    verify step re-reads candidate docs via a broadcast text lookup —
+    acceptable while candidates ≪ corpus (true for near-dup detection);
+    the connected-components union-find runs on the driver over verified
+    PAIRS (tiny). At 100 TB the verify stage would fetch texts from the
+    table by id instead of a broadcast dict."""
+    import ray
+    import ray.data as rd
+
+    band_rows = ds.map_batches(
+        as_fn(MinHashBands(text_col, id_col, num_perm, bands), "minhash_bands"),
+        batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group["id"].to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i]); b.append(ids[j])
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    bucket_pairs.__name__ = "bucket_pairs"
+    cand = band_rows.groupby(["band", "bhash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    pairs = {(r["a"], r["b"]) for r in cand.take_all()}
+
+    # verify with exact jaccard (broadcast text lookup)
+    texts = {r[id_col]: r[text_col]
+             for r in ds.select_columns([id_col, text_col]).take_all()}
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        keep_a, keep_b = [], []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            sa = set(_shingle_set(lookup[a]))
+            sb = set(_shingle_set(lookup[b]))
+            if _jaccard(sa, sb) >= jaccard_threshold:
+                keep_a.append(a); keep_b.append(b)
+        return pa.table({"a": pa.array(keep_a, pa.int64()),
+                         "b": pa.array(keep_b, pa.int64())})
+
+    if pairs:
+        pair_ds = rd.from_items([{"a": a, "b": b} for a, b in sorted(pairs)])
+        verified = pair_ds.map_batches(verify, batch_format="pyarrow").take_all()
+    else:
+        verified = []
+
+    # connected components (union-find on the driver over verified pairs)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in verified:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    drop = {x for x in parent if find(x) != x}
+
+    def keep_reps(batch: pa.Table) -> pa.Table:
+        ids = np.array(batch[id_col].to_pylist())
+        mask = ~np.isin(ids, list(drop)) if drop else np.ones(len(ids), bool)
+        return batch.filter(pa.array(mask))
+
+    keep_reps.__name__ = "keep_reps"
+    return ds.map_batches(keep_reps, batch_format="pyarrow")
+
+
+# ---------------- SimHash ----------------
+
+class SimHash64:
+    """map_batches: append a 64-bit SimHash fingerprint column."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch[self.text_col].to_pylist():
+            toks = [t.lower() for t in TOKEN_RE.findall(text)]
+            if not toks:
+                out.append(0)
+                continue
+            hs = splitmix64(np.array(
+                [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+                 for t in toks], dtype=np.uint64))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+            val = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                val |= np.uint64(1) << np.uint64(i)
+            out.append(int(val.astype(np.int64)))
+        return batch.append_column("simhash", pa.array(out, pa.int64()))
+
+
+def simhash_fingerprints(ds, text_col: str = "text", concurrency=(1, 8)):
+    return ds.map_batches(SimHash64, fn_constructor_args=(text_col,),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+# ---------------- embedding near-dups ----------------
+
+class CosinePairs:
+    """map_batches over embeddings: each batch's vectors vs the broadcast
+    full matrix (numpy float64 matmul); emit (a < b) pairs ≥ threshold."""
+
+    def __init__(self, mat_ref, ids_ref, id_col: str, vec_col: str, threshold: float):
+        import ray
+
+        self.mat = ray.get(mat_ref)        # (N, d) float64, L2-normalized
+        self.ids = ray.get(ids_ref)        # (N,) int64
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch[self.vec_col].to_pandas().to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = vecs @ self.mat.T                       # (batch, N)
+        rows, cols = np.nonzero(sims >= self.threshold)
+        a = ids[rows]
+        b = self.ids[cols]
+        keep = a < b                                    # dedup + drop self-pairs
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+
+def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                        threshold: float = 0.3, concurrency=(1, 8)):
+    """All pairs with cosine ≥ threshold. The comparison matrix is
+    ray.put ONCE; each batch does one matmul against it."""
+    import ray
+
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids)
+    mat_ref, ids_ref = ray.put(mat[order]), ray.put(ids[order])
+    return ds.map_batches(
+        CosinePairs, fn_constructor_args=(mat_ref, ids_ref, id_col, vec_col, threshold),
+        batch_format="pyarrow", concurrency=concurrency)

@@ -1,0 +1,70 @@
+"""Multimodal (image) actor-pool stages over binary columns.
+
+The Ray-side plumbing — schema (opaque ``binary`` + typed metadata
+columns), actor-pool signatures, batch sizing for wide binary rows,
+output layout — is real and tested; the codec underneath is the
+deterministic stand-in from moonray.codec (real PIL/turbojpeg/ffmpeg
+are absent from this container; swapping them in changes ONE import).
+Unsupported real formats raise NotImplementedError, as the task
+contract specifies for stubbed decoders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from moonray.codec import decode_image, encode_image, phash64
+
+
+class DecodeStats:
+    """Actor-pool stage: decode each image, verify the (w, h) metadata
+    columns against the decoded pixels, append mean-luma + recomputed
+    phash. Small batch_size is the knob for wide binary rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        luma, ph, ok = [], [], []
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        for data, w, h in zip(batch["bytes"].to_pylist(), ws, hs):
+            arr = decode_image(data)
+            ok.append(arr.shape[1] == w and arr.shape[0] == h)
+            luma.append(float(arr.astype(np.float64).mean()))
+            ph.append(phash64(arr))
+        return (batch
+                .append_column("meta_ok", pa.array(ok, pa.bool_()))
+                .append_column("mean_luma", pa.array(luma, pa.float64()))
+                .append_column("phash_recomputed", pa.array(ph, pa.int64())))
+
+
+class Downsample2x:
+    """Actor-pool stage: 2× block-mean downsample + re-encode, updating
+    (bytes, w, h). Requires even dims (all fixture sizes are)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_bytes, out_w, out_h = [], [], []
+        fmts = batch["fmt"].to_pylist()
+        for data, fmt in zip(batch["bytes"].to_pylist(), fmts):
+            arr = decode_image(data)
+            h, w = arr.shape[:2]
+            small = arr.reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+            out_bytes.append(encode_image(small, fmt))
+            out_w.append(w // 2)
+            out_h.append(h // 2)
+        idx_w = batch.column_names.index("w")
+        idx_h = batch.column_names.index("h")
+        idx_b = batch.column_names.index("bytes")
+        return (batch
+                .set_column(idx_b, "bytes", pa.array(out_bytes, pa.binary()))
+                .set_column(idx_w, "w", pa.array(out_w, pa.int32()))
+                .set_column(idx_h, "h", pa.array(out_h, pa.int32())))
+
+
+def decode_stats(ds, *, concurrency=(1, 8), batch_size: int = 64):
+    return ds.map_batches(DecodeStats, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=batch_size)
+
+
+def downsample2x(ds, *, concurrency=(1, 8), batch_size: int = 64):
+    return ds.map_batches(Downsample2x, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=batch_size)

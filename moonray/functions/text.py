@@ -1,0 +1,98 @@
+"""Text analysis stages: token stats, quality flags, language-ID
+heuristic, document fingerprinting.
+
+Every metric here is defined to be EXACTLY reproducible in ANSI SQL
+(DuckDB) so the driver's oracle can hash-compare: integer counts and
+hex digests only — no floats. The stage is a stateful actor-pool
+callable (regexes compiled once per actor, reference pattern:
+stateful setup per worker as in moonlink's converters,
+src/moonlink_connectors/src/rest_ingest/json_converter.rs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+PUNCT_RE = r"[.,;:!?]"
+
+# language → stopword set; scoring order (tie-break) is fixed: en,de,es,fr,zh
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "los", "de", "y"),
+    "fr": ("le", "la", "des", "et"),
+    "zh": ("zh1", "zh2", "zh3", "zh4"),  # placeholder — no latin stopwords
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+class TextStats:
+    """map_batches stage over documents: adds
+    n_tokens, uniq_tokens, punct_count, token_chars, fingerprint,
+    lang_pred — all ints/strings, SQL-reproducible."""
+
+    def __init__(self):
+        self.tok = re.compile(TOKEN_RE)
+        self.punct = re.compile(PUNCT_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_tokens, uniq_tokens, punct_count, token_chars = [], [], [], []
+        fingerprint, lang_pred = [], []
+        for t in texts:
+            toks = self.tok.findall(t)
+            low = [x.lower() for x in toks]
+            n_tokens.append(len(toks))
+            uniq_tokens.append(len(set(low)))
+            punct_count.append(len(self.punct.findall(t)))
+            token_chars.append(sum(len(x) for x in toks))
+            fingerprint.append(hashlib.md5(t.lower().encode()).hexdigest())
+            scores = {lang: sum(1 for x in low if x in set(sw))
+                      for lang, sw in LANG_STOPWORDS.items()}
+            pred = LANG_ORDER[0]
+            for lang in LANG_ORDER:
+                if scores[lang] > scores[pred]:
+                    pred = lang
+            lang_pred.append(pred)
+        return (batch
+                .append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+                .append_column("uniq_tokens", pa.array(uniq_tokens, pa.int64()))
+                .append_column("punct_count", pa.array(punct_count, pa.int64()))
+                .append_column("token_chars", pa.array(token_chars, pa.int64()))
+                .append_column("fingerprint", pa.array(fingerprint, pa.string()))
+                .append_column("lang_pred", pa.array(lang_pred, pa.string())))
+
+
+def text_stats(ds, concurrency=(1, 8)):
+    """documents Dataset → stats-annotated Dataset (actor pool)."""
+    return ds.map_batches(TextStats, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=1024)
+
+
+def text_stats_oracle_sql(extra_cols: str = "") -> str:
+    """DuckDB SQL computing the same columns (see TextStats)."""
+    score = {lang: f"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x IN {tuple(sw)!r}))"
+             for lang, sw in LANG_STOPWORDS.items()}
+    # NB: token regex is case-insensitive on lowered text → '[a-z0-9]+'
+    lang_case = (
+        "CASE "
+        + f"WHEN {score['zh']} > {score['en']} AND {score['zh']} > {score['de']} AND {score['zh']} > {score['es']} AND {score['zh']} > {score['fr']} THEN 'zh' "
+        + f"WHEN {score['fr']} > {score['en']} AND {score['fr']} > {score['de']} AND {score['fr']} > {score['es']} THEN 'fr' "
+        + f"WHEN {score['es']} > {score['en']} AND {score['es']} > {score['de']} THEN 'es' "
+        + f"WHEN {score['de']} > {score['en']} THEN 'de' "
+        + "ELSE 'en' END"
+    )
+    return f"""
+SELECT doc_id, text, lang, source, n_chars,
+  len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+  len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS uniq_tokens,
+  len(regexp_extract_all(text, '{PUNCT_RE}')) AS punct_count,
+  length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS token_chars,
+  md5(lower(text)) AS fingerprint,
+  {lang_case} AS lang_pred
+FROM documents{extra_cols}
+"""

@@ -1,0 +1,152 @@
+"""MERGE INTO pipelines over the driver's TPC-H-ish parquet tables.
+
+These exercise the REAL engine (MoonrayTable + merge_into + maintenance)
+on SQL-expressible inputs so the driver's DuckDB oracle can verify
+value-for-value: base table = ``customer`` keyed on ``c_custkey``;
+the CDC change log is derived deterministically from ``orders``
+(op by o_orderkey % 10: 0-1 → D, 2-4 → I on a shifted key space,
+5-9 → U; lsn = o_orderkey; payload columns are pure functions of the
+order row). The matching SQL lives in __ray_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+INSERT_KEY_SHIFT = 10_000_000
+
+
+def orders_to_changes(batch: pa.Table) -> pa.Table:
+    """Vectorized Arrow transform: orders batch → CDC change rows."""
+    ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+    ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+    tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+    sel = ok % 10
+    op = np.where(sel < 2, "D", np.where(sel < 5, "I", "U"))
+    key = np.where((sel >= 2) & (sel < 5), ck + INSERT_KEY_SHIFT, ck)
+    is_del = op == "D"
+    name = np.array([f"name-{k}" for k in ok], dtype=object)
+    nation = (ok % 25).astype(np.int32)
+    seg = np.full(len(ok), "SEG", dtype=object)
+    return pa.table({
+        "op": pa.array(op.tolist(), pa.string()),
+        "lsn": pa.array(ok, pa.int64()),
+        "c_custkey": pa.array(key, pa.int64()),
+        "c_name": pa.array(np.where(is_del, None, name).tolist(), pa.string()),
+        "c_nationkey": pa.array(
+            [None if d else int(v) for d, v in zip(is_del, nation)], pa.int32()),
+        "c_acctbal": pa.array(
+            [None if d else float(v) for d, v in zip(is_del, tp)], pa.float64()),
+        "c_mktsegment": pa.array(np.where(is_del, None, seg).tolist(), pa.string()),
+    })
+
+
+def _changes_dataset(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(orders_to_changes, batch_format="pyarrow")
+
+
+def build_customer_table(sf_dir: str, root: str | None = None,
+                         rows_per_fragment: int = 256, index_partitions: int = 8):
+    """customer parquet → fresh MoonrayTable (bulk load)."""
+    import ray.data as rd
+
+    from moonray.table import MoonrayTable
+
+    root = root or tempfile.mkdtemp(prefix="moonray-cust-")
+    schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ])
+    t = MoonrayTable.create(root, key_col="c_custkey", schema=schema,
+                            zone_cols=("c_acctbal", "c_nationkey"),
+                            index_partitions=index_partitions,
+                            rows_per_fragment=rows_per_fragment)
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=CUSTOMER_COLS)
+    t.bulk_load(ds)
+    return t
+
+
+def merge_customer(sf_dir: str, *, maintenance: str | None = None,
+                   scan_version: str | None = None):
+    """Full pipeline: bulk load customer → MERGE orders-derived CDC →
+    optional maintenance pass → scan. Returns a lazy Dataset.
+
+    maintenance ∈ {None, "compact", "cluster", "full"};
+    scan_version="pre_merge" scans the pinned bulk-load version instead
+    (snapshot-isolation probe)."""
+    t = build_customer_table(sf_dir)
+    v_loaded = t.latest_version()
+    t.pin(v_loaded, "pipeline-reader")
+    t.merge(_changes_dataset(sf_dir))
+    if maintenance == "compact":
+        t.optimize("data", target_bytes=1 << 26, min_group=2)
+    elif maintenance == "cluster":
+        t.cluster()
+    elif maintenance == "full":
+        t.optimize("full")
+        t.expire_snapshots(keep_last=1)
+    if scan_version == "pre_merge":
+        return t.scan(version=v_loaded)
+    return t.scan()
+
+
+def zone_pruned_scan(sf_dir: str, lo: float = 1000.0, hi: float = 5000.0):
+    """Cluster by (c_acctbal, c_nationkey), then a range scan that prunes
+    fragments via zone maps and applies the exact row filter."""
+    t = build_customer_table(sf_dir)
+    t.cluster()
+    ds = t.scan(predicate_ranges={"c_acctbal": (lo, hi)})
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b["c_acctbal"], lo),
+                    pc.less_equal(b["c_acctbal"], hi))),
+        batch_format="pyarrow")
+
+
+def tumbling_window_events(sf_dir: str, window_sec: int = 3600):
+    """Streaming-shaped operator: tumbling event-time windows per user
+    (count + int-cent sum for exact SQL parity). Pre-aggregates inside
+    map_batches before the (user, window) groupby — partial aggregation
+    so the shuffle carries one row per (user, window) per batch."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def add_window(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = us // (window_sec * 1_000_000)
+        # half-up rounding (floor(x+0.5)) so DuckDB can reproduce exactly —
+        # np.round's half-to-even would diverge on exact .5 cents
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "win": pa.array(win, pa.int64()),
+            "value_cents": pa.array(cents, pa.int64()),
+        })
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby(["user_id", "win"], as_index=False).agg(
+            n_events=("value_cents", "size"), sum_cents=("value_cents", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partial.__name__ = "partial_agg"
+    ds = rd.read_parquet(path, columns=["ts", "user_id", "value"])
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.groupby(["user_id", "win"])
+              .aggregate(Sum("n_events", alias_name="n_events"),
+                         Sum("sum_cents", alias_name="sum_cents")))

@@ -1,0 +1,255 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "merge_rows_per_s": ..., "scan_gib_per_s": ...}
+
+--scaling: run the headline image job twice in FRESH processes at two
+parallelism levels (8 and 32 CPUs — the sandbox stand-in for N vs 4N
+nodes per BASELINE.json north_rule), report both throughputs plus
+scaling efficiency, and refresh the results block in BASELINE.md.
+
+Headline job (north_rule metric): synthetic image+caption table
+(image_id, bytes, w, h, fmt, caption, phash) → bulk load → MERGE INTO
+(CDC I/U/D) → full maintenance (compaction + index merge) → Z-order
+cluster → post-maintenance scan.  Reports MERGE rows/s and scan GiB/s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# image-table scale for the headline job (rows); constant per sf dir so
+# the two --scaling runs see identical input.
+N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "6000"))
+N_CHANGES = int(os.environ.get("BENCH_N_CHANGES", "4000"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def image_table_job(num_cpus: int, n_images: int = N_IMAGES,
+                    n_changes: int = N_CHANGES, root: str | None = None) -> dict:
+    """The north-rule headline: build → merge → maintain → cluster → scan.
+    Returns per-phase seconds plus merge rows/s and scan GiB/s."""
+    import tempfile
+
+    from moonray.fixtures import IMAGE_SCHEMA, make_changes_dataset, make_images_dataset
+    from moonray.table import MoonrayTable
+
+    root = root or tempfile.mkdtemp(prefix="moonray-bench-")
+    out: dict = {}
+
+    t0 = time.perf_counter()
+    t = MoonrayTable.create(root, key_col="image_id", schema=IMAGE_SCHEMA,
+                            zone_cols=("phash", "w", "h"),
+                            index_partitions=32, rows_per_fragment=256)
+    t.bulk_load(make_images_dataset(n_images, seed=42))
+    out["load_s"] = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    t.merge(make_changes_dataset(n_changes, n_images, seed=42))
+    out["merge_s"] = time.perf_counter() - t1
+    out["merge_rows_per_s"] = n_changes / out["merge_s"]
+
+    t2 = time.perf_counter()
+    t.optimize("full")
+    t.cluster()
+    out["maintenance_s"] = time.perf_counter() - t2
+
+    t3 = time.perf_counter()
+    scanned_bytes = 0
+    scanned_rows = 0
+    for b in t.scan().iter_batches(batch_format="pyarrow", batch_size=1024):
+        scanned_bytes += b.nbytes
+        scanned_rows += len(b)
+    out["scan_s"] = time.perf_counter() - t3
+    out["scan_rows"] = scanned_rows
+    out["scan_gib"] = scanned_bytes / (1 << 30)
+    out["scan_gib_per_s"] = out["scan_gib"] / out["scan_s"]
+    out["total_s"] = time.perf_counter() - t0
+    # job throughput used by the scaling criterion: rows through the
+    # write path (load + merge) + rows through the scan, per second.
+    out["rows_per_s"] = (n_images + n_changes + scanned_rows) / out["total_s"]
+    return out
+
+
+def run_full_bench() -> dict:
+    _init_ray(NUM_CPUS)
+    queries: dict[str, float] = {}
+
+    def timed(name, fn, consume=True):
+        t0 = time.perf_counter()
+        res = fn()
+        if consume and res is not None:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                for _ in res.iter_batches(batch_format="pyarrow", batch_size=8192):
+                    pass
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    img = image_table_job(NUM_CPUS)
+    queries["images_merge_maintenance_scan"] = round(img["total_s"], 3)
+
+    from moonray.pipelines.relational import (merge_customer, tumbling_window_events,
+                                              zone_pruned_scan)
+
+    timed("merge_customer_full", lambda: merge_customer(SF_DIR, maintenance="full"))
+    timed("zone_pruned_scan", lambda: zone_pruned_scan(SF_DIR))
+    timed("tumbling_window_events", lambda: tumbling_window_events(SF_DIR))
+
+    import ray.data as rd
+
+    from moonray.functions.dedup import exact_dedup, minhash_lsh_dedup
+    from moonray.functions.knn import knn_cosine
+    from moonray.functions.text import text_stats
+
+    docs = lambda: rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))  # noqa: E731
+    timed("text_stats", lambda: text_stats(docs()))
+    timed("dedup_exact", lambda: exact_dedup(docs()))
+    timed("minhash_lsh_dedup", lambda: minhash_lsh_dedup(docs(), jaccard_threshold=0.8))
+
+    def _knn():
+        import numpy as np
+
+        ds = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        qrows = [r for r in ds.take_all() if r["vec_id"] < 5]
+        return knn_cosine(ds, [(r["vec_id"], np.asarray(r["embedding"])) for r in qrows], k=10)
+
+    timed("knn_cosine_top10", _knn)
+
+    return {
+        "metric": "headline pipelines wall-time (image MERGE+maintenance+scan; "
+                  "relational MERGE; text/dedup/knn) at sf",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "n_images": N_IMAGES,
+        "n_changes": N_CHANGES,
+        "merge_rows_per_s": round(img["merge_rows_per_s"], 1),
+        "scan_gib": round(img["scan_gib"], 4),
+        "scan_gib_per_s": round(img["scan_gib_per_s"], 3),
+        "image_phases": {k: round(v, 3) for k, v in img.items()
+                         if k.endswith("_s")},
+    }
+
+
+def run_scaling_worker(num_cpus: int) -> None:
+    _init_ray(num_cpus)
+    res = image_table_job(num_cpus)
+    print("WORKER_RESULT " + json.dumps({"num_cpus": num_cpus, **{
+        k: round(v, 4) if isinstance(v, float) else v for k, v in res.items()}}))
+
+
+def run_scaling() -> dict:
+    """Fresh process per parallelism level (north_rule: N vs 4N nodes)."""
+    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "8,32").split(","))
+    results = {}
+    for cpus in (lo, hi):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("WORKER_RESULT ")]
+        if not line:
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+            raise RuntimeError(f"scaling worker ({cpus} cpus) produced no result")
+        results[cpus] = json.loads(line[-1][len("WORKER_RESULT "):])
+    thr_lo, thr_hi = results[lo]["rows_per_s"], results[hi]["rows_per_s"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    out = {
+        "metric": f"image MERGE+maintenance+scan scaling efficiency {lo}→{hi} cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": hi,
+        "queries": {f"rows_per_s@{lo}cpus": round(thr_lo, 1),
+                    f"rows_per_s@{hi}cpus": round(thr_hi, 1)},
+        "throughput_lo": {"num_cpus": lo, "rows_per_s": round(thr_lo, 1),
+                          "scan_gib_per_s": results[lo]["scan_gib_per_s"],
+                          "merge_rows_per_s": results[lo]["merge_rows_per_s"]},
+        "throughput_hi": {"num_cpus": hi, "rows_per_s": round(thr_hi, 1),
+                          "scan_gib_per_s": results[hi]["scan_gib_per_s"],
+                          "merge_rows_per_s": results[hi]["merge_rows_per_s"]},
+        "scaling_efficiency": round(eff, 3),
+    }
+    _record_scaling(out)
+    return out
+
+
+def _record_scaling(out: dict) -> None:
+    """Refresh the measured-results block in BASELINE.md."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    begin, end = "<!-- SCALING_RESULTS -->", "<!-- /SCALING_RESULTS -->"
+    lo, hi = out["throughput_lo"], out["throughput_hi"]
+    block = (
+        f"{begin}\n## Measured scaling results (bench.py --scaling)\n\n"
+        f"| cpus | job rows/s | merge rows/s | scan GiB/s |\n|---|---|---|---|\n"
+        f"| {lo['num_cpus']} | {lo['rows_per_s']} | {lo['merge_rows_per_s']} | {lo['scan_gib_per_s']} |\n"
+        f"| {hi['num_cpus']} | {hi['rows_per_s']} | {hi['merge_rows_per_s']} | {hi['scan_gib_per_s']} |\n\n"
+        f"**Scaling efficiency {lo['num_cpus']}→{hi['num_cpus']} cpus: "
+        f"{out['scaling_efficiency']}** (target ≥ 0.8; sf={out['sf']}, "
+        f"n_images={N_IMAGES}, n_changes={N_CHANGES})\n{end}"
+    )
+    try:
+        text = open(path).read()
+        if begin in text:
+            pre = text.split(begin)[0]
+            post = text.split(end)[-1]
+            text = pre + block + post
+        else:
+            text = text.rstrip() + "\n\n" + block + "\n"
+        open(path, "w").write(text)
+    except OSError:
+        pass
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling-worker" in sys.argv:
+        run_scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
+        out = None
+    elif "--scaling" in sys.argv:
+        out = run_scaling()
+    else:
+        out = run_full_bench()
+    if out is not None:
+        print(json.dumps(out))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,11 +84,16 @@ def image_table_job(num_cpus: int, n_images: int = N_IMAGES,
     out["maintenance_s"] = time.perf_counter() - t2
 
     t3 = time.perf_counter()
-    scanned_bytes = 0
-    scanned_rows = 0
-    for b in t.scan().iter_batches(batch_format="pyarrow", batch_size=1024):
-        scanned_bytes += b.nbytes
-        scanned_rows += len(b)
+    # consume the scan distributed (per-block byte/row counts → tiny
+    # aggregate) — pulling blocks through the driver would measure the
+    # driver NIC, not scan throughput.
+    import pyarrow as pa
+
+    stats = t.scan().map_batches(
+        lambda b: pa.table({"nbytes": [b.nbytes], "nrows": [len(b)]}),
+        batch_format="pyarrow",
+    ).sum(["nbytes", "nrows"])
+    scanned_bytes, scanned_rows = stats["sum(nbytes)"], stats["sum(nrows)"]
     out["scan_s"] = time.perf_counter() - t3
     out["scan_rows"] = scanned_rows
     out["scan_gib"] = scanned_bytes / (1 << 30)

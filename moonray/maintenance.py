@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 from moonray import manifest as mf
 from moonray.checkpoint import LineageLog
 from moonray.dv import filter_batch, load_dv
-from moonray.fragments import ROWOFF, FragmentWriter, write_fragment
+from moonray.fragments import ROWOFF, write_fragment
 from moonray.keyindex import MergeIndexPartition, write_index_deltas
 from moonray.util import as_fn, atomic_write_json, new_job_id, read_json
 from moonray.zorder import ZKEY, AddZKey
@@ -210,17 +210,104 @@ def merge_index(table, *, job_id: str | None = None, tasks_per_batch: int = 4) -
                                 replace_index=True)
 
 
+_PID = "_pid"
+_MAX_BOUNDARY_SAMPLE = 65536
+
+
+class ClusterWriteGroup:
+    """map_groups stage over a Z-key range partition: sort the partition
+    by the salted Z-key, chunk into fragments, write them (ZSTD) and
+    return the fresh index entries. Idempotent per (job, pid): a
+    done-marker + staged entries parquet short-circuit reruns — the
+    fragment-granular resume the north rule requires."""
+
+    def __init__(self, root: str, job_id: str, key_col: str, zone_cols,
+                 rows_per_fragment: int):
+        self.root = root
+        self.job_id = job_id
+        self.key_col = key_col
+        self.zone_cols = list(zone_cols)
+        self.rpf = rows_per_fragment
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        empty = pa.table({self.key_col: group[self.key_col].slice(0, 0),
+                          "_frag": pa.array([], pa.string()),
+                          "_off": pa.array([], pa.uint32())})
+        if len(group) == 0:
+            return empty
+        pid = int(group[_PID][0].as_py())
+        stage_dir = os.path.join(self.root, "staging", self.job_id)
+        marker = os.path.join(stage_dir, f"cluster-p{pid}.done.json")
+        entries_path = os.path.join(stage_dir, f"cluster-p{pid}-entries.parquet")
+        if os.path.exists(marker):
+            return pq.read_table(entries_path)
+        data = group.sort_by(ZKEY).drop_columns([ZKEY, _PID])
+        out = []
+        for i, start in enumerate(range(0, len(data), self.rpf)):
+            _meta, entries = write_fragment(
+                self.root, self.job_id, data.slice(start, self.rpf),
+                key_col=self.key_col, zone_cols=self.zone_cols,
+                frag_id=f"z-{self.job_id}-p{pid}-{i:04d}", compression="zstd",
+            )
+            out.append(entries)
+        merged = pa.concat_tables(out) if out else empty
+        pq.write_table(merged, entries_path)
+        atomic_write_json(marker, {"pid": pid, "rows": len(merged)})
+        return merged
+
+
+def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
+                     num_partitions: int):
+    """Equal-frequency Z-key range boundaries from a thin column read —
+    only the zone + key columns leave the parquet files (column pruning),
+    never image bytes. Boundaries are a performance knob only:
+    correctness never depends on them. Quantile (not equal-width) cuts
+    absorb hot phash ranges; the low-bit key-hash salt breaks the
+    remaining ties (north_rule skew handling)."""
+    import numpy as np
+    import ray.data as rd
+
+    paths = [os.path.join(table.root, f["path"]) for f in m["fragments"]
+             if f["dv_count"] < f["rows"]]
+    thin = rd.read_parquet(paths, columns=list(cols) + [m["key_col"]],
+                           override_num_blocks=len(paths))
+    thin = thin.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits),
+                            batch_format="pyarrow")
+    n = sum(f["rows"] for f in m["fragments"])
+    frac = min(1.0, _MAX_BOUNDARY_SAMPLE / max(1, n))
+    sample = thin.select_columns([ZKEY])
+    if frac < 1.0:
+        sample = sample.random_sample(frac, seed=7)
+    z = np.concatenate([
+        b[ZKEY].to_numpy(zero_copy_only=False)
+        for b in sample.iter_batches(batch_format="pyarrow", batch_size=65536)
+    ] or [np.array([], dtype=np.int64)])
+    if len(z) == 0:
+        return np.array([], dtype=np.int64)
+    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    return np.unique(np.quantile(z, qs).astype(np.int64))
+
+
 def cluster(table, *, cols=None, salt_bits: int = 8,
+            partition_rows: int | None = None,
             job_id: str | None = None) -> int:
-    """Z-order clustering: global sort of the live table by the salted
-    interleaved key → full fragment + index rewrite with fresh zone maps.
-    The one all-to-all shuffle in the engine; skew from hot phash ranges
-    is broken by the key-hash salt (see zorder.py)."""
+    """Z-order clustering: range-partition the live table by the salted
+    interleaved Z-key (sampled equal-frequency boundaries), then ONE
+    fused shuffle — ``groupby(pid).map_groups`` sorts each partition and
+    writes its fragments + zone maps in place. Image payload bytes move
+    through the shuffle exactly once; a naive ``ds.sort`` would move
+    them through sample + map + reduce + a separate rewrite pass.
+    Skew from hot phash ranges is broken by quantile cuts + the key-hash
+    salt (see zorder.py)."""
+    import ray.data as rd
+
     job_id = job_id or new_job_id()
     prev = mf.find_version_by_job(table.root, job_id)
     if prev is not None:
         return prev
     m = table.manifest()
+    if not m["fragments"]:
+        return m["version"]
     cols = list(cols or m["zone_cols"])
     log = LineageLog(table.root, job_id)
     log.stage_start("cluster")
@@ -229,20 +316,39 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
         mins = [f["zones"][c][0] for f in m["fragments"] if c in f.get("zones", {})]
         maxs = [f["zones"][c][1] for f in m["fragments"] if c in f.get("zones", {})]
         ranges[c] = (min(mins), max(maxs)) if mins else (0.0, 0.0)
-    ds = table.scan(version=m["version"])
+    rpf = m["rows_per_fragment"]
+    live_rows = sum(f["rows"] - f["dv_count"] for f in m["fragments"])
+    # each range partition holds ~2 output fragments: enough write
+    # parallelism at small scale, bounded group heap at large scale.
+    part_rows = partition_rows or max(1, 2 * rpf)
+    P = max(1, -(-live_rows // part_rows))
+    bounds = _zkey_boundaries(table, m, cols, ranges, salt_bits, P)
+
+    def tag(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        z = b[ZKEY].to_numpy(zero_copy_only=False)
+        return b.append_column(_PID, pa.array(
+            np.searchsorted(bounds, z).astype(np.int32)))
+
+    # one block per fragment: the sort-shuffle behind groupby makes one
+    # partition per input block, so uncapped reads of small fragments
+    # would explode into hundreds of near-empty sort/write tasks.
+    n_live = sum(1 for f in m["fragments"] if f["dv_count"] < f["rows"])
+    ds = table.scan(version=m["version"], override_num_blocks=max(1, n_live))
     ds = ds.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits),
                         batch_format="pyarrow")
-    ds = ds.sort(ZKEY).map_batches(lambda b: b.drop_columns([ZKEY]),
-                                   batch_format="pyarrow")
-    writer = FragmentWriter(table.root, job_id, m["key_col"], m["zone_cols"],
-                            compression="zstd")
-    entries = ds.map_batches(as_fn(writer), batch_format="pyarrow",
-                             batch_size=m["rows_per_fragment"])
+    ds = ds.map_batches(tag, batch_format="pyarrow")
+    entries = ds.groupby(_PID).map_groups(
+        as_fn(ClusterWriteGroup(table.root, job_id, m["key_col"],
+                                m["zone_cols"], rpf)),
+        batch_format="pyarrow")
     deltas = write_index_deltas(entries, table.root, job_id, m["key_col"],
                                 m["index"]["num_partitions"])
     new_frags = [read_json(p) for p in _staged_meta_paths(table.root, job_id)]
     replaced = {f["id"] for f in m["fragments"]}
     log.stage_done("cluster", {"counters": {
+        "partitions": int(P),
         "new_fragments": len(new_frags),
         "rows": sum(f["rows"] for f in new_frags)}})
     return table._commit_append(m, new_frags, deltas, m["commit_lsn"], job_id,

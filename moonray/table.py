@@ -243,7 +243,7 @@ class MoonrayTable:
     # ---------------- read path ----------------
     def scan(self, version: int | None = None, *, columns=None,
              predicate_ranges: dict | None = None, with_internal: bool = False,
-             concurrency=None):
+             concurrency=None, override_num_blocks: int | None = None):
         """Snapshot-isolated scan → lazy Dataset.
 
         - zone-map pruning: fragments whose min/max don't overlap
@@ -270,8 +270,15 @@ class MoonrayTable:
             for f in frags if f.get("dv")
         }
         read_cols = list(columns) if columns else [x for x in user_schema.names]
+        if not dvs and not with_internal:
+            # fast path: nothing deleted → pure pruned parquet read, no
+            # extra stage, no internal columns (post-maintenance scans
+            # always hit this — compaction folds DVs into the data).
+            return rd.read_parquet(paths, columns=read_cols,
+                                   override_num_blocks=override_num_blocks)
         ds = rd.read_parquet(paths, columns=read_cols + [ROWOFF],
-                             include_paths=True)
+                             include_paths=True,
+                             override_num_blocks=override_num_blocks)
         dv_ref = ray.put(dvs)
         return ds.map_batches(
             DVFilter, fn_constructor_args=(dv_ref, not with_internal),

@@ -58,16 +58,21 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+_PHASH_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
 def phash64(arr: np.ndarray) -> int:
-    """64-bit average-hash of decoded pixels (block-mean 8×8, threshold by
-    mean) — a DCT-free perceptual-hash-like value as specified in
-    FIXTURES.md; deterministic so Z-order clustering on it is meaningful.
-    Requires h, w divisible by 8 (all fixture sizes are)."""
-    gray = arr.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    blocks = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
-    bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for i in range(64):
-        val |= bits[i] << np.uint64(i)
+    """64-bit average-hash of decoded pixels (block-sum 8×8, threshold by
+    the global sum) — a DCT-free perceptual-hash-like value as specified
+    in FIXTURES.md; deterministic so Z-order clustering on it is
+    meaningful. Integer-only on purpose: a float64 gray conversion costs
+    8× the image's bytes in memory traffic, and this hash runs over
+    every decoded pixel in verify scans. Requires h, w divisible by 8."""
+    h, w = arr.shape[:2]
+    # one fused reduction: block sum over rows, cols AND channels (the
+    # trailing channel axis folds into the block's column span)
+    blocks = arr.reshape(8, h // 8, 8, w // 8, 3).sum(axis=(1, 3, 4),
+                                                      dtype=np.uint64)
+    bits = (blocks.ravel() * np.uint64(64) > blocks.sum(dtype=np.uint64))
+    val = np.bitwise_or.reduce(bits.astype(np.uint64) * _PHASH_WEIGHTS)
     return int(val.astype(np.int64))  # stored as arrow int64

@@ -31,17 +31,38 @@ def merge_dv(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def save_dv(path: str, dv: np.ndarray) -> None:
+    # manifest-gated (no fsync): invisible until a durable manifest
+    # publish references it; rename keeps the file self-consistent
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.save(f, np.asarray(dv, dtype=np.uint32))
-        f.flush()
-        os.fsync(f.fileno())
     os.rename(tmp, path)
 
 
 def load_dv(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         return np.load(io.BytesIO(f.read()))
+
+
+def dv_paths_of(frag_meta: dict) -> list[str]:
+    """A fragment's DV as a list of delta files. Each MERGE round appends
+    per-key-partition deltas (guaranteed disjoint: a (frag, off) row has
+    one key, one key hashes to one partition; the reducer subtracts
+    offsets already present in older deltas). Compaction folds the list
+    back to empty. Accepts legacy None / single-path values."""
+    d = frag_meta.get("dv")
+    if not d:
+        return []
+    return [d] if isinstance(d, str) else list(d)
+
+
+def load_dv_union(root: str, rel_paths: list[str]) -> np.ndarray:
+    """Union of DV delta files (deltas are disjoint → concat, sort)."""
+    if not rel_paths:
+        return empty_dv()
+    parts = [load_dv(os.path.join(root, p)) for p in rel_paths]
+    out = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    return np.sort(out.astype(np.uint32))
 
 
 def apply_dv_mask(row_offsets: np.ndarray, dv: np.ndarray) -> np.ndarray:

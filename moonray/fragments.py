@@ -55,14 +55,29 @@ def write_fragment(
 ) -> tuple[dict, pa.Table]:
     """Write one fragment parquet + sidecar; return (meta, index_entries)."""
     if frag_id is None:
-        frag_id = f"f-{job_id}-{uuid.uuid4().hex[:10]}"
+        # content-derived id → idempotent under Ray task retries (a
+        # retried task overwrites the same files, never duplicates rows)
+        from moonray.util import content_id
+
+        frag_id = f"f-{job_id}-{content_id(table, key_col)}"
     rel = os.path.join("fragments", f"{frag_id}.parquet")
     path = os.path.join(root, rel)
     n = len(table)
     offs = pa.array(np.arange(n, dtype=np.uint32))
     out = table.append_column(ROWOFF, offs)
     tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
-    pq.write_table(out, tmp, compression=compression)
+    # binary payload columns (image bytes) are already codec-compressed;
+    # re-compressing them costs CPU on both write and every scan for ~0%
+    # size win — store them raw, compress only the narrow columns.
+    comp: str | dict = compression
+    binary_cols = [f.name for f in out.schema
+                   if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)]
+    if binary_cols:
+        comp = {c: "none" for c in binary_cols}
+        for f in out.schema:
+            if f.name not in comp:
+                comp[f.name] = compression
+    pq.write_table(out, tmp, compression=comp)
     os.rename(tmp, path)
     meta = {
         "id": frag_id,

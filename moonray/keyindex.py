@@ -156,7 +156,7 @@ class MergeIndexPartition:
         self.dv_paths = dv_paths
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from moonray.dv import load_dv
+        from moonray.dv import load_dv_union
 
         out_parts, out_paths, out_rows = [], [], []
         for part in batch["part"].to_pylist():
@@ -170,10 +170,10 @@ class MergeIndexPartition:
                 if len(merged):
                     df = merged.to_pandas()
                     keep = np.ones(len(df), dtype=bool)
-                    for frag, dvrel in self.dv_paths.items():
+                    for frag, dvrels in self.dv_paths.items():
                         sel = df["_frag"].to_numpy() == frag
                         if sel.any():
-                            dv = load_dv(os.path.join(self.root, dvrel))
+                            dv = load_dv_union(self.root, dvrels)
                             keep[sel] &= ~np.isin(df["_off"].to_numpy()[sel], dv)
                     merged = pa.Table.from_pandas(df[keep], preserve_index=False,
                                                   schema=merged.schema)

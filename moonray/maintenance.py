@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from moonray import manifest as mf
 from moonray.checkpoint import LineageLog
-from moonray.dv import filter_batch, load_dv
+from moonray.dv import dv_paths_of, filter_batch, load_dv_union
 from moonray.fragments import ROWOFF, write_fragment
 from moonray.keyindex import MergeIndexPartition, write_index_deltas
 from moonray.util import as_fn, atomic_write_json, new_job_id, read_json
@@ -104,9 +104,11 @@ class CompactGroup:
                 continue
             pieces = []
             for f in spec["frags"]:
-                t = pq.read_table(os.path.join(self.root, f["path"]))
-                if f.get("dv"):
-                    t = filter_batch(t, ROWOFF, load_dv(os.path.join(self.root, f["dv"])))
+                t = pq.read_table(os.path.join(self.root, f["path"]),
+                                  memory_map=True, pre_buffer=False)
+                dvp = dv_paths_of(f)
+                if dvp:
+                    t = filter_batch(t, ROWOFF, load_dv_union(self.root, dvp))
                 pieces.append(t.drop_columns([ROWOFF]))
             data = pa.concat_tables(pieces) if pieces else None
             group_entries = []
@@ -133,7 +135,18 @@ class CompactGroup:
         return pa.concat_tables(out_entries) if out_entries else pa.table({})
 
 
-def compact(table, *, target_bytes: int = DEFAULT_TARGET_BYTES,
+def _auto_group_bytes(total_bytes: int) -> int:
+    """Compaction-group input size targeting ≥4 groups per CPU so the
+    rewrite saturates the cluster; clamped to [16 MiB, 128 MiB]. Output
+    FILE size is governed by rows_per_fragment, not by group size."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return int(min(DEFAULT_TARGET_BYTES,
+                   max(16 * 1024 * 1024, total_bytes // (4 * cpus))))
+
+
+def compact(table, *, target_bytes: int | None = None,
             small_bytes: int | None = None, dv_frac: float = DEFAULT_DV_FRAC,
             min_group: int = 2, max_group: int = DEFAULT_MAX_GROUP,
             force_full: bool = False, job_id: str | None = None) -> int:
@@ -146,9 +159,14 @@ def compact(table, *, target_bytes: int = DEFAULT_TARGET_BYTES,
         return prev
     m = table.manifest()
     log = LineageLog(table.root, job_id)
+    if target_bytes is None:
+        target_bytes = _auto_group_bytes(sum(f["bytes"] for f in m["fragments"]))
     plan = plan_compaction(
         m["fragments"], target_bytes=target_bytes,
-        small_bytes=small_bytes if small_bytes is not None else target_bytes // 2,
+        # candidate selection ("file below final size") keys off the
+        # reference's file-size target, NOT the parallelism-driven group
+        # size (src/.../compaction_config.rs:47-54)
+        small_bytes=small_bytes if small_bytes is not None else DEFAULT_TARGET_BYTES // 2,
         dv_frac=dv_frac, min_group=min_group, max_group=max_group,
         force_full=force_full,
     )
@@ -195,7 +213,7 @@ def merge_index(table, *, job_id: str | None = None, tasks_per_batch: int = 4) -
     log = LineageLog(table.root, job_id)
     log.stage_start("index_merge")
     live = {f["id"] for f in m["fragments"]}
-    dv_paths = {f["id"]: f["dv"] for f in m["fragments"] if f.get("dv")}
+    dv_paths = {f["id"]: dv_paths_of(f) for f in m["fragments"] if dv_paths_of(f)}
     summary = rd.from_items([{"part": int(p)} for p in parts]).map_batches(
         as_fn(MergeIndexPartition(table.root, job_id, m["key_col"],
                                   m["index"]["partitions"], live, dv_paths)),
@@ -210,50 +228,62 @@ def merge_index(table, *, job_id: str | None = None, tasks_per_batch: int = 4) -
                                 replace_index=True)
 
 
-_PID = "_pid"
+
 _MAX_BOUNDARY_SAMPLE = 65536
 
 
 class ClusterWriteGroup:
-    """map_groups stage over a Z-key range partition: sort the partition
-    by the salted Z-key, chunk into fragments, write them (ZSTD) and
-    return the fresh index entries. Idempotent per (job, pid): a
+    """Reduce task for one Z-key range partition: read its shuffle runs,
+    sort by the salted Z-key, chunk into fragments, write them (ZSTD)
+    and return the fresh index entries. Idempotent per (job, bucket): a
     done-marker + staged entries parquet short-circuit reruns — the
     fragment-granular resume the north rule requires."""
 
     def __init__(self, root: str, job_id: str, key_col: str, zone_cols,
-                 rows_per_fragment: int):
+                 rows_per_fragment: int, key_type: pa.DataType = pa.string()):
         self.root = root
         self.job_id = job_id
         self.key_col = key_col
         self.zone_cols = list(zone_cols)
         self.rpf = rows_per_fragment
+        self.key_type = key_type
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        empty = pa.table({self.key_col: group[self.key_col].slice(0, 0),
-                          "_frag": pa.array([], pa.string()),
-                          "_off": pa.array([], pa.uint32())})
-        if len(group) == 0:
-            return empty
-        pid = int(group[_PID][0].as_py())
-        stage_dir = os.path.join(self.root, "staging", self.job_id)
-        marker = os.path.join(stage_dir, f"cluster-p{pid}.done.json")
-        entries_path = os.path.join(stage_dir, f"cluster-p{pid}-entries.parquet")
-        if os.path.exists(marker):
-            return pq.read_table(entries_path)
-        data = group.sort_by(ZKEY).drop_columns([ZKEY, _PID])
+    def _empty(self) -> pa.Table:
+        return pa.table({self.key_col: pa.array([], self.key_type),
+                         "_frag": pa.array([], pa.string()),
+                         "_off": pa.array([], pa.uint32())})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from moonray.shuffle import read_bucket
+
         out = []
-        for i, start in enumerate(range(0, len(data), self.rpf)):
-            _meta, entries = write_fragment(
-                self.root, self.job_id, data.slice(start, self.rpf),
-                key_col=self.key_col, zone_cols=self.zone_cols,
-                frag_id=f"z-{self.job_id}-p{pid}-{i:04d}", compression="zstd",
-            )
-            out.append(entries)
-        merged = pa.concat_tables(out) if out else empty
-        pq.write_table(merged, entries_path)
-        atomic_write_json(marker, {"pid": pid, "rows": len(merged)})
-        return merged
+        for pid in batch["bucket"].to_pylist():
+            pid = int(pid)
+            stage_dir = os.path.join(self.root, "staging", self.job_id)
+            marker = os.path.join(stage_dir, f"cluster-p{pid:05d}.done.json")
+            entries_path = os.path.join(stage_dir, f"cluster-p{pid:05d}-entries.parquet")
+            if os.path.exists(marker):
+                out.append(pq.read_table(entries_path))
+                continue
+            group = read_bucket(self.root, self.job_id, "cluster", pid)
+            if group is None or len(group) == 0:
+                continue
+            data = group.sort_by(ZKEY).drop_columns([ZKEY])
+            parts = []
+            for i, start in enumerate(range(0, len(data), self.rpf)):
+                _meta, entries = write_fragment(
+                    self.root, self.job_id, data.slice(start, self.rpf),
+                    key_col=self.key_col, zone_cols=self.zone_cols,
+                    frag_id=f"z-{self.job_id}-p{pid:05d}-{i:04d}", compression="zstd",
+                )
+                parts.append(entries)
+            merged = pa.concat_tables(parts) if parts else self._empty()
+            pq.write_table(merged, entries_path)
+            atomic_write_json(marker, {"pid": pid, "rows": len(merged)})
+            out.append(merged)
+        if not out:
+            return self._empty()
+        return pa.concat_tables(out)
 
 
 def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
@@ -299,6 +329,7 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
     them through sample + map + reduce + a separate rewrite pass.
     Skew from hot phash ranges is broken by quantile cuts + the key-hash
     salt (see zorder.py)."""
+    import ray
     import ray.data as rd
 
     job_id = job_id or new_job_id()
@@ -318,31 +349,38 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
         ranges[c] = (min(mins), max(maxs)) if mins else (0.0, 0.0)
     rpf = m["rows_per_fragment"]
     live_rows = sum(f["rows"] - f["dv_count"] for f in m["fragments"])
-    # each range partition holds ~2 output fragments: enough write
-    # parallelism at small scale, bounded group heap at large scale.
+    # each range partition holds ~2 output fragments: enough reduce
+    # parallelism, bounded reduce-task heap, small run-file fan-out.
     part_rows = partition_rows or max(1, 2 * rpf)
     P = max(1, -(-live_rows // part_rows))
     bounds = _zkey_boundaries(table, m, cols, ranges, salt_bits, P)
 
-    def tag(b: pa.Table) -> pa.Table:
-        import numpy as np
+    # ONE storage-backed range shuffle (shuffle.py): payload bytes go
+    # scan → per-bucket run file → sorted fragment. Ray's object-store
+    # sort shuffle is O(blocks²) in intermediate objects and blew up
+    # quadratically on wide image payloads.
+    import numpy as np
 
+    from moonray.shuffle import reduce_buckets, write_runs
+
+    def bucket_fn(b: pa.Table) -> np.ndarray:
         z = b[ZKEY].to_numpy(zero_copy_only=False)
-        return b.append_column(_PID, pa.array(
-            np.searchsorted(bounds, z).astype(np.int32)))
+        return np.searchsorted(bounds, z).astype(np.int32)
 
-    # one block per fragment: the sort-shuffle behind groupby makes one
-    # partition per input block, so uncapped reads of small fragments
-    # would explode into hundreds of near-empty sort/write tasks.
-    n_live = sum(1 for f in m["fragments"] if f["dv_count"] < f["rows"])
-    ds = table.scan(version=m["version"], override_num_blocks=max(1, n_live))
+    ds = table.scan(version=m["version"])
     ds = ds.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits),
                         batch_format="pyarrow")
-    ds = ds.map_batches(tag, batch_format="pyarrow")
-    entries = ds.groupby(_PID).map_groups(
-        as_fn(ClusterWriteGroup(table.root, job_id, m["key_col"],
-                                m["zone_cols"], rpf)),
-        batch_format="pyarrow")
+    # map-batch size: small enough for ≥2 map tasks per CPU (tiny tables
+    # stay parallel), large enough to bound the run-file fan-out.
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    batch_rows = int(max(min(rpf, live_rows), min(4096, live_rows // (2 * cpus) or 1)))
+    buckets = write_runs(ds, table.root, job_id, "cluster", int(P),
+                         bucket_fn, id_cols=(m["key_col"],),
+                         batch_rows=batch_rows)
+    key_type = table.schema().field(m["key_col"]).type
+    entries = reduce_buckets(
+        buckets, ClusterWriteGroup(table.root, job_id, m["key_col"],
+                                   m["zone_cols"], rpf, key_type))
     deltas = write_index_deltas(entries, table.root, job_id, m["key_col"],
                                 m["index"]["num_partitions"])
     new_frags = [read_json(p) for p in _staged_meta_paths(table.root, job_id)]

@@ -80,8 +80,8 @@ def commit_manifest(root: str, manifest: dict) -> int:
     manifest.setdefault("hash_impl", HASH_IMPL)
     path = _vpath(root, version)
     assert not os.path.exists(path), f"version {version} already committed"
-    atomic_write_json(path, manifest)
-    atomic_write_text(os.path.join(root, "versions", "LATEST"), str(version))
+    atomic_write_json(path, manifest, durable=True)
+    atomic_write_text(os.path.join(root, "versions", "LATEST"), str(version), durable=True)
     return version
 
 
@@ -114,11 +114,12 @@ def pinned_versions(root: str) -> set[int]:
 
 
 def referenced_files(manifest: dict) -> set[str]:
+    from moonray.dv import dv_paths_of
+
     refs: set[str] = set()
     for f in manifest["fragments"]:
         refs.add(f["path"])
-        if f.get("dv"):
-            refs.add(f["dv"])
+        refs.update(dv_paths_of(f))
     for paths in manifest["index"]["partitions"].values():
         refs.update(paths)
     return refs

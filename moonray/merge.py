@@ -10,103 +10,173 @@ advances the table's LSN baseline (mooncake_table.rs:1290-1312) with
 batch-atomic visibility: the whole change Dataset becomes visible at one
 manifest version (read-at-LSN rule, mooncake_table.rs:438-443).
 
-Ray-Data-first plan (one pass over changes, zero passes over the table):
+Ray-Data-first plan — ONE storage-backed shuffle, ONE reduce pass, zero
+passes over the table (the moonlink single-writer event loop becomes P
+independent single-writer partitions):
 
-1. DEDUP   changes → hash-bucket groupby → keep max-LSN row per key
-           (the shuffle moves only the change batch, never the table).
-2. PROBE   winner keys (key,lsn,op only — no payload bytes) hash-
-           partitioned to the key-index partitions → per-partition
-           merge-join → hit list (key, frag, off)  [semi join].
-3. DV      hits grouped by fragment bucket → union into per-fragment
-           deletion vectors (new immutable DV files).
-4. WRITE   non-delete winners → new fragments + index-entry triples →
-           per-partition index delta files  [the anti-join half: keys
-           absent from the index simply produce no hits].
-5. COMMIT  driver folds sidecars + DV summaries + index deltas into one
-           atomically-published manifest version.
+  map     changes → bucket = hash(image_id) % P (P = the key-index
+          partition count, so every reducer owns exactly its index
+          partition) → per-bucket run files (shuffle.py; payload bytes
+          touch storage once, never the object-store all-to-all).
+  reduce  per bucket: sort runs by (key, lsn) → last-writer-wins winner
+          per key → probe THIS bucket's index files (semi join: existing
+          rows → fresh DV-delta offsets, minus already-deleted) → write
+          insert fragments from non-D winners (anti join: keys absent
+          from the index simply produce no hits) + this bucket's index
+          delta. Idempotent per bucket (done-marker w/ summary).
+  commit  driver folds the per-bucket summaries into one atomically
+          published manifest version.
 
-Cost: O(|changes|) shuffle + O(touched index partitions) reads.
-Image payload bytes move exactly twice (dedup shuffle, fragment write) —
-never through the probe/DV path.
+Cost: O(|changes|) storage writes + O(touched index partitions) reads.
+Image payload bytes move exactly twice (run file, fragment) — never
+through the probe/DV path.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
 
 from moonray import manifest as mf
 from moonray.checkpoint import LineageLog
-from moonray.dv import load_dv, merge_dv, save_dv
-from moonray.fragments import FragmentWriter, collect_staged_fragment_meta
-from moonray.keyindex import add_partition_column, probe_keys, write_index_deltas
-from moonray.util import as_fn, hash_key_array, new_job_id
+from moonray.dv import dv_paths_of, load_dv_union, save_dv
+from moonray.fragments import write_fragment
+from moonray.shuffle import read_bucket, reduce_buckets, write_runs
+from moonray.util import atomic_write_json, hash_key_array, read_json
 
 OP_COL, LSN_COL = "op", "lsn"
-_BKT = "_bkt"
 
 
-class DedupLastWriter:
-    """map_groups over a key-hash bucket: keep the max-LSN row per key
-    (strictly increasing LSNs guarantee a unique winner). Pure Arrow —
-    pandas would coerce nullable int64 payload columns (D rows carry
-    nulls) to float64 and corrupt 64-bit phash values."""
+class MergeApply:
+    """Reduce task for one key partition: dedup → probe → DV deltas →
+    insert fragments → index delta. The per-partition analogue of the
+    reference's single-writer apply loop (table_handler.rs:828-938),
+    running in parallel across partitions because key spaces are
+    disjoint. ``ctx_ref`` is a ray.put broadcast of the pinned manifest
+    views (index partition files, per-fragment DV lists, live set)."""
 
-    def __init__(self, key_col: str):
-        self.key_col = key_col
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        if len(group) == 0:
-            return group.drop_columns([_BKT])
-        t = group.sort_by([(LSN_COL, "ascending")])
-        keys = np.asarray(t[self.key_col].to_pandas(), dtype=object)
-        _, first_rev = np.unique(keys[::-1], return_index=True)
-        keep = np.sort(len(keys) - 1 - first_rev)
-        return t.take(pa.array(keep)).drop_columns([_BKT])
-
-
-class WriteDVUpdates:
-    """map_groups over a fragment bucket: union this round's hits into
-    each fragment's deletion vector → new job-scoped immutable DV file.
-    Existing DV paths come from the pinned parent manifest."""
-
-    def __init__(self, root: str, job_id: str, old_dv: dict[str, str | None]):
+    def __init__(self, root: str, job_id: str, key_col: str, zone_cols,
+                 rows_per_fragment: int, user_cols: list[str], ctx_ref):
         self.root = root
         self.job_id = job_id
-        self.old_dv = old_dv
+        self.key_col = key_col
+        self.zone_cols = list(zone_cols)
+        self.rpf = rows_per_fragment
+        self.user_cols = user_cols
+        self.ctx_ref = ctx_ref
+        self._ctx = None
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        frags = group["_frag"].to_numpy(zero_copy_only=False)
-        offs = group["_off"].to_numpy(zero_copy_only=False).astype(np.uint32)
-        out = {"frag": [], "dv": [], "dv_count": []}
-        for frag in np.unique(frags):
-            new_offs = offs[frags == frag]
-            old_rel = self.old_dv.get(frag)
-            old = load_dv(os.path.join(self.root, old_rel)) if old_rel else np.empty(0, np.uint32)
-            dv = merge_dv(old, new_offs)
-            rel = os.path.join("dv", f"{frag}.{self.job_id}.npy")
-            save_dv(os.path.join(self.root, rel), dv)
-            out["frag"].append(str(frag))
-            out["dv"].append(rel)
-            out["dv_count"].append(len(dv))
-        return pa.table({"frag": pa.array(out["frag"], pa.string()),
-                         "dv": pa.array(out["dv"], pa.string()),
-                         "dv_count": pa.array(out["dv_count"], pa.int64())})
+    @property
+    def ctx(self) -> dict:
+        if self._ctx is None:
+            self._ctx = ray.get(self.ctx_ref)
+        return self._ctx
+
+    def _winners(self, data: pa.Table) -> pa.Table:
+        """Last-writer-wins per key (strictly increasing LSNs guarantee a
+        unique winner). Pure Arrow/numpy — pandas would coerce nullable
+        int64 payload columns (D rows carry nulls) to float64 and corrupt
+        64-bit phash values."""
+        t = data.sort_by([(self.key_col, "ascending"), (LSN_COL, "ascending")])
+        keys = np.asarray(t[self.key_col].to_pandas(), dtype=object)
+        if len(keys) == 0:
+            return t
+        last = np.ones(len(keys), dtype=bool)
+        last[:-1] = keys[:-1] != keys[1:]
+        return t.filter(pa.array(last))
+
+    def _probe(self, bucket: int, keys: np.ndarray) -> dict[str, np.ndarray]:
+        """Semi join of winner keys vs this bucket's index files →
+        {fragment: fresh row offsets to delete} (already-deleted offsets
+        subtracted so DV deltas stay disjoint and counts exact)."""
+        import pandas as pd
+
+        files = self.ctx["partitions"].get(str(bucket), [])
+        live = self.ctx["live"]
+        if not files or len(keys) == 0:
+            return {}
+        probe = pd.DataFrame({self.key_col: keys})
+        pieces = []
+        for rel in files:
+            idx = pq.read_table(os.path.join(self.root, rel)).to_pandas()
+            idx = idx[idx["_frag"].isin(live)]
+            hit = idx.merge(probe, on=self.key_col, how="inner")
+            if len(hit):
+                pieces.append(hit[["_frag", "_off"]])
+        if not pieces:
+            return {}
+        hits = pd.concat(pieces, ignore_index=True).drop_duplicates()
+        out: dict[str, np.ndarray] = {}
+        for frag, grp in hits.groupby("_frag"):
+            offs = grp["_off"].to_numpy(dtype=np.uint32)
+            old = load_dv_union(self.root, self.ctx["old_dv"].get(frag, []))
+            fresh = np.setdiff1d(offs, old, assume_unique=False)
+            if len(fresh):
+                out[str(frag)] = fresh
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for bucket in batch["bucket"].to_pylist():
+            bucket = int(bucket)
+            marker = os.path.join(self.root, "staging", self.job_id,
+                                  f"apply-b{bucket:05d}.done.json")
+            if os.path.exists(marker):
+                out_rows.append(json.dumps(read_json(marker)))
+                continue
+            data = read_bucket(self.root, self.job_id, "merge", bucket)
+            summary = {"bucket": bucket, "max_lsn": 0, "dv": [],
+                       "new_frags": [], "index": None, "rows_in": 0}
+            if data is not None and len(data):
+                summary["rows_in"] = len(data)
+                summary["max_lsn"] = int(pa.compute.max(data[LSN_COL]).as_py())
+                win = self._winners(data)
+                keys = np.asarray(win[self.key_col].to_pandas(), dtype=object)
+                # semi join → DV deltas
+                for frag, offs in self._probe(bucket, keys).items():
+                    rel = os.path.join(
+                        "dv", f"{frag}.{self.job_id}.b{bucket:05d}.npy")
+                    save_dv(os.path.join(self.root, rel), np.sort(offs))
+                    summary["dv"].append(
+                        {"frag": frag, "path": rel, "count": int(len(offs))})
+                # anti-join half: write non-delete winners as fragments
+                ins = win.filter(pa.compute.not_equal(win[OP_COL], pa.scalar("D")))
+                ins = ins.select(self.user_cols)
+                entries_parts = []
+                for start in range(0, len(ins), self.rpf):
+                    chunk = ins.slice(start, self.rpf)
+                    meta, entries = write_fragment(
+                        self.root, self.job_id, chunk,
+                        key_col=self.key_col, zone_cols=self.zone_cols)
+                    summary["new_frags"].append(meta)
+                    entries_parts.append(entries)
+                if entries_parts:
+                    merged = pa.concat_tables(entries_parts).sort_by(self.key_col)
+                    rel_dir = os.path.join("index", f"p{bucket:04d}")
+                    os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
+                    rel = os.path.join(
+                        rel_dir, f"idx-{self.job_id}-{bucket:04d}.parquet")
+                    tmp = os.path.join(self.root, rel) + ".tmp"
+                    pq.write_table(merged, tmp, compression="snappy")
+                    os.rename(tmp, os.path.join(self.root, rel))
+                    summary["index"] = rel
+            atomic_write_json(marker, summary)
+            out_rows.append(json.dumps(summary))
+        return pa.table({"payload": pa.array(out_rows, pa.string())})
 
 
-def _add_bucket(batch: pa.Table, key_col: str, n_buckets: int) -> pa.Table:
-    b = (hash_key_array(batch[key_col]) % np.uint64(n_buckets)).astype(np.int32)
-    return batch.append_column(_BKT, pa.array(b))
-
-
-def merge_into(table, changes, *, job_id: str | None = None,
-               dedup_buckets: int = 32, dv_buckets: int = 32) -> int:
+def merge_into(table, changes, *, job_id: str | None = None) -> int:
     """Apply one CDC change Dataset (op ∈ {I,U,D}, strictly increasing
     lsn, full-row payload for I/U) to the table; returns the committed
-    version. Idempotent per job_id (resume-safe)."""
+    version. Idempotent per job_id (resume-safe at bucket granularity)."""
+    from moonray.util import new_job_id
+
     job_id = job_id or new_job_id()
     prev = mf.find_version_by_job(table.root, job_id)
     if prev is not None:
@@ -115,69 +185,55 @@ def merge_into(table, changes, *, job_id: str | None = None,
     m = table.manifest()
     key_col = m["key_col"]
     num_parts = m["index"]["num_partitions"]
-    live = {f["id"] for f in m["fragments"]}
-    old_dv = {f["id"]: f.get("dv") for f in m["fragments"]}
     log = LineageLog(table.root, job_id)
 
-    dv_out = log.stage_outputs("dv")
-    write_out = log.stage_outputs("write")
+    # ---- stage: shuffle (map half) ----
+    shuffle_out = log.stage_outputs("shuffle")
+    if shuffle_out is None:
+        log.stage_start("shuffle")
 
-    winners = None
-    if dv_out is None or write_out is None:
-        log.stage_start("dedup")
-        deduped = (
-            changes.map_batches(lambda b: _add_bucket(b, key_col, dedup_buckets),
-                                batch_format="pyarrow")
-            .groupby(_BKT)
-            .map_groups(as_fn(DedupLastWriter(key_col)), batch_format="pyarrow")
-        )
-        winners = deduped.materialize()
-        log.stage_done("dedup", {"counters": {"winners": winners.count()}})
+        def bucket_fn(b: pa.Table) -> np.ndarray:
+            return (hash_key_array(b[key_col]) % np.uint64(num_parts)).astype(np.int32)
 
-    # ---- stage: probe + DV update (semi join) ----
-    if dv_out is None:
-        log.stage_start("dv")
-        keys_ds = winners.select_columns([key_col, LSN_COL, OP_COL])
-        hits = probe_keys(keys_ds, table.root, key_col, num_parts,
-                          m["index"]["partitions"], live)
-        hits_b = hits.map_batches(
-            lambda b: b.append_column(
-                "_dvb", pa.array((hash_key_array(b["_frag"]) % np.uint64(dv_buckets)).astype(np.int32))),
-            batch_format="pyarrow")
-        dv_summary = hits_b.groupby("_dvb").map_groups(
-            as_fn(WriteDVUpdates(table.root, job_id, old_dv)), batch_format="pyarrow")
-        dv_rows = [r for r in dv_summary.take_all()]
-        max_lsn = int(winners.max(LSN_COL) or 0)
-        dv_out = {"dv_rows": dv_rows, "max_lsn": max_lsn,
-                  "counters": {"fragments_touched": len(dv_rows),
-                               "rows_deleted": sum(r["dv_count"] for r in dv_rows)}}
-        log.stage_done("dv", dv_out)
+        buckets = write_runs(changes, table.root, job_id, "merge", num_parts,
+                             bucket_fn, id_cols=(key_col, LSN_COL))
+        shuffle_out = {"buckets": buckets, "counters": {"buckets": len(buckets)}}
+        log.stage_done("shuffle", shuffle_out)
 
-    # ---- stage: write insert fragments + index deltas (anti join) ----
-    if write_out is None:
-        log.stage_start("write")
-        user_cols = [f for f in table.schema().names]
-        inserts = winners.map_batches(
-            lambda b: b.filter(pa.compute.not_equal(b[OP_COL], pa.scalar("D"))).select(user_cols),
-            batch_format="pyarrow",
-        )
-        writer = FragmentWriter(table.root, job_id, key_col, m["zone_cols"])
-        entries = inserts.map_batches(as_fn(writer), batch_format="pyarrow",
-                                      batch_size=m["rows_per_fragment"])
-        deltas = write_index_deltas(entries, table.root, job_id, key_col, num_parts)
-        new_frags = collect_staged_fragment_meta(table.root, job_id)
-        write_out = {"index_deltas": deltas, "new_frags": new_frags,
-                     "counters": {"fragments_written": len(new_frags),
-                                  "rows_inserted": sum(f["rows"] for f in new_frags)}}
-        log.stage_done("write", write_out)
+    # ---- stage: apply (reduce half; per-bucket idempotent) ----
+    apply_out = log.stage_outputs("apply")
+    if apply_out is None:
+        log.stage_start("apply")
+        ctx_ref = ray.put({
+            "partitions": m["index"]["partitions"],
+            "old_dv": {f["id"]: dv_paths_of(f) for f in m["fragments"]},
+            "live": {f["id"] for f in m["fragments"]},
+        })
+        reducer = MergeApply(table.root, job_id, key_col, m["zone_cols"],
+                             m["rows_per_fragment"],
+                             [f for f in table.schema().names], ctx_ref)
+        res = reduce_buckets(shuffle_out["buckets"], reducer)
+        summaries = [json.loads(r["payload"]) for r in res.take_all()]
+        apply_out = {"summaries": summaries, "counters": {
+            "rows_in": sum(s["rows_in"] for s in summaries),
+            "rows_deleted": sum(d["count"] for s in summaries for d in s["dv"]),
+            "fragments_written": sum(len(s["new_frags"]) for s in summaries),
+        }}
+        log.stage_done("apply", apply_out)
 
     # ---- stage: commit (single-writer, atomic) ----
     log.stage_start("commit")
-    dv_updates = {r["frag"]: {"dv": r["dv"], "dv_count": int(r["dv_count"])}
-                  for r in dv_out["dv_rows"]}
-    v = table._commit_append(
-        m, write_out["new_frags"], write_out["index_deltas"],
-        lsn=dv_out["max_lsn"], job_id=job_id, dv_updates=dv_updates,
-    )
+    summaries = apply_out["summaries"]
+    dv_updates: dict[str, dict] = {}
+    for s in summaries:
+        for d in s["dv"]:
+            u = dv_updates.setdefault(d["frag"], {"add": [], "add_count": 0})
+            u["add"].append(d["path"])
+            u["add_count"] += d["count"]
+    new_frags = [f for s in summaries for f in s["new_frags"]]
+    index_deltas = {str(s["bucket"]): [s["index"]] for s in summaries if s["index"]}
+    max_lsn = max((s["max_lsn"] for s in summaries), default=0)
+    v = table._commit_append(m, new_frags, index_deltas, lsn=max_lsn,
+                             job_id=job_id, dv_updates=dv_updates)
     log.stage_done("commit", {"counters": {"version": v}})
     return v

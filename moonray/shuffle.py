@@ -1,0 +1,134 @@
+"""Storage-backed hash/range shuffle.
+
+Ray Data's built-in sort/groupby shuffle moves every block through the
+object store with O(blocks × partitions) intermediate objects — measured
+quadratic blow-up on wide-payload tables (48k images: maintenance 13 s →
+80 s purely from shuffle metadata). For the payload paths (MERGE dedup,
+Z-order cluster) we instead shuffle THROUGH STORAGE, the way external
+shuffle services do:
+
+  map   — one ``map_batches`` pass splits each Arrow batch by a bucket
+          column and appends one parquet *run file* per (task, bucket)
+          under ``staging/{job}/shuffle/{name}/b{bucket:05d}/``;
+  reduce— one task per bucket globs its directory and processes all runs.
+
+Payload bytes touch storage exactly once per pass and the object store
+never holds the all-to-all. On a multi-node cluster the staging dir must
+be on shared storage (S3 / NFS) — the same assumption the manifest
+already makes. Reduce tasks are embarrassingly parallel and resumable
+per bucket (the reducer callables write done-markers).
+
+Exactly-once under Ray task retries: run files (like fragments) get
+CONTENT-DERIVED names — a retried map task rewrites the same path
+instead of duplicating rows (see ``content_id``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from moonray.util import cap_kernel_threads, content_id
+
+BUCKET_COL = "_bucket"
+
+
+def shuffle_dir(root: str, job_id: str, name: str) -> str:
+    return os.path.join(root, "staging", job_id, "shuffle", name)
+
+
+class RunWriter:
+    """map stage: split the batch by ``BUCKET_COL`` and write one run
+    parquet per bucket present. Returns (bucket, rows) summary rows."""
+
+    def __init__(self, root: str, job_id: str, name: str, id_cols: tuple[str, ...]):
+        self.base = shuffle_dir(root, job_id, name)
+        self.id_cols = id_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cap_kernel_threads()
+        if len(batch) == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        buckets = batch[BUCKET_COL].to_numpy(zero_copy_only=False)
+        order = np.argsort(buckets, kind="stable")
+        sorted_batch = batch.take(pa.array(order))
+        sb = buckets[order]
+        edges = np.flatnonzero(np.diff(sb)) + 1
+        starts = np.concatenate([[0], edges])
+        ends = np.concatenate([edges, [len(sb)]])
+        comp: str | dict = "snappy"
+        binary_cols = [f.name for f in batch.schema
+                       if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)]
+        if binary_cols:
+            # payload columns are already codec-compressed — store raw
+            comp = {c: "none" for c in binary_cols}
+            for f in batch.schema:
+                if f.name != BUCKET_COL and f.name not in comp:
+                    comp[f.name] = "snappy"
+        out_b, out_r = [], []
+        for s, e in zip(starts, ends):
+            part = sorted_batch.slice(s, e - s).drop_columns([BUCKET_COL])
+            b = int(sb[s])
+            d = os.path.join(self.base, f"b{b:05d}")
+            os.makedirs(d, exist_ok=True)
+            rid = content_id(part, *self.id_cols)
+            path = os.path.join(d, f"run-{rid}.parquet")
+            tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
+            pq.write_table(part, tmp, compression=comp)
+            os.rename(tmp, path)
+            out_b.append(b)
+            out_r.append(e - s)
+        return pa.table({"bucket": pa.array(out_b, pa.int32()),
+                         "rows": pa.array(out_r, pa.int64())})
+
+
+def write_runs(ds, root: str, job_id: str, name: str, num_buckets: int,
+               bucket_fn, id_cols: tuple[str, ...],
+               batch_rows: int = 1024) -> list[int]:
+    """Execute the map half: ``bucket_fn(batch) -> int32 np.ndarray`` adds
+    the bucket assignment. ``batch_rows`` coalesces input blocks before
+    splitting so each task emits few, large runs instead of one sliver
+    per (tiny block × bucket). Returns the sorted non-empty buckets."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(BUCKET_COL, pa.array(bucket_fn(b).astype(np.int32)))
+
+    summary = ds.map_batches(add_bucket, batch_format="pyarrow").map_batches(
+        RunWriter(root, job_id, name, id_cols), batch_format="pyarrow",
+        batch_size=batch_rows)
+    seen: set[int] = set()
+    for row in summary.take_all():
+        seen.add(int(row["bucket"]))
+    return sorted(seen)
+
+
+def read_bucket(root: str, job_id: str, name: str, bucket: int) -> pa.Table | None:
+    """reduce-side helper: concat every run of one bucket (sorted paths
+    for determinism). memory_map avoids one full payload copy per read —
+    this node's memory bandwidth, not CPU, is the binding resource for
+    payload-heavy stages."""
+    d = os.path.join(shuffle_dir(root, job_id, name), f"b{bucket:05d}")
+    paths = sorted(glob.glob(os.path.join(d, "run-*.parquet")))
+    if not paths:
+        return None
+    return pa.concat_tables(
+        [pq.read_table(p, memory_map=True, pre_buffer=False) for p in paths])
+
+
+def reduce_buckets(buckets: list[int], reducer, *, concurrency=None):
+    """Run ``reducer`` (an as_fn-wrapped callable taking a one-row batch
+    {"bucket": i}) over every bucket as parallel Ray tasks; returns the
+    concatenated result Dataset."""
+    import ray.data as rd
+
+    from moonray.util import as_fn
+
+    items = [{"bucket": int(b)} for b in buckets]
+    return rd.from_items(items).map_batches(
+        as_fn(reducer), batch_format="pyarrow", batch_size=1,
+        concurrency=concurrency)

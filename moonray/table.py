@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 
 from moonray import manifest as mf
-from moonray.dv import load_dv
+from moonray.dv import dv_paths_of, load_dv_union
 from moonray.fragments import ROWOFF, FragmentWriter, collect_staged_fragment_meta
 from moonray.keyindex import write_index_deltas
 from moonray.util import as_fn, new_job_id
@@ -178,13 +178,17 @@ class MoonrayTable:
         """Build + atomically publish the child manifest (driver-side
         single-writer commit, like the reference's snapshot commit at
         src/moonlink/src/storage/mooncake_table/snapshot.rs:484-662)."""
+        from moonray.dv import dv_paths_of
+
         frags = []
         for f in parent["fragments"]:
             if f["id"] in replaced_frag_ids:
                 continue
             if dv_updates and f["id"] in dv_updates:
                 upd = dv_updates[f["id"]]
-                f = dict(f, dv=upd["dv"], dv_count=upd["dv_count"])
+                # append this round's disjoint DV deltas (see dv.dv_paths_of)
+                f = dict(f, dv=dv_paths_of(f) + list(upd["add"]),
+                         dv_count=f["dv_count"] + int(upd["add_count"]))
                 if f["dv_count"] >= f["rows"]:
                     continue  # fully dead fragment drops out of the manifest
             frags.append(f)
@@ -266,8 +270,8 @@ class MoonrayTable:
             return rd.from_arrow(empty)
         paths = [os.path.join(self.root, f["path"]) for f in frags]
         dvs = {
-            os.path.join(self.root, f["path"]): load_dv(os.path.join(self.root, f["dv"]))
-            for f in frags if f.get("dv")
+            os.path.join(self.root, f["path"]): load_dv_union(self.root, dv_paths_of(f))
+            for f in frags if dv_paths_of(f)
         }
         read_cols = list(columns) if columns else [x for x in user_schema.names]
         if not dvs and not with_internal:

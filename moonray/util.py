@@ -67,33 +67,78 @@ def new_job_id() -> str:
     return uuid.uuid4().hex[:12]
 
 
+def content_id(batch: pa.Table, *cols: str) -> str:
+    """Deterministic 16-hex id from the given columns' values — stable
+    across Ray task retries, so side-effect files (fragments, shuffle
+    runs) written under content-derived names are idempotent: a retried
+    task overwrites the same path instead of duplicating rows."""
+    h = hashlib.blake2b(digest_size=8)
+    h.update(len(batch).to_bytes(8, "little"))
+    for c in cols:
+        if c not in batch.column_names or len(batch) == 0:
+            continue
+        col = batch[c]
+        first, last = col[0].as_py(), col[len(batch) - 1].as_py()
+        h.update(repr((c, first, last)).encode())
+        # a cheap middle probe guards against same-endpoint collisions
+        h.update(repr(col[len(batch) // 2].as_py()).encode())
+    return h.hexdigest()
+
+
+_KERNEL_THREADS_CAPPED = False
+
+
+def cap_kernel_threads(n: int = 2) -> None:
+    """Cap Arrow's internal thread pool inside a Ray worker process.
+
+    Arrow sizes its pool to ALL machine cores; N concurrent map_batches
+    tasks each spawning a full pool oversubscribes the node ~N× (measured
+    13.4 s vs 1.1 s per compaction group). Ray already owns core
+    scheduling — kernels inside a task should be (near) single-threaded."""
+    global _KERNEL_THREADS_CAPPED
+    if _KERNEL_THREADS_CAPPED:
+        return
+    pa.set_cpu_count(n)
+    pa.set_io_thread_count(max(2, n))
+    _KERNEL_THREADS_CAPPED = True
+
+
 def as_fn(obj, name: str | None = None):
     """Wrap a callable config object as a named plain function so Ray Data
     treats it as a stateless task UDF (map_groups requires __name__; a
     class instance would otherwise demand an actor pool)."""
     def fn(batch):
+        cap_kernel_threads()
         return obj(batch)
 
     fn.__name__ = name or type(obj).__name__
     return fn
 
 
-def atomic_write_json(path: str, obj) -> None:
-    """Write JSON via temp file + rename (atomic publish on POSIX)."""
+def atomic_write_json(path: str, obj, durable: bool = False) -> None:
+    """Write JSON via temp file + rename (atomic publish on POSIX).
+
+    ``durable=True`` (fsync) is reserved for the manifest publish — the
+    one correctness-critical ordering point. Staging sidecars / markers /
+    DV deltas are manifest-gated: a crash before commit loses nothing
+    durable, and per-file fsyncs serialize the whole node's IO when a
+    hundred tasks write concurrently."""
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
+        if durable:
+            f.flush()
+            os.fsync(f.fileno())
     os.rename(tmp, path)
 
 
-def atomic_write_text(path: str, text: str) -> None:
+def atomic_write_text(path: str, text: str, durable: bool = False) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
+        if durable:
+            f.flush()
+            os.fsync(f.fileno())
     os.rename(tmp, path)
 
 

@@ -297,10 +297,7 @@ def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
     import numpy as np
     import ray.data as rd
 
-    paths = [os.path.join(table.root, f["path"]) for f in m["fragments"]
-             if f["dv_count"] < f["rows"]]
-    thin = rd.read_parquet(paths, columns=list(cols) + [m["key_col"]],
-                           override_num_blocks=len(paths))
+    thin = table.scan(version=m["version"], columns=list(cols) + [m["key_col"]])
     thin = thin.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits),
                             batch_format="pyarrow")
     n = sum(f["rows"] for f in m["fragments"])

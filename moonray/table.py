@@ -26,13 +26,13 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 import pyarrow as pa
-
-import ray
+import pyarrow.parquet as pq
+from ray.data.block import BlockMetadata
+from ray.data.datasource import Datasource, ReadTask
 
 from moonray import manifest as mf
-from moonray.dv import dv_paths_of, load_dv_union
+from moonray.dv import dv_paths_of
 from moonray.fragments import ROWOFF, FragmentWriter, collect_staged_fragment_meta
 from moonray.keyindex import write_index_deltas
 from moonray.util import as_fn, new_job_id
@@ -41,30 +41,70 @@ DEFAULT_ROWS_PER_FRAGMENT = 4096  # reference mem-slice: 4096-row batches × 32
 PATH_COL = "path"  # added by read_parquet(include_paths=True)
 
 
-class DVFilter:
-    """Actor-pool scan stage: drop DV'd rows via vectorized isin on the
-    in-fragment ``_rowoff``. The DV map {abs fragment path → offsets} is
-    put in the object store ONCE and fetched per actor in __init__ —
-    broadcast, not re-shipped per batch."""
+def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
+                   columns: list[str], with_internal: bool) -> pa.Table:
+    """Read one fragment (column-pruned, memory-mapped) + inline DV
+    filter. Each read task loads only ITS fragment's DV delta files —
+    no broadcast needed."""
+    from moonray.dv import filter_batch, load_dv_union
+    from moonray.util import cap_kernel_threads
 
-    def __init__(self, dv_ref, drop_internal: bool):
-        self.dvs: dict[str, np.ndarray] = ray.get(dv_ref)
-        self.drop_internal = drop_internal
+    cap_kernel_threads()
+    cols = list(columns)
+    if (dv_rels or with_internal) and ROWOFF not in cols:
+        cols.append(ROWOFF)
+    t = pq.read_table(os.path.join(root, rel_path), columns=cols,
+                      memory_map=True, pre_buffer=False)
+    if dv_rels:
+        t = filter_batch(t, ROWOFF, load_dv_union(root, dv_rels))
+    if not with_internal and ROWOFF in t.column_names:
+        t = t.drop_columns([ROWOFF])
+    if with_internal:
+        t = t.append_column(PATH_COL, pa.array(
+            [os.path.join(root, rel_path)] * len(t), pa.string()))
+    return t
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        paths = batch[PATH_COL].to_numpy(zero_copy_only=False)
-        offs = batch[ROWOFF].to_numpy(zero_copy_only=False)
-        keep = np.ones(len(batch), dtype=bool)
-        for p in np.unique(paths):
-            dv = self.dvs.get(p)
-            if dv is not None and len(dv):
-                sel = paths == p
-                keep[sel] = ~np.isin(offs[sel], dv)
-        if not keep.all():
-            batch = batch.filter(pa.array(keep))
-        if self.drop_internal:
-            batch = batch.drop_columns([PATH_COL, ROWOFF])
-        return batch
+
+class FragmentDatasource(Datasource):
+    """Custom Ray Data source over a pinned manifest's fragment list —
+    one ReadTask per fragment, exact row/byte metadata from the manifest.
+    Replaces ray.data.read_parquet, whose driver-side metadata/sampling
+    machinery costs seconds of fixed overhead per pipeline; fragment
+    sizing (rows_per_fragment) already fixes block granularity, so its
+    splitting logic buys nothing. A real read op (not a map stage) so
+    downstream map_batches batch_size semantics stay row-based."""
+
+    def __init__(self, root: str, frags: list[dict], columns: list[str],
+                 with_internal: bool):
+        self.root = root
+        self.frags = frags
+        self.columns = columns
+        self.with_internal = with_internal
+
+    def get_name(self) -> str:
+        return "MoonrayFragments"
+
+    def estimate_inmemory_data_size(self):
+        return sum(f["bytes"] for f in self.frags)
+
+    def get_read_tasks(self, parallelism: int) -> list[ReadTask]:
+        from moonray.dv import dv_paths_of
+
+        out = []
+        for f in self.frags:
+            meta = BlockMetadata(
+                num_rows=f["rows"] - f["dv_count"],
+                size_bytes=int(f["bytes"] * (1 - f["dv_count"] / max(1, f["rows"]))),
+                exec_stats=None,
+                input_files=[os.path.join(self.root, f["path"])])
+            root, rel, dvs = self.root, f["path"], dv_paths_of(f)
+            cols, internal = self.columns, self.with_internal
+
+            def fn(root=root, rel=rel, dvs=dvs, cols=cols, internal=internal):
+                return [_read_fragment(root, rel, dvs, cols, internal)]
+
+            out.append(ReadTask(fn, meta))
+        return out
 
 
 def _zones_overlap(zones: dict, ranges: dict) -> bool:
@@ -247,7 +287,7 @@ class MoonrayTable:
     # ---------------- read path ----------------
     def scan(self, version: int | None = None, *, columns=None,
              predicate_ranges: dict | None = None, with_internal: bool = False,
-             concurrency=None, override_num_blocks: int | None = None):
+             concurrency=None):
         """Snapshot-isolated scan → lazy Dataset.
 
         - zone-map pruning: fragments whose min/max don't overlap
@@ -268,23 +308,7 @@ class MoonrayTable:
             cols = columns or user_schema.names
             empty = pa.table({c: pa.array([], user_schema.field(c).type) for c in cols})
             return rd.from_arrow(empty)
-        paths = [os.path.join(self.root, f["path"]) for f in frags]
-        dvs = {
-            os.path.join(self.root, f["path"]): load_dv_union(self.root, dv_paths_of(f))
-            for f in frags if dv_paths_of(f)
-        }
         read_cols = list(columns) if columns else [x for x in user_schema.names]
-        if not dvs and not with_internal:
-            # fast path: nothing deleted → pure pruned parquet read, no
-            # extra stage, no internal columns (post-maintenance scans
-            # always hit this — compaction folds DVs into the data).
-            return rd.read_parquet(paths, columns=read_cols,
-                                   override_num_blocks=override_num_blocks)
-        ds = rd.read_parquet(paths, columns=read_cols + [ROWOFF],
-                             include_paths=True,
-                             override_num_blocks=override_num_blocks)
-        dv_ref = ray.put(dvs)
-        return ds.map_batches(
-            DVFilter, fn_constructor_args=(dv_ref, not with_internal),
-            batch_format="pyarrow", concurrency=concurrency or (1, 8),
-        )
+        src = FragmentDatasource(self.root, frags, read_cols, with_internal)
+        return rd.read_datasource(src, override_num_blocks=len(frags),
+                                  concurrency=concurrency)

@@ -18,7 +18,9 @@ SURVEY.md for the structural map) built idiomatically on Ray Data:
   index merge, manifest rewrite, snapshot expiry.
 """
 
-from moonray.table import MoonrayTable  # noqa: F401
+from moonray.catalog import MoonrayCatalog  # noqa: F401
 from moonray.merge import merge_into  # noqa: F401
+from moonray.stream import StreamTransaction  # noqa: F401
+from moonray.table import MoonrayTable  # noqa: F401
 
 __version__ = "0.1.0"

@@ -34,6 +34,30 @@ from moonray.util import atomic_write_json
 ROWOFF = "_rowoff"
 
 
+def normalize_to_schema(t: pa.Table, schema: pa.Schema,
+                        defaults: dict | None = None,
+                        keep_extra: tuple[str, ...] = ()) -> pa.Table:
+    """Project a fragment table onto the current table schema: columns
+    added by ALTER TABLE after the fragment was written are filled with
+    their declared default (or null); columns dropped by ALTER vanish.
+    Mirrors the reference's add/drop-only schema evolution
+    (src/moonlink/src/storage/mooncake_table.rs:100-126,644-647)."""
+    defaults = defaults or {}
+    cols, names = [], []
+    for field in schema:
+        if field.name in t.column_names:
+            cols.append(t[field.name])
+        else:
+            fill = defaults.get(field.name)
+            cols.append(pa.array([fill] * len(t), field.type))
+        names.append(field.name)
+    for extra in keep_extra:
+        if extra in t.column_names and extra not in names:
+            cols.append(t[extra])
+            names.append(extra)
+    return pa.table(dict(zip(names, cols)))
+
+
 def compute_zones(table: pa.Table, zone_cols) -> dict:
     zones = {}
     for c in zone_cols:

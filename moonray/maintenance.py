@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 from moonray import manifest as mf
 from moonray.checkpoint import LineageLog
 from moonray.dv import dv_paths_of, filter_batch, load_dv_union
-from moonray.fragments import ROWOFF, write_fragment
+from moonray.fragments import ROWOFF, normalize_to_schema, write_fragment
 from moonray.keyindex import MergeIndexPartition, write_index_deltas
 from moonray.util import as_fn, atomic_write_json, new_job_id, read_json
 from moonray.zorder import ZKEY, AddZKey
@@ -81,12 +81,15 @@ class CompactGroup:
     fragment-granular resume the north rule requires."""
 
     def __init__(self, root: str, job_id: str, key_col: str, zone_cols,
-                 rows_per_fragment: int):
+                 rows_per_fragment: int, schema_ipc: str | None = None,
+                 defaults: dict | None = None):
         self.root = root
         self.job_id = job_id
         self.key_col = key_col
         self.zone_cols = list(zone_cols)
         self.rpf = rows_per_fragment
+        self.schema_ipc = schema_ipc
+        self.defaults = defaults or {}
 
     def _marker(self, gid: int) -> str:
         return os.path.join(self.root, "staging", self.job_id, f"compact-g{gid}.done.json")
@@ -102,6 +105,8 @@ class CompactGroup:
             if os.path.exists(marker):
                 out_entries.append(pq.read_table(entries_path))
                 continue
+            schema = (pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(self.schema_ipc)))
+                      if self.schema_ipc else None)
             pieces = []
             for f in spec["frags"]:
                 t = pq.read_table(os.path.join(self.root, f["path"]),
@@ -109,7 +114,12 @@ class CompactGroup:
                 dvp = dv_paths_of(f)
                 if dvp:
                     t = filter_batch(t, ROWOFF, load_dv_union(self.root, dvp))
-                pieces.append(t.drop_columns([ROWOFF]))
+                t = t.drop_columns([ROWOFF])
+                if schema is not None:
+                    # project onto the CURRENT schema: compaction folds
+                    # ALTER-added/-dropped columns into the rewrite
+                    t = normalize_to_schema(t, schema, self.defaults)
+                pieces.append(t)
             data = pa.concat_tables(pieces) if pieces else None
             group_entries = []
             if data is not None and len(data):
@@ -176,7 +186,8 @@ def compact(table, *, target_bytes: int | None = None,
     items = [{"gid": i, "spec": json.dumps(g)} for i, g in enumerate(plan)]
     entries = rd.from_items(items).map_batches(
         as_fn(CompactGroup(table.root, job_id, m["key_col"], m["zone_cols"],
-                           m["rows_per_fragment"])),
+                           m["rows_per_fragment"], m["schema_ipc"],
+                           m.get("column_defaults", {}))),
         batch_format="pyarrow", batch_size=1,
     )
     deltas = write_index_deltas(entries, table.root, job_id, m["key_col"],

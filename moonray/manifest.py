@@ -142,10 +142,16 @@ def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
     for v in keep:
         retained_refs |= referenced_files(read_json(_vpath(root, v)))
     removed_manifests, removed_files = [], []
+    committed_jobs: set[str] = set()
+    expired_jobs: set[str] = set()
     for v in versions:
+        m = read_json(_vpath(root, v))
         if v not in keep:
             os.remove(_vpath(root, v))
             removed_manifests.append(v)
+            expired_jobs.add(m.get("job_id", ""))
+        else:
+            committed_jobs.add(m.get("job_id", ""))
     for sub in ("fragments", "dv", "index"):
         base = os.path.join(root, sub)
         for dirpath, _dirs, files in os.walk(base):
@@ -155,8 +161,28 @@ def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
                 if rel not in retained_refs and not fn.endswith((".tmp", ".meta.json")):
                     os.remove(full)
                     removed_files.append(rel)
+    # staging/lineage GC — the WAL-truncation analogue (reference flushes
+    # WAL files whose LSN ≤ the persisted LSN, src/moonlink/src/storage/
+    # wal.rs:670-760): a job's staging (shuffle runs, sidecars, resume
+    # markers) is resume state, obsolete once its version is committed or
+    # expired. Unknown job dirs (possibly in flight) are left alone.
+    import shutil as _shutil
+
+    removed_staging = 0
+    staging = os.path.join(root, "staging")
+    if os.path.isdir(staging):
+        for job_dir in os.listdir(staging):
+            if job_dir in committed_jobs or job_dir in expired_jobs:
+                _shutil.rmtree(os.path.join(staging, job_dir), ignore_errors=True)
+                removed_staging += 1
+    lineage = os.path.join(root, "lineage")
+    if os.path.isdir(lineage):
+        for fn in os.listdir(lineage):
+            if fn.endswith(".jsonl") and fn[:-6] in expired_jobs:
+                os.remove(os.path.join(lineage, fn))
     return {
         "kept_versions": sorted(keep),
         "removed_versions": removed_manifests,
         "removed_files": len(removed_files),
+        "removed_staging_dirs": removed_staging,
     }

@@ -121,10 +121,30 @@ class MergeApply:
                 out[str(frag)] = fresh
         return out
 
+    def _check_fault_injection(self) -> None:
+        """Deterministic failure injection for kill-and-resume tests
+        (the reference ships the same pattern in production code:
+        src/moonlink/src/storage/filesystem/accessor/
+        filesystem_accessor_chaos_wrapper.rs). If the job's staging dir
+        contains FAIL_INJECT with an integer n, every apply task fails
+        once ≥ n buckets have completed — including Ray's retries, so
+        the whole job aborts mid-apply."""
+        import glob as _glob
+
+        flag = os.path.join(self.root, "staging", self.job_id, "FAIL_INJECT")
+        if os.path.exists(flag):
+            n = int(open(flag).read().strip() or 0)
+            done = len(_glob.glob(os.path.join(
+                self.root, "staging", self.job_id, "apply-b*.done.json")))
+            if done >= n:
+                raise RuntimeError(
+                    f"injected failure: {done} buckets applied (limit {n})")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_rows = []
         for bucket in batch["bucket"].to_pylist():
             bucket = int(bucket)
+            self._check_fault_injection()
             marker = os.path.join(self.root, "staging", self.job_id,
                                   f"apply-b{bucket:05d}.done.json")
             if os.path.exists(marker):

@@ -42,23 +42,28 @@ PATH_COL = "path"  # added by read_parquet(include_paths=True)
 
 
 def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
-                   columns: list[str], with_internal: bool) -> pa.Table:
+                   read_schema: pa.Schema, defaults: dict,
+                   with_internal: bool) -> pa.Table:
     """Read one fragment (column-pruned, memory-mapped) + inline DV
-    filter. Each read task loads only ITS fragment's DV delta files —
-    no broadcast needed."""
+    filter + projection onto the current schema (ALTER-added columns
+    filled with defaults). Each read task loads only ITS fragment's DV
+    delta files — no broadcast needed."""
     from moonray.dv import filter_batch, load_dv_union
+    from moonray.fragments import normalize_to_schema
     from moonray.util import cap_kernel_threads
 
     cap_kernel_threads()
-    cols = list(columns)
+    path = os.path.join(root, rel_path)
+    cols = list(read_schema.names)
     if (dv_rels or with_internal) and ROWOFF not in cols:
         cols.append(ROWOFF)
-    t = pq.read_table(os.path.join(root, rel_path), columns=cols,
+    present = set(pq.read_schema(path).names)
+    t = pq.read_table(path, columns=[c for c in cols if c in present],
                       memory_map=True, pre_buffer=False)
     if dv_rels:
         t = filter_batch(t, ROWOFF, load_dv_union(root, dv_rels))
-    if not with_internal and ROWOFF in t.column_names:
-        t = t.drop_columns([ROWOFF])
+    t = normalize_to_schema(t, read_schema, defaults,
+                            keep_extra=(ROWOFF,) if with_internal else ())
     if with_internal:
         t = t.append_column(PATH_COL, pa.array(
             [os.path.join(root, rel_path)] * len(t), pa.string()))
@@ -74,11 +79,12 @@ class FragmentDatasource(Datasource):
     splitting logic buys nothing. A real read op (not a map stage) so
     downstream map_batches batch_size semantics stay row-based."""
 
-    def __init__(self, root: str, frags: list[dict], columns: list[str],
-                 with_internal: bool):
+    def __init__(self, root: str, frags: list[dict], read_schema: pa.Schema,
+                 defaults: dict, with_internal: bool):
         self.root = root
         self.frags = frags
-        self.columns = columns
+        self.read_schema = read_schema
+        self.defaults = defaults
         self.with_internal = with_internal
 
     def get_name(self) -> str:
@@ -98,10 +104,11 @@ class FragmentDatasource(Datasource):
                 exec_stats=None,
                 input_files=[os.path.join(self.root, f["path"])])
             root, rel, dvs = self.root, f["path"], dv_paths_of(f)
-            cols, internal = self.columns, self.with_internal
+            sch, dflt, internal = self.read_schema, self.defaults, self.with_internal
 
-            def fn(root=root, rel=rel, dvs=dvs, cols=cols, internal=internal):
-                return [_read_fragment(root, rel, dvs, cols, internal)]
+            def fn(root=root, rel=rel, dvs=dvs, sch=sch, dflt=dflt,
+                   internal=internal):
+                return [_read_fragment(root, rel, dvs, sch, dflt, internal)]
 
             out.append(ReadTask(fn, meta))
         return out
@@ -142,6 +149,7 @@ class MoonrayTable:
             "fragments": [],
             "rows_per_fragment": rows_per_fragment,
             "schema_ipc": schema.serialize().to_pybytes().hex(),
+            "column_defaults": {},
             "stats": {},
         }
         mf.commit_manifest(root, m)
@@ -254,9 +262,59 @@ class MoonrayTable:
             "fragments": frags,
             "rows_per_fragment": parent["rows_per_fragment"],
             "schema_ipc": parent["schema_ipc"],
+            "column_defaults": parent.get("column_defaults", {}),
             "stats": {"new_fragments": len(new_frags),
                       "replaced_fragments": len(replaced_frag_ids),
                       "dv_updates": len(dv_updates or {})},
+        }
+        return mf.commit_manifest(self.root, child)
+
+    def alter(self, *, add_columns=(), drop_columns=(),
+              job_id: str | None = None) -> int:
+        """ALTER TABLE — add/drop columns ONLY, exactly the reference's
+        evolution contract ("Only support alter table with add/drop
+        fields", src/moonlink/src/storage/mooncake_table.rs:100-126,
+        644-647). Metadata-only commit: existing fragments are untouched;
+        scans project them onto the new schema, filling added columns
+        with their declared default (or null).
+
+        add_columns: iterable of (name, pyarrow type, default) or
+        (name, type). drop_columns: iterable of names (never the key
+        column; zone columns are removed from the clustering spec)."""
+        job_id = job_id or new_job_id()
+        prev = mf.find_version_by_job(self.root, job_id)
+        if prev is not None:
+            return prev
+        m = self.manifest()
+        schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
+        defaults = dict(m.get("column_defaults", {}))
+        drop = set(drop_columns)
+        if m["key_col"] in drop:
+            raise ValueError("cannot drop the key column")
+        fields = [f for f in schema if f.name not in drop]
+        for spec in add_columns:
+            name, typ = spec[0], spec[1]
+            if name in {f.name for f in fields}:
+                raise ValueError(f"column {name!r} already exists")
+            fields.append(pa.field(name, typ))
+            if len(spec) > 2 and spec[2] is not None:
+                defaults[name] = spec[2]
+        defaults = {k: v for k, v in defaults.items() if k not in drop}
+        new_schema = pa.schema(fields)
+        child = {
+            "version": m["version"] + 1,
+            "parent": m["version"],
+            "commit_lsn": m["commit_lsn"],
+            "job_id": job_id,
+            "key_col": m["key_col"],
+            "zone_cols": [c for c in m["zone_cols"] if c not in drop],
+            "index": m["index"],
+            "fragments": m["fragments"],
+            "rows_per_fragment": m["rows_per_fragment"],
+            "schema_ipc": new_schema.serialize().to_pybytes().hex(),
+            "column_defaults": defaults,
+            "stats": {"altered": {"added": [s[0] for s in add_columns],
+                                  "dropped": sorted(drop)}},
         }
         return mf.commit_manifest(self.root, child)
 
@@ -264,6 +322,14 @@ class MoonrayTable:
         from moonray.merge import merge_into
 
         return merge_into(self, changes, job_id=job_id)
+
+    def stream_begin(self, xid: str):
+        """Open a streaming transaction (multi-batch xact staged outside
+        the table; commit folds atomically, abort discards — reference:
+        transaction_stream.rs). Returns a StreamTransaction."""
+        from moonray.stream import StreamTransaction
+
+        return StreamTransaction(self, xid)
 
     def optimize(self, mode: str = "data", **kw) -> int:
         """optimize(mode ∈ {data, index, full}) — mirrors the reference RPC
@@ -309,6 +375,8 @@ class MoonrayTable:
             empty = pa.table({c: pa.array([], user_schema.field(c).type) for c in cols})
             return rd.from_arrow(empty)
         read_cols = list(columns) if columns else [x for x in user_schema.names]
-        src = FragmentDatasource(self.root, frags, read_cols, with_internal)
+        read_schema = pa.schema([user_schema.field(c) for c in read_cols])
+        src = FragmentDatasource(self.root, frags, read_schema,
+                                 m.get("column_defaults", {}), with_internal)
         return rd.read_datasource(src, override_num_blocks=len(frags),
                                   concurrency=concurrency)

@@ -1,0 +1,118 @@
+"""Schema evolution (ALTER add/drop), streaming transactions
+(commit/abort), catalog registry, staging GC."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from moonray import MoonrayCatalog, MoonrayTable
+
+SCHEMA = pa.schema([
+    ("id", pa.int64()), ("name", pa.string()), ("age", pa.int32()),
+])
+
+
+def _rows(tbl):
+    out = pa.concat_tables(
+        [b for b in tbl.scan().iter_batches(batch_format="pyarrow", batch_size=4096)])
+    return sorted(out.to_pylist(), key=lambda r: r["id"])
+
+
+def _mk(root, **kw):
+    """F3 reference-schema table (mem_slice.rs:154-168): id int32→int64 PK,
+    name utf8, age int32."""
+    t = MoonrayTable.create(str(root), key_col="id", schema=SCHEMA,
+                            index_partitions=4, rows_per_fragment=8, **kw)
+    t.bulk_load(rd.from_items(
+        [{"id": i, "name": f"n{i}", "age": 20 + i} for i in range(30)]))
+    return t
+
+
+def test_alter_add_column_with_default(tmp_path):
+    t = _mk(tmp_path / "t1")
+    t.alter(add_columns=[("score", pa.float64(), 1.5)])
+    rows = _rows(t)
+    assert all(r["score"] == 1.5 for r in rows)  # old fragments filled
+    # new writes carry the column
+    changes = rd.from_items([{
+        "op": "U", "lsn": 10, "id": 0, "name": "upd", "age": 99, "score": 7.0}])
+    t.merge(changes)
+    rows = {r["id"]: r for r in _rows(t)}
+    assert rows[0]["score"] == 7.0 and rows[0]["name"] == "upd"
+    assert rows[1]["score"] == 1.5
+    # compaction folds the default into rewritten fragments
+    t.optimize("data", target_bytes=1 << 30, min_group=2)
+    rows = {r["id"]: r for r in _rows(t)}
+    assert rows[0]["score"] == 7.0 and rows[5]["score"] == 1.5
+
+
+def test_alter_drop_column(tmp_path):
+    t = _mk(tmp_path / "t2")
+    t.alter(drop_columns=["age"])
+    rows = _rows(t)
+    assert "age" not in rows[0]
+    assert set(rows[0]) == {"id", "name"}
+    with pytest.raises(ValueError):
+        t.alter(drop_columns=["id"])  # key column undroppable
+    with pytest.raises(ValueError):
+        t.alter(add_columns=[("name", pa.string())])  # duplicate
+
+
+def test_stream_xact_commit(tmp_path):
+    t = _mk(tmp_path / "t3")
+    x = t.stream_begin("x1")
+    x.append(rd.from_items(
+        [{"id": 100 + i, "name": f"s{i}", "age": 1} for i in range(5)]))
+    x.append(rd.from_items([{"id": 0, "name": "replaced", "age": 2}]))
+    x.delete(rd.from_items([{"id": 1}, {"id": 2}, {"id": 999}]))  # 999 missing
+    before = t.latest_version()
+    v = x.commit(lsn=50)
+    assert v == before + 1  # ONE atomic commit
+    rows = {r["id"]: r for r in _rows(t)}
+    assert len(rows) == 30 + 5 - 2
+    assert rows[0]["name"] == "replaced"
+    assert 1 not in rows and 2 not in rows and 105 not in rows
+    assert rows[104]["name"] == "s4"
+    with pytest.raises(RuntimeError):
+        x.append(rd.from_items([{"id": 1, "name": "x", "age": 1}]))
+
+
+def test_stream_xact_abort(tmp_path):
+    t = _mk(tmp_path / "t4")
+    state = _rows(t)
+    x = t.stream_begin("x2")
+    x.append(rd.from_items([{"id": 500, "name": "never", "age": 1}]))
+    x.abort()
+    assert _rows(t) == state  # untouched
+    assert t.latest_version() == 1
+
+
+def test_catalog_registry(tmp_path):
+    cat = MoonrayCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("events", key_col="id", schema=SCHEMA,
+                         index_partitions=4, rows_per_fragment=8)
+    t.bulk_load(rd.from_items([{"id": 1, "name": "a", "age": 1}]))
+    assert cat.table_exists("events")
+    assert set(cat.list_tables()) == {"events"}
+    t2 = cat.open_table("events")
+    assert t2.describe()["cardinality"] == 1
+    with pytest.raises(ValueError):
+        cat.create_table("events", key_col="id", schema=SCHEMA)
+    cat.drop_table("events")
+    assert not cat.table_exists("events")
+    with pytest.raises(KeyError):
+        cat.open_table("events")
+
+
+def test_expiry_gcs_staging_and_lineage(tmp_path):
+    import os
+
+    t = _mk(tmp_path / "t5")
+    t.merge(rd.from_items([{
+        "op": "D", "lsn": 5, "id": 3, "name": None, "age": None}]), job_id="m-gc")
+    staging = os.path.join(t.root, "staging")
+    assert any(d == "m-gc" for d in os.listdir(staging))
+    t.expire_snapshots(keep_last=1)
+    assert not os.path.exists(os.path.join(staging, "m-gc"))  # committed job GC'd
+    # data still correct after GC
+    assert {r["id"] for r in _rows(t)} == set(range(30)) - {3}

@@ -77,6 +77,63 @@ WHERE a.vec_id < b.vec_id
                              CAST(b.embedding AS DOUBLE[])) >= 0.3
 """
 
+_ALTER_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+       CAST(5 AS INTEGER) AS c_loyalty
+FROM customer
+"""
+
+_STREAM_XACT_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey % 5 <> 0
+UNION ALL
+SELECT c_custkey + 20000000, 'snap-' || CAST(c_custkey AS VARCHAR),
+       c_nationkey, c_acctbal * 2.0, 'XL'
+FROM customer WHERE c_custkey % 7 = 0
+"""
+
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts_us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, min(ts_us) AS session_start_us,
+       count(*) AS n_events,
+       max(ts_us) - min(ts_us) AS duration_us
+FROM s GROUP BY user_id, sid
+"""
+
+_NGRAM_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+     CASE WHEN len(toks) = 0 THEN ['']
+          WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' ')))
+     END AS sh
+  FROM t
+)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM s a, s b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(a.sh || b.sh)) >= 0.5
+"""
+
 # ------------------------------------------------------------ queries
 
 
@@ -100,6 +157,49 @@ def _q_tumbling(sf_dir: str):
     from moonray.pipelines.relational import tumbling_window_events
 
     return tumbling_window_events(sf_dir)
+
+
+def _q_sessionize(sf_dir: str):
+    from moonray.pipelines.relational import sessionize_events
+
+    return sessionize_events(sf_dir)
+
+
+def _q_alter(sf_dir: str):
+    from moonray.pipelines.relational import alter_evolution_scan
+
+    return alter_evolution_scan(sf_dir)
+
+
+def _q_stream_xact(sf_dir: str):
+    from moonray.pipelines.relational import stream_xact_scan
+
+    return stream_xact_scan(sf_dir)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from moonray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def _q_knn_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from moonray.functions.knn import knn_cosine_ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = [r for r in ds.take_all() if r["vec_id"] < 5]
+    queries = [(r["vec_id"], np.asarray(r["embedding"])) for r in qrows]
+    return knn_cosine_ivf(ds, queries, k=10)
+
+
+def _q_images_downsample(sf_dir: str):
+    from moonray.fixtures import make_images_dataset
+    from moonray.functions.multimodal import downsample2x
+
+    ds = downsample2x(make_images_dataset(200, seed=42))
+    return ds.select_columns(["image_id", "w", "h", "fmt"])
 
 
 def _docs(sf_dir: str):
@@ -212,8 +312,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_isolation_pre_merge": _q_merge(scan_version="pre_merge"),
         "zone_pruned_scan": _q_zone_pruned,
         "images_merge_maintenance": _q_images_flagship,
+        "alter_schema_evolution": _q_alter,
+        "stream_xact_commit": _q_stream_xact,
         # ---- streaming-shaped ----
         "tumbling_window_events": _q_tumbling,
+        "sessionize_events": _q_sessionize,
         # ---- text analysis ----
         "text_stats": _q_text_stats,
         "docs_lang_stats": _q_lang_stats,
@@ -223,10 +326,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": _q_minhash,
         "simhash_fingerprints": _q_simhash,
         "embedding_near_dup_pairs": _q_near_dups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         # ---- similarity search ----
         "knn_cosine_top10": _q_knn,
+        "knn_cosine_ivf_top10": _q_knn_ivf,
         # ---- multimodal ----
         "images_decode_stats": _q_images_decode,
+        "images_downsample2x": _q_images_downsample,
     }
 
 
@@ -241,6 +347,10 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_isolation_pre_merge": _CUSTOMER_SQL,
         "zone_pruned_scan": _CUSTOMER_SQL
         + " WHERE c_acctbal >= 1000.0 AND c_acctbal <= 5000.0",
+        "alter_schema_evolution": _ALTER_SQL,
+        "stream_xact_commit": _STREAM_XACT_SQL,
+        "sessionize_events": _SESSIONIZE_SQL,
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "tumbling_window_events": """
             SELECT user_id,
                    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,

@@ -204,6 +204,58 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(keep_reps, batch_format="pyarrow")
 
 
+# ---------------- exact n-gram Jaccard pairs ----------------
+
+class ShingleJaccardPairs:
+    """map_batches over documents: each batch's token-3-gram shingle
+    sets vs the broadcast full corpus — emit (a < b) pairs with exact
+    Jaccard ≥ threshold. The EXACT baseline; minhash_lsh_dedup is the
+    sub-quadratic scale path (same shingle definition, so LSH output is
+    verifiable against this)."""
+
+    def __init__(self, corpus_ref, id_col: str, text_col: str,
+                 threshold: float, n: int):
+        import ray
+
+        self.ids, self.sets = ray.get(corpus_ref)  # ids sorted; list[set]
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold = threshold
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        ids = batch[self.id_col].to_pylist()
+        for did, text in zip(ids, batch[self.text_col].to_pylist()):
+            sa = set(_shingle_set(text, self.n))
+            for other, sb in zip(self.ids, self.sets):
+                if other <= did:
+                    continue
+                if _jaccard(sa, sb) >= self.threshold:
+                    out_a.append(did)
+                    out_b.append(other)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
+
+
+def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5, n: int = 3, concurrency=(1, 8)):
+    """All (a < b) document pairs with token-n-gram Jaccard ≥ threshold.
+    Corpus shingle sets are built once on the driver and broadcast
+    (ray.put); each batch compares against them."""
+    import ray
+
+    rows = ds.select_columns([id_col, text_col]).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    ids = [r[id_col] for r in rows]
+    sets = [set(_shingle_set(r[text_col], n)) for r in rows]
+    corpus_ref = ray.put((ids, sets))
+    return ds.map_batches(
+        ShingleJaccardPairs,
+        fn_constructor_args=(corpus_ref, id_col, text_col, threshold, n),
+        batch_format="pyarrow", concurrency=concurrency)
+
+
 # ---------------- SimHash ----------------
 
 class SimHash64:

@@ -42,23 +42,16 @@ class CosineTopK:
                          "sim": pa.array(out_s, pa.float64())})
 
 
-def knn_cosine(ds, queries: list[tuple[int, np.ndarray]], *, k: int = 10,
-               id_col: str = "vec_id", vec_col: str = "embedding",
-               exclude_self: bool = True, concurrency=(1, 8)) -> pa.Table:
-    """Exact cosine top-k of each query over the Dataset. Returns an
-    arrow table (qid, nid, rank) — rank 1-based, ordered by
-    (sim DESC, nid ASC) for deterministic ties."""
-    import ray
-
+def _normalize_queries(queries):
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
-    q_ref = ray.put((q_ids, q_mat))
+    return q_ids, q_mat
 
-    cand = ds.map_batches(
-        CosineTopK, fn_constructor_args=(q_ref, id_col, vec_col, k + (1 if exclude_self else 0)),
-        batch_format="pyarrow", concurrency=concurrency)
-    rows = cand.take_all()                               # Q × k' × n_blocks — tiny
+
+def _topk_reduce(rows, q_ids, k: int, exclude_self: bool) -> pa.Table:
+    """Driver-side final reduce over per-block candidates (Q × k ×
+    n_blocks rows — tiny). rank 1-based, ordered (sim DESC, nid ASC)."""
     out_q, out_n, out_r = [], [], []
     by_q: dict[int, list] = {}
     for r in rows:
@@ -73,3 +66,104 @@ def knn_cosine(ds, queries: list[tuple[int, np.ndarray]], *, k: int = 10,
     return pa.table({"qid": pa.array(out_q, pa.int64()),
                      "nid": pa.array(out_n, pa.int64()),
                      "rank": pa.array(out_r, pa.int64())})
+
+
+def knn_cosine(ds, queries: list[tuple[int, np.ndarray]], *, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               exclude_self: bool = True, concurrency=(1, 8)) -> pa.Table:
+    """Exact cosine top-k of each query over the Dataset (brute-force
+    baseline). Returns an arrow table (qid, nid, rank)."""
+    import ray
+
+    q_ids, q_mat = _normalize_queries(queries)
+    q_ref = ray.put((q_ids, q_mat))
+    cand = ds.map_batches(
+        CosineTopK, fn_constructor_args=(q_ref, id_col, vec_col, k + (1 if exclude_self else 0)),
+        batch_format="pyarrow", concurrency=concurrency)
+    return _topk_reduce(cand.take_all(), q_ids, k, exclude_self)
+
+
+def _kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int,
+                      seed: int) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (spherical: centroids
+    re-normalized each Lloyd step). Sample ≤ a few thousand rows — tiny."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                             replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+class IvfTopK:
+    """map_batches stage: assign each row to its nearest centroid, then
+    compare it ONLY against queries probing that centroid's bucket —
+    the IVF pruning that makes ANN sub-linear at scale. Broadcast state
+    (centroids, per-query probe sets, query matrix) via one ray.put."""
+
+    def __init__(self, state_ref, id_col: str, vec_col: str, k: int):
+        import ray
+
+        self.cent, self.q_ids, self.q_mat, self.q_probes = ray.get(state_ref)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch[self.vec_col].to_pandas().to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        buckets = np.argmax(vecs @ self.cent.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.q_ids)):
+            mask = np.isin(buckets, self.q_probes[qi])
+            if not mask.any():
+                continue
+            sims = self.q_mat[qi] @ vecs[mask].T
+            sub_ids = ids[mask]
+            k = min(self.k, len(sims))
+            top = np.argpartition(-sims, k - 1)[:k] if len(sims) > k else np.arange(len(sims))
+            out_q.extend([int(self.q_ids[qi])] * len(top))
+            out_n.extend(sub_ids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+
+def knn_cosine_ivf(ds, queries, *, k: int = 10, n_centroids: int = 16,
+                   n_probe: int = 4, sample_rows: int = 4096,
+                   kmeans_iters: int = 5, seed: int = 7,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   exclude_self: bool = True, concurrency=(1, 8)) -> pa.Table:
+    """IVF-bucketed approximate top-k — the 100 TB scale path (SURVEY:
+    similarity search). Train centroids on a sampled slice, then one
+    pass over the data comparing each row only against queries probing
+    its bucket; recall tuned by n_probe/n_centroids (test: ≥0.9 recall
+    at 16/4 on gaussian data). Everything broadcast once via ray.put."""
+    import ray
+
+    n = ds.count()
+    frac = min(1.0, sample_rows / max(1, n))
+    sample_ds = ds.select_columns([vec_col])
+    if frac < 1.0:
+        sample_ds = sample_ds.random_sample(frac, seed=seed)
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                       for r in sample_ds.take_all()])
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = _kmeans_centroids(sample, n_centroids, kmeans_iters, seed)
+
+    q_ids, q_mat = _normalize_queries(queries)
+    q_cent_sims = q_mat @ cent.T
+    probes = [np.argsort(-q_cent_sims[i])[:n_probe] for i in range(len(q_ids))]
+    state_ref = ray.put((cent, q_ids, q_mat, probes))
+    cand = ds.map_batches(
+        IvfTopK, fn_constructor_args=(state_ref, id_col, vec_col,
+                                      k + (1 if exclude_self else 0)),
+        batch_format="pyarrow", concurrency=concurrency)
+    return _topk_reduce(cand.take_all(), q_ids, k, exclude_self)

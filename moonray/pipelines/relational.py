@@ -103,6 +103,51 @@ def merge_customer(sf_dir: str, *, maintenance: str | None = None,
     return t.scan()
 
 
+def alter_evolution_scan(sf_dir: str):
+    """Schema evolution end-to-end: bulk load customer → ALTER TABLE
+    add c_loyalty (default 5) + drop c_mktsegment → scan. Old fragments
+    are projected onto the new schema at read time (no rewrite)."""
+    t = build_customer_table(sf_dir)
+    t.alter(add_columns=[("c_loyalty", pa.int32(), 5)],
+            drop_columns=["c_mktsegment"])
+    return t.scan()
+
+
+def stream_xact_scan(sf_dir: str):
+    """Streaming transaction end-to-end: bulk load customer → one xact
+    staging (a) upserted rows on a shifted key space derived from
+    customers with c_custkey % 7 == 0 and (b) deletes of c_custkey % 5
+    == 0 → single atomic commit → scan."""
+    import ray.data as rd
+
+    t = build_customer_table(sf_dir)
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=CUSTOMER_COLS)
+
+    def to_appends(b: pa.Table) -> pa.Table:
+        ck_all = b["c_custkey"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ck_all % 7 == 0))
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": pa.array(ck + 20_000_000, pa.int64()),
+            "c_name": pa.array([f"snap-{k}" for k in ck], pa.string()),
+            "c_nationkey": b["c_nationkey"],
+            "c_acctbal": pa.array(
+                b["c_acctbal"].to_numpy(zero_copy_only=False) * 2.0, pa.float64()),
+            "c_mktsegment": pa.array(["XL"] * len(ck), pa.string()),
+        })
+
+    def to_deletes(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"c_custkey": pa.array(ck[ck % 5 == 0], pa.int64())})
+
+    x = t.stream_begin("sx-pipeline")
+    x.append(cust.map_batches(to_appends, batch_format="pyarrow"))
+    x.delete(cust.map_batches(to_deletes, batch_format="pyarrow"))
+    x.commit(lsn=1)
+    return t.scan()
+
+
 def zone_pruned_scan(sf_dir: str, lo: float = 1000.0, hi: float = 5000.0):
     """Cluster by (c_acctbal, c_nationkey), then a range scan that prunes
     fragments via zone maps and applies the exact row filter."""
@@ -114,6 +159,55 @@ def zone_pruned_scan(sf_dir: str, lo: float = 1000.0, hi: float = 5000.0):
             pc.and_(pc.greater_equal(b["c_acctbal"], lo),
                     pc.less_equal(b["c_acctbal"], hi))),
         batch_format="pyarrow")
+
+
+def sessionize_events(sf_dir: str, gap_sec: int = 1800, buckets: int = 32):
+    """Streaming-shaped sessionization: per-user sessions split at event
+    gaps > gap_sec; emits one row per session (user_id, session_start_us,
+    n_events, duration_us). Classic gaps-and-islands — per-user event
+    streams are totally ordered, so users hash-bucket into groups and
+    each group sessionizes its users vectorized (no per-user Python
+    group calls; the shuffle carries only ts/user_id columns)."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "events.parquet")
+    gap_us = gap_sec * 1_000_000
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        from moonray.util import splitmix64
+
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "_bkt": pa.array((splitmix64(uid) % np.uint64(buckets)).astype(np.int32)),
+        })
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_start_us": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "duration_us": pa.array([], pa.int64())})
+        t = group.sort_by([("user_id", "ascending"), ("ts_us", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        new_sess = np.ones(len(t), dtype=bool)
+        new_sess[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        sess_id = np.cumsum(new_sess) - 1
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], len(t)) - 1
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_start_us": pa.array(ts[starts], pa.int64()),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+            "duration_us": pa.array((ts[ends] - ts[starts]).astype(np.int64)),
+        })
+
+    sessionize.__name__ = "sessionize"
+    ds = rd.read_parquet(path, columns=["ts", "user_id"])
+    ds = ds.map_batches(bucketed, batch_format="pyarrow")
+    return ds.groupby("_bkt").map_groups(sessionize, batch_format="pyarrow")
 
 
 def tumbling_window_events(sf_dir: str, window_sec: int = 3600):

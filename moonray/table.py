@@ -194,6 +194,51 @@ class MoonrayTable:
     def unpin(self, token: str) -> None:
         mf.unpin(self.root, token)
 
+    # -------- reference RPC-surface parity (src/moonlink_rpc/src/lib.rs:28-39,
+    # src/moonlink_backend/src/lib.rs:37-460) --------
+    def scan_begin(self, lsn: int | None = None) -> tuple[int, str]:
+        """scan_table_begin analogue: resolve the newest version whose
+        commit_lsn ≥ the requested LSN is VISIBLE at (read-at-LSN rule:
+        sees changes committed at LSN ≤ X, mooncake_table.rs:438-443),
+        pin it, return (version, pin token). The reference blocks until
+        replication catches up; batch-engine semantics: raise if no
+        committed version covers the LSN yet."""
+        versions = self.versions()
+        if lsn is None:
+            v = versions[-1]
+        else:
+            v = None
+            for cand in versions:  # oldest version whose snapshot covers lsn
+                if self.manifest(cand)["commit_lsn"] >= lsn:
+                    v = cand
+                    break
+            if v is None:
+                raise TimeoutError(
+                    f"no committed version covers lsn {lsn} "
+                    f"(latest commit_lsn={self.manifest()['commit_lsn']})")
+        token = f"scan-{new_job_id()}"
+        self.pin(v, token)
+        return v, token
+
+    def scan_end(self, token: str) -> None:
+        """scan_table_end analogue: release the reader pin."""
+        self.unpin(token)
+
+    def wait_for_commit_lsn(self, lsn: int) -> int:
+        """wait_for_wal_flush analogue; batch semantics: assert the LSN
+        is already durable, returning the covering version."""
+        v, token = self.scan_begin(lsn)
+        self.unpin(token)
+        return v
+
+    def flush(self) -> int:
+        """Force-snapshot analogue (ForceSnapshot / create_snapshot):
+        every write path here commits durably before returning, so flush
+        republishes the current state as a fresh manifest version."""
+        from moonray.maintenance import rewrite_manifest
+
+        return rewrite_manifest(self)
+
     def expire_snapshots(self, keep_last: int = 2, keep_versions=()) -> dict:
         return mf.expire_snapshots(self.root, keep_last, keep_versions)
 

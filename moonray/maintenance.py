@@ -298,7 +298,7 @@ class ClusterWriteGroup:
 
 
 def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
-                     num_partitions: int):
+                     num_partitions: int, curve: str = "z"):
     """Equal-frequency Z-key range boundaries from a thin column read —
     only the zone + key columns leave the parquet files (column pruning),
     never image bytes. Boundaries are a performance knob only:
@@ -309,7 +309,7 @@ def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
     import ray.data as rd
 
     thin = table.scan(version=m["version"], columns=list(cols) + [m["key_col"]])
-    thin = thin.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits),
+    thin = thin.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits, curve),
                             batch_format="pyarrow")
     n = sum(f["rows"] for f in m["fragments"])
     frac = min(1.0, _MAX_BOUNDARY_SAMPLE / max(1, n))
@@ -327,7 +327,7 @@ def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
 
 
 def cluster(table, *, cols=None, salt_bits: int = 8,
-            partition_rows: int | None = None,
+            partition_rows: int | None = None, curve: str = "z",
             job_id: str | None = None) -> int:
     """Z-order clustering: range-partition the live table by the salted
     interleaved Z-key (sampled equal-frequency boundaries), then ONE
@@ -361,7 +361,7 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
     # parallelism, bounded reduce-task heap, small run-file fan-out.
     part_rows = partition_rows or max(1, 2 * rpf)
     P = max(1, -(-live_rows // part_rows))
-    bounds = _zkey_boundaries(table, m, cols, ranges, salt_bits, P)
+    bounds = _zkey_boundaries(table, m, cols, ranges, salt_bits, P, curve)
 
     # ONE storage-backed range shuffle (shuffle.py): payload bytes go
     # scan → per-bucket run file → sorted fragment. Ray's object-store
@@ -376,7 +376,7 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
         return np.searchsorted(bounds, z).astype(np.int32)
 
     ds = table.scan(version=m["version"])
-    ds = ds.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits),
+    ds = ds.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits, curve),
                         batch_format="pyarrow")
     # map-batch size: small enough for ≥2 map tasks per CPU (tiny tables
     # stay parallel), large enough to bound the run-file fan-out.

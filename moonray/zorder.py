@@ -44,15 +44,59 @@ def interleave_bits(cols: list[np.ndarray]) -> np.ndarray:
     return z
 
 
+def hilbert_index(cols: list[np.ndarray], bits: int = _BITS) -> np.ndarray:
+    """Vectorized d-dimensional Hilbert curve index from per-column
+    ``bits``-bit uint64 coordinates (Skilling's transpose algorithm,
+    public domain: J. Skilling, "Programming the Hilbert curve", AIP
+    2004). Better locality than Z-order at the cost of a few bit passes;
+    selectable via ``cluster(curve="hilbert")``."""
+    n = len(cols)
+    X = [c.astype(np.uint64).copy() for c in cols]
+    one = np.uint64(1)
+    # inverse undo excess work
+    Q = np.uint64(1) << np.uint64(bits - 1)
+    while Q > one:
+        P = Q - one
+        for i in range(n):
+            flip = (X[i] & Q) != 0
+            # invert low bits of X[0] where flip
+            X[0] = np.where(flip, X[0] ^ P, X[0])
+            # exchange low bits of X[i] and X[0] where not flip
+            t = (X[0] ^ X[i]) & P
+            t = np.where(flip, np.uint64(0), t)
+            X[0] ^= t
+            X[i] ^= t
+        Q >>= one
+    # Gray encode
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = np.uint64(1) << np.uint64(bits - 1)
+    while Q > one:
+        t = np.where((X[n - 1] & Q) != 0, t ^ (Q - one), t)
+        Q >>= one
+    for i in range(n):
+        X[i] ^= t
+    # interleave transposed coordinates MSB-first → single index
+    h = np.zeros_like(X[0])
+    for b in range(bits - 1, -1, -1):
+        for i in range(n):
+            h = (h << one) | ((X[i] >> np.uint64(b)) & one)
+    return h
+
+
 class AddZKey:
-    """map_batches stage: append the salted Z-order key column."""
+    """map_batches stage: append the salted space-filling-curve key
+    column (Z-order bit interleave by default, Hilbert optional)."""
 
     def __init__(self, cols: list[str], ranges: dict[str, tuple[float, float]],
-                 key_col: str, salt_bits: int = 8):
+                 key_col: str, salt_bits: int = 8, curve: str = "z"):
+        assert curve in ("z", "hilbert"), curve
         self.cols = cols
         self.ranges = ranges
         self.key_col = key_col
         self.salt_bits = salt_bits
+        self.curve = curve
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         scaled = []
@@ -60,7 +104,10 @@ class AddZKey:
             vals = batch[c].to_numpy(zero_copy_only=False)
             lo, hi = self.ranges[c]
             scaled.append(_scale_u16(vals, lo, hi))
-        z = interleave_bits(scaled)
+        if self.curve == "hilbert":
+            z = hilbert_index(scaled)
+        else:
+            z = interleave_bits(scaled)
         salt = hash_key_array(batch[self.key_col]) & np.uint64((1 << self.salt_bits) - 1)
         z = (z << np.uint64(self.salt_bits)) | salt
         return batch.append_column(ZKEY, pa.array(z.astype(np.int64) & np.int64(2**63 - 1)))

@@ -165,6 +165,12 @@ def _q_sessionize(sf_dir: str):
     return sessionize_events(sf_dir)
 
 
+def _q_json_props(sf_dir: str):
+    from moonray.pipelines.relational import json_props_agg
+
+    return json_props_agg(sf_dir)
+
+
 def _q_alter(sf_dir: str):
     from moonray.pipelines.relational import alter_evolution_scan
 
@@ -317,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- streaming-shaped ----
         "tumbling_window_events": _q_tumbling,
         "sessionize_events": _q_sessionize,
+        "json_props_agg": _q_json_props,
         # ---- text analysis ----
         "text_stats": _q_text_stats,
         "docs_lang_stats": _q_lang_stats,
@@ -351,6 +358,12 @@ def oracle_sql() -> dict[str, str]:
         "stream_xact_commit": _STREAM_XACT_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "json_props_agg": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY event_type
+        """,
         "tumbling_window_events": """
             SELECT user_id,
                    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,

@@ -161,6 +161,36 @@ def zone_pruned_scan(sf_dir: str, lo: float = 1000.0, hi: float = 5000.0):
         batch_format="pyarrow")
 
 
+def json_props_agg(sf_dir: str):
+    """JSON ingest-converter pipeline: parse the events table's embedded
+    JSON ``props`` column into typed columns (sources/json_ingest.py —
+    the reference's REST JSON→row converter analogue), then aggregate
+    sum(k)/count per event_type with a partial pre-aggregation before
+    the groupby shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from moonray.sources.json_ingest import JsonToRows
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(path, columns=["event_type", "props"])
+    ds = ds.map_batches(
+        JsonToRows(pa.schema([("k", pa.int64())]), json_col="props",
+                   keep_cols=("event_type",)),
+        batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), sum_k=("k", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partial.__name__ = "partial_agg"
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.groupby("event_type")
+              .aggregate(Sum("n_events", alias_name="n_events"),
+                         Sum("sum_k", alias_name="sum_k")))
+
+
 def sessionize_events(sf_dir: str, gap_sec: int = 1800, buckets: int = 32):
     """Streaming-shaped sessionization: per-user sessions split at event
     gaps > gap_sec; emits one row per session (user_id, session_start_us,

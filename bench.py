@@ -98,11 +98,11 @@ def image_table_job(num_cpus: int, n_images: int = N_IMAGES,
     out["merge_rows_per_s"] = n_changes / out["merge_s"]
 
     t2 = time.perf_counter()
-    # cluster() subsumes data compaction (full fragment rewrite + DV
-    # fold-in + fresh zone maps); index merge completes the maintenance
-    # round — running a separate compact pass first would double the IO.
+    # cluster() subsumes the whole maintenance round here: full fragment
+    # rewrite (= compaction + DV fold-in + fresh zone maps) AND a full
+    # index rebuild (one delta per partition, replace_index) — a
+    # separate compact or index-merge pass would redo identical work.
     t.cluster()
-    t.optimize("index")
     out["maintenance_s"] = time.perf_counter() - t2
 
     t3 = time.perf_counter()
@@ -218,7 +218,7 @@ def run_full_bench() -> dict:
 
 SCALING_N_IMAGES = int(os.environ.get("BENCH_SCALING_IMAGES", "16000"))
 SCALING_N_CHANGES = int(os.environ.get("BENCH_SCALING_CHANGES", "10000"))
-SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
+SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
 
 
 def run_scaling_worker(num_cpus: int) -> None:

@@ -60,6 +60,80 @@ class Downsample2x:
                 .set_column(idx_h, "h", pa.array(out_h, pa.int32())))
 
 
+VIDEO_MAGIC = b"MRV1"
+
+
+def encode_video(frames, fmt: str = "png") -> bytes:
+    """Deterministic stand-in video container: ``MRV1`` + frame count +
+    length-prefixed encoded frames (real mp4/ffmpeg is absent from this
+    container — the task contract says stub the codec, keep the Ray-side
+    plumbing real)."""
+    import struct
+
+    payload = b"".join(
+        struct.pack("<I", len(e)) + e
+        for e in (encode_image(f, fmt) for f in frames))
+    return VIDEO_MAGIC + struct.pack("<I", len(frames)) + payload
+
+
+def _iter_video_frames(data: bytes):
+    import struct
+
+    if data[:4] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            "real video containers (mp4/webm) need ffmpeg, absent here — "
+            "swap _iter_video_frames for an ffmpeg/PyAV demuxer")
+    (n,) = struct.unpack("<I", data[4:8])
+    off = 8
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", data[off:off + 4])
+        off += 4
+        yield data[off:off + ln]
+        off += ln
+
+
+class FrameSample:
+    """Actor-pool stage over a binary video column: demux, keep every
+    ``stride``-th frame, re-emit one row per sampled frame
+    (video_id, frame_idx, bytes, w, h). flat_map-shaped: the output has
+    more rows than the input — batch_size stays small because one video
+    row explodes into many frame rows."""
+
+    def __init__(self, stride: int = 2, video_col: str = "video",
+                 id_col: str = "video_id"):
+        self.stride = stride
+        self.video_col = video_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames, ws, hs = [], [], [], [], []
+        for vid, data in zip(batch[self.id_col].to_pylist(),
+                             batch[self.video_col].to_pylist()):
+            for i, fr in enumerate(_iter_video_frames(data)):
+                if i % self.stride:
+                    continue
+                arr = decode_image(fr)
+                ids.append(vid)
+                idxs.append(i)
+                frames.append(fr)
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+        return pa.table({
+            self.id_col: pa.array(ids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "bytes": pa.array(frames, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+        })
+
+
+def sample_frames(ds, *, stride: int = 2, concurrency=(1, 8),
+                  batch_size: int = 16):
+    return ds.map_batches(FrameSample, fn_constructor_args=(stride,),
+                          batch_format="pyarrow", concurrency=concurrency,
+                          batch_size=batch_size)
+
+
 def decode_stats(ds, *, concurrency=(1, 8), batch_size: int = 64):
     return ds.map_batches(DecodeStats, batch_format="pyarrow",
                           concurrency=concurrency, batch_size=batch_size)

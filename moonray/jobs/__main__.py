@@ -1,0 +1,145 @@
+"""CLI entry points for driving moonray tables from ``ray job submit``
+(the north rule's execution surface) — the analogue of the reference's
+RPC/REST control surface (src/moonlink_rpc/src/lib.rs:28-39,
+src/moonlink_service/src/rest_api.rs:407-423):
+
+    ray job submit -- python -m moonray.jobs create  --table /wh/imgs --key image_id --schema-json '[["image_id","string"],...]'
+    ray job submit -- python -m moonray.jobs load    --table /wh/imgs --input /data/part-*.parquet
+    ray job submit -- python -m moonray.jobs merge   --table /wh/imgs --changes /cdc/batch42/*.parquet --job-id batch42
+    ray job submit -- python -m moonray.jobs optimize --table /wh/imgs --mode full
+    ray job submit -- python -m moonray.jobs cluster --table /wh/imgs --curve hilbert
+    ray job submit -- python -m moonray.jobs expire  --table /wh/imgs --keep-last 2
+    ray job submit -- python -m moonray.jobs scan    --table /wh/imgs --output /out/snapshot
+    ray job submit -- python -m moonray.jobs describe --table /wh/imgs
+
+Idempotent per --job-id: resubmitting a finished job is a no-op, a
+killed one resumes at bucket/fragment granularity (checkpoint.py)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+_TYPES = {
+    "string": "pa.string()", "int32": "pa.int32()", "int64": "pa.int64()",
+    "float32": "pa.float32()", "float64": "pa.float64()",
+    "binary": "pa.binary()", "bool": "pa.bool_()",
+}
+
+
+def _pa_type(name: str):
+    import pyarrow as pa
+
+    table = {
+        "string": pa.string(), "int32": pa.int32(), "int64": pa.int64(),
+        "float32": pa.float32(), "float64": pa.float64(),
+        "binary": pa.binary(), "bool": pa.bool_(),
+    }
+    if name not in table:
+        raise SystemExit(f"unknown type {name!r}; one of {sorted(table)}")
+    return table[name]
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="moonray.jobs", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def tbl(sp):
+        sp.add_argument("--table", required=True, help="table root directory")
+
+    sp = sub.add_parser("create")
+    tbl(sp)
+    sp.add_argument("--key", required=True)
+    sp.add_argument("--schema-json", required=True,
+                    help='[["col","type"], ...] types: ' + ",".join(_TYPES))
+    sp.add_argument("--zone-cols", default="")
+    sp.add_argument("--index-partitions", type=int, default=16)
+    sp.add_argument("--rows-per-fragment", type=int, default=4096)
+
+    for name in ("load", "merge"):
+        sp = sub.add_parser(name)
+        tbl(sp)
+        sp.add_argument("--input" if name == "load" else "--changes",
+                        required=True, nargs="+")
+        sp.add_argument("--job-id", default=None)
+
+    sp = sub.add_parser("optimize")
+    tbl(sp)
+    sp.add_argument("--mode", choices=("data", "index", "full"), default="data")
+    sp.add_argument("--job-id", default=None)
+
+    sp = sub.add_parser("cluster")
+    tbl(sp)
+    sp.add_argument("--curve", choices=("z", "hilbert"), default="z")
+    sp.add_argument("--cols", default=None,
+                    help="comma-separated cluster columns (default: table zone_cols)")
+    sp.add_argument("--job-id", default=None)
+
+    sp = sub.add_parser("expire")
+    tbl(sp)
+    sp.add_argument("--keep-last", type=int, default=2)
+
+    sp = sub.add_parser("scan")
+    tbl(sp)
+    sp.add_argument("--output", required=True, help="parquet output dir")
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--columns", default=None)
+
+    sp = sub.add_parser("describe")
+    tbl(sp)
+
+    args = p.parse_args(argv)
+    _ensure_ray()
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moonray.table import MoonrayTable
+
+    if args.cmd == "create":
+        schema = pa.schema([(c, _pa_type(t))
+                            for c, t in json.loads(args.schema_json)])
+        MoonrayTable.create(
+            args.table, key_col=args.key, schema=schema,
+            zone_cols=tuple(x for x in args.zone_cols.split(",") if x),
+            index_partitions=args.index_partitions,
+            rows_per_fragment=args.rows_per_fragment)
+        print(json.dumps({"created": args.table}))
+        return 0
+
+    t = MoonrayTable.open(args.table)
+    if args.cmd == "load":
+        v = t.bulk_load(rd.read_parquet(args.input), job_id=args.job_id)
+    elif args.cmd == "merge":
+        v = t.merge(rd.read_parquet(args.changes), job_id=args.job_id)
+    elif args.cmd == "optimize":
+        v = t.optimize(args.mode, job_id=args.job_id)
+    elif args.cmd == "cluster":
+        cols = args.cols.split(",") if args.cols else None
+        v = t.cluster(cols=cols, curve=args.curve, job_id=args.job_id)
+    elif args.cmd == "expire":
+        print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+        return 0
+    elif args.cmd == "scan":
+        cols = args.columns.split(",") if args.columns else None
+        t.scan(version=args.version, columns=cols).write_parquet(args.output)
+        print(json.dumps({"output": args.output}))
+        return 0
+    elif args.cmd == "describe":
+        print(json.dumps(t.describe()))
+        return 0
+    print(json.dumps({"version": v, **t.describe()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

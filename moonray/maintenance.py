@@ -308,7 +308,8 @@ def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
     import numpy as np
     import ray.data as rd
 
-    thin = table.scan(version=m["version"], columns=list(cols) + [m["key_col"]])
+    thin = table.scan(version=m["version"],
+                      columns=list(dict.fromkeys(list(cols) + [m["key_col"]])))
     thin = thin.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits, curve),
                             batch_format="pyarrow")
     n = sum(f["rows"] for f in m["fragments"])
@@ -348,6 +349,9 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
     if not m["fragments"]:
         return m["version"]
     cols = list(cols or m["zone_cols"])
+    if not cols:
+        raise ValueError("cluster needs cluster columns: pass cols=... or "
+                         "create the table with zone_cols")
     log = LineageLog(table.root, job_id)
     log.stage_start("cluster")
     ranges = {}

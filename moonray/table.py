@@ -419,7 +419,8 @@ class MoonrayTable:
             cols = columns or user_schema.names
             empty = pa.table({c: pa.array([], user_schema.field(c).type) for c in cols})
             return rd.from_arrow(empty)
-        read_cols = list(columns) if columns else [x for x in user_schema.names]
+        read_cols = (list(dict.fromkeys(columns)) if columns
+                     else [x for x in user_schema.names])
         read_schema = pa.schema([user_schema.field(c) for c in read_cols])
         src = FragmentDatasource(self.root, frags, read_schema,
                                  m.get("column_defaults", {}), with_internal)

@@ -1,0 +1,62 @@
+"""Multimodal plumbing: decode-stats, 2× downsample round-trip, video
+frame sampling (deterministic stand-in container per the task contract;
+real codecs raise NotImplementedError)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from moonray.codec import decode_image, psnr
+from moonray.functions.multimodal import (
+    FrameSample,
+    encode_video,
+    downsample2x,
+    sample_frames,
+)
+
+
+def _video(video_id: str, n_frames: int, seed: int):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (32, 64, 3), dtype=np.uint8)
+              for _ in range(n_frames)]
+    return {"video_id": video_id, "video": encode_video(frames, "png")}, frames
+
+
+def test_frame_sampling_every_other():
+    row, frames = _video("v0", 7, seed=1)
+    ds = rd.from_items([row])
+    out = pa.concat_tables([b for b in sample_frames(ds, stride=2).iter_batches(
+        batch_format="pyarrow", batch_size=64)])
+    assert out["frame_idx"].to_pylist() == [0, 2, 4, 6]
+    assert out["w"].to_pylist() == [64] * 4 and out["h"].to_pylist() == [32] * 4
+    # sampled frame pixels round-trip exactly (png path is lossless)
+    got = decode_image(out["bytes"][0].as_py())
+    assert np.array_equal(got, frames[0])
+
+
+def test_real_video_container_is_stubbed():
+    fs = FrameSample()
+    batch = pa.table({"video_id": ["x"], "video": [b"\x00\x00\x00\x18ftypmp4"]})
+    with pytest.raises(NotImplementedError):
+        fs(batch)
+
+
+def test_downsample2x_halves_and_stays_decodable():
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (64, 128, 3), dtype=np.uint8)
+    from moonray.codec import encode_image
+
+    ds = rd.from_items([{
+        "image_id": "i0", "bytes": encode_image(arr, "jpeg"),
+        "w": 128, "h": 64, "fmt": "jpeg",
+    }])
+    out = pa.concat_tables([b for b in downsample2x(ds).iter_batches(
+        batch_format="pyarrow", batch_size=8)])
+    assert out["w"].to_pylist() == [64] and out["h"].to_pylist() == [32]
+    small = decode_image(out["bytes"][0].as_py())
+    assert small.shape == (32, 64, 3)
+    # lossy path: the re-encoded downsample stays within codec tolerance
+    ref = decode_image(encode_image(arr, "jpeg")).reshape(32, 2, 64, 2, 3).mean(
+        axis=(1, 3)).astype(np.uint8)
+    assert psnr(small, ref) >= 40.0

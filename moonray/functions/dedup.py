@@ -24,7 +24,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from moonray.util import as_fn, splitmix64
+from moonray.util import as_fn, hash_key_array, splitmix64
 
 TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 
@@ -82,9 +82,21 @@ def _shingle_set(text: str, n: int = 3) -> list[int]:
             for s in shingles]
 
 
+_SH_C1, _SH_C2, _SH_C3 = (np.uint64(0x9E3779B97F4A7C15),
+                          np.uint64(0xC2B2AE3D27D4EB4F),
+                          np.uint64(0x165667B19E3779F9))
+
+
 class MinHashBands:
     """map_batches: doc → (band_id, band_hash, id) rows. num_perm hash
-    functions simulated by splitmix64 with per-permutation seed mixes."""
+    functions simulated by splitmix64 with per-permutation seed mixes.
+
+    Fully vectorized: all tokens of a batch are hashed in ONE call
+    (polars string hash via util.hash_key_array), shingle hashes come
+    from a vectorized 3-token mix, and the (num_perm × n_shingles)
+    min-reduction is one numpy expression per doc. The exact-Jaccard
+    verify step intentionally keeps its own (md5) shingle space — any
+    injective shingle hash yields the same Jaccard value."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int):
         assert num_perm % bands == 0
@@ -95,19 +107,34 @@ class MinHashBands:
         self.rows_per_band = num_perm // bands
         self.seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = np.array(_shingle_set(text), dtype=np.uint64)
-        # num_perm × n_shingles hash matrix → min per permutation
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for i, seed in enumerate(self.seeds):
-            sig[i] = splitmix64(sh ^ seed).min()
-        return sig
+    def _shingle_hashes_batch(self, texts: list[str], n: int = 3) -> list[np.ndarray]:
+        tok_lists = [[t.lower() for t in TOKEN_RE.findall(x)] for x in texts]
+        flat = [t for toks in tok_lists for t in toks]
+        if flat:
+            th = hash_key_array(pa.array(flat, pa.string()))
+        else:
+            th = np.empty(0, np.uint64)
+        out, off = [], 0
+        for toks in tok_lists:
+            h = th[off:off + len(toks)]
+            off += len(toks)
+            if len(h) == 0:
+                out.append(np.zeros(1, np.uint64))
+            elif len(h) < n:
+                out.append(splitmix64(
+                    np.array([np.bitwise_xor.reduce(h * _SH_C1)], np.uint64)))
+            else:
+                mixed = (h[:-2] * _SH_C1) ^ (h[1:-1] * _SH_C2) ^ (h[2:] * _SH_C3)
+                out.append(np.unique(splitmix64(mixed)))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_band, out_hash, out_id = [], [], []
         ids = batch[self.id_col].to_pylist()
-        for text, did in zip(batch[self.text_col].to_pylist(), ids):
-            sig = self.signature(text)
+        shingles = self._shingle_hashes_batch(batch[self.text_col].to_pylist())
+        for sh, did in zip(shingles, ids):
+            # (num_perm, n_shingles) → min per permutation, one expression
+            sig = splitmix64(sh[None, :] ^ self.seeds[:, None]).min(axis=1)
             for b in range(self.bands):
                 band = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
                 h = hashlib.md5(band.tobytes() + bytes([b])).hexdigest()[:16]
@@ -144,17 +171,37 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         as_fn(MinHashBands(text_col, id_col, num_perm, bands), "minhash_bands"),
         batch_format="pyarrow")
 
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = hash_key_array(b["bhash"]) % np.uint64(32)
+        return b.append_column("_bktb", pa.array(h.astype(np.int32)))
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["id"].to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        """One call per hash BUCKET of band-hashes (a per-(band,bhash)
+        groupby would invoke Python once per ~unique signature): sort by
+        (band, bhash), find equal-signature runs vectorized, emit the
+        within-run id pairs."""
+        t = group.sort_by([("band", "ascending"), ("bhash", "ascending"),
+                           ("id", "ascending")])
+        bh = np.asarray(t["bhash"].to_pandas(), dtype=object)
+        bd = t["band"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(t), dtype=bool)
+        new_run[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(t))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                run = ids[s:e]
+                for i in range(len(run)):
+                    for j in range(i + 1, len(run)):
+                        a_out.append(run[i]); b_out.append(run[j])
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64())})
 
     bucket_pairs.__name__ = "bucket_pairs"
-    cand = band_rows.groupby(["band", "bhash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    cand = (band_rows.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bktb").map_groups(bucket_pairs, batch_format="pyarrow"))
     pairs = {(r["a"], r["b"]) for r in cand.take_all()}
 
     # verify with exact jaccard (broadcast text lookup)

@@ -25,7 +25,6 @@ import os
 import uuid
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -82,63 +81,6 @@ def write_index_deltas(entries_ds, root: str, job_id: str, key_col: str,
     for row in summary.take_all():
         out.setdefault(str(row["part"]), []).append(row["path"])
     return out
-
-
-class ProbeIndex:
-    """map_groups stage over ``_part``: join this partition's probe keys
-    against its index files → hit rows (key, _frag, _off). Candidates in
-    dead fragments are dropped (broadcast live-fragment set). The
-    identity-verification step of the reference (compare key columns at
-    the candidate location, row/moonlink_row.rs:195-248) is subsumed by
-    the exact equi-join on the key itself."""
-
-    def __init__(self, root: str, key_col: str, partitions: dict[str, list[str]],
-                 live_frags: set[str]):
-        self.root = root
-        self.key_col = key_col
-        self.partitions = partitions
-        self.live_frags = live_frags
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        empty = pa.table({self.key_col: group[self.key_col].slice(0, 0),
-                          "_frag": pa.array([], pa.string()),
-                          "_off": pa.array([], pa.uint32())})
-        if len(group) == 0:
-            return empty
-        part = str(int(group[PART_COL][0].as_py()))
-        files = self.partitions.get(part, [])
-        if not files:
-            return empty
-        probe = pd.DataFrame({self.key_col: group[self.key_col].to_pandas()})
-        pieces = []
-        for rel in files:
-            idx = pq.read_table(os.path.join(self.root, rel))
-            df = idx.to_pandas()
-            df = df[df["_frag"].isin(self.live_frags)]
-            hit = df.merge(probe, on=self.key_col, how="inner")
-            if len(hit):
-                pieces.append(hit)
-        if not pieces:
-            return empty
-        hits = pd.concat(pieces, ignore_index=True).drop_duplicates()
-        return pa.table({
-            self.key_col: pa.array(hits[self.key_col], type=group[self.key_col].type),
-            "_frag": pa.array(hits["_frag"], pa.string()),
-            "_off": pa.array(hits["_off"].to_numpy(dtype=np.uint32)),
-        })
-
-
-def probe_keys(keys_ds, root: str, key_col: str, num_partitions: int,
-               partitions: dict[str, list[str]], live_frags: set[str]):
-    """Distributed index probe: hash-partition probe keys, per-partition
-    merge-join → Dataset of (key, _frag, _off) hits."""
-    with_part = keys_ds.map_batches(
-        lambda b: add_partition_column(b, key_col, num_partitions),
-        batch_format="pyarrow",
-    )
-    return with_part.groupby(PART_COL).map_groups(
-        as_fn(ProbeIndex(root, key_col, partitions, live_frags)), batch_format="pyarrow"
-    )
 
 
 class MergeIndexPartition:

@@ -246,7 +246,7 @@ def tumbling_window_events(sf_dir: str, window_sec: int = 3600):
     map_batches before the (user, window) groupby — partial aggregation
     so the shuffle carries one row per (user, window) per batch."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     path = os.path.join(sf_dir, "events.parquet")
 

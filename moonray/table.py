@@ -404,9 +404,10 @@ class MoonrayTable:
         - zone-map pruning: fragments whose min/max don't overlap
           ``predicate_ranges`` {col: (lo, hi)} are never read;
         - column pruning at the parquet read;
-        - DV filter as a broadcast map_batches stage (zero-copy Arrow).
+        - per-fragment DV filtering inside the read tasks (zero-copy
+          Arrow; each task loads only its own DV deltas).
         Note: ``predicate_ranges`` prunes fragments only — callers apply
-        the exact row filter downstream (scan_filtered does both)."""
+        the exact row filter downstream."""
         import ray.data as rd
 
         m = self.manifest(version)

@@ -395,6 +395,55 @@ class MoonrayTable:
 
         return maintenance.cluster(self, cols=cols, **kw)
 
+    def duckdb_view(self, con, name: str, version: int | None = None) -> str:
+        """Register this table's snapshot as a DuckDB view — the
+        reference's headline consumption path (union read of parquet +
+        deletion vectors served to DuckDB/DataFusion,
+        src/moonlink/src/storage/mooncake_table/snapshot_read.rs:152-241,
+        src/moonlink_datafusion/src/table_provider.rs:226-253, where DVs
+        become a parquet RowSelection). Here: a read_parquet view over
+        the live fragments with an anti-join against the DV offsets
+        (exact row-level exclusion via the persisted ``_rowoff``)."""
+        import numpy as np
+
+        from moonray.dv import load_dv_union
+
+        m = self.manifest(version)
+        frags = [f for f in m["fragments"] if f["dv_count"] < f["rows"]]
+        user_schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
+        cols = ", ".join(f'"{c}"' for c in user_schema.names)
+        if not frags:
+            con.sql(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM "
+                    f"(SELECT 1) WHERE 1=0")
+            return name
+        paths = [os.path.join(self.root, f["path"]) for f in frags]
+        path_sql = "[" + ", ".join(f"'{p}'" for p in paths) + "]"
+        dv_rows = []
+        for f in frags:
+            rels = dv_paths_of(f)
+            if rels:
+                for off in load_dv_union(self.root, rels):
+                    dv_rows.append((os.path.join(self.root, f["path"]), int(off)))
+        if dv_rows:
+            dv_tbl = pa.table({
+                "filename": pa.array([r[0] for r in dv_rows], pa.string()),
+                "_rowoff": pa.array(np.array([r[1] for r in dv_rows],
+                                             dtype=np.uint32)),
+            })
+            con.register(f"{name}__dv", dv_tbl)
+            con.sql(f"""
+                CREATE OR REPLACE VIEW {name} AS
+                SELECT {cols}
+                FROM read_parquet({path_sql}, filename=true) t
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM {name}__dv d
+                  WHERE d.filename = t.filename AND d._rowoff = t._rowoff)
+            """)
+        else:
+            con.sql(f"CREATE OR REPLACE VIEW {name} AS SELECT {cols} "
+                    f"FROM read_parquet({path_sql})")
+        return name
+
     # ---------------- read path ----------------
     def scan(self, version: int | None = None, *, columns=None,
              predicate_ranges: dict | None = None, with_internal: bool = False,

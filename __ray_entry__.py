@@ -260,6 +260,15 @@ def _q_near_dups(sf_dir: str):
     return embedding_near_dups(ds, threshold=0.3)
 
 
+def _q_near_dups_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from moonray.functions.dedup import embedding_near_dups_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups_lsh(ds, threshold=0.3, n_tables=12, n_bits=6)
+
+
 def _q_minhash(sf_dir: str):
     from moonray.functions.dedup import minhash_lsh_dedup
 
@@ -333,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": _q_minhash,
         "simhash_fingerprints": _q_simhash,
         "embedding_near_dup_pairs": _q_near_dups,
+        "embedding_near_dup_pairs_lsh": _q_near_dups_lsh,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # ---- similarity search ----
         "knn_cosine_top10": _q_knn,

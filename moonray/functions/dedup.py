@@ -378,3 +378,118 @@ def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
     return ds.map_batches(
         CosinePairs, fn_constructor_args=(mat_ref, ids_ref, id_col, vec_col, threshold),
         batch_format="pyarrow", concurrency=concurrency)
+
+
+class _HyperplaneBuckets:
+    """map_batches: random-hyperplane LSH signature per vector → one row
+    per (probe-table, bucket, id, vec). Multiple independent tables
+    boost recall (a near-dup pair collides in ≥1 table w.h.p.)."""
+
+    def __init__(self, planes_ref, id_col: str, vec_col: str):
+        import ray
+
+        self.planes = ray.get(planes_ref)   # (tables, bits, d) float64
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch[self.vec_col].to_pandas().to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n_tables, bits, _d = self.planes.shape
+        out_t, out_b, out_id, out_vec = [], [], [], []
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        for ti in range(n_tables):
+            signs = (vecs @ self.planes[ti].T) > 0      # (n, bits)
+            codes = signs.astype(np.int64) @ weights
+            out_t.extend([ti] * len(ids))
+            out_b.extend(codes.tolist())
+            out_id.extend(ids.tolist())
+            out_vec.extend(vecs.tolist())
+        return pa.table({
+            "tbl": pa.array(out_t, pa.int32()),
+            "bucket": pa.array(out_b, pa.int64()),
+            "id": pa.array(out_id, pa.int64()),
+            "vec": pa.array(out_vec, pa.list_(pa.float64())),
+        })
+
+
+def embedding_near_dups_lsh(ds, *, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.3, n_tables: int = 8,
+                            n_bits: int = 8, seed: int = 11,
+                            concurrency=(1, 8)):
+    """Sub-quadratic near-dup pairs — the 100 TB scale path the
+    brute-force ``embedding_near_dups`` baselines: random-hyperplane LSH
+    buckets vectors, exact cosine verification runs only WITHIN buckets
+    (each ≪ corpus), pairs dedupe across probe tables. Recall vs the
+    exact baseline is tested (test_embedding_lsh.py)."""
+    import ray
+
+    # dimensionality probe (cheap: one row)
+    first = ds.take(1)[0]
+    d = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes_ref = ray.put(rng.normal(size=(n_tables, n_bits, d)))
+
+    bucketed = ds.map_batches(
+        _HyperplaneBuckets, fn_constructor_args=(planes_ref, id_col, vec_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        """Per (tbl, bucket) hash-bucket group (32-way outer bucketing
+        keeps Python call counts bounded): exact cosine within each
+        equal-bucket run."""
+        t = group.sort_by([("tbl", "ascending"), ("bucket", "ascending"),
+                           ("id", "ascending")])
+        tb = t["tbl"].to_numpy(zero_copy_only=False)
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(t), dtype=bool)
+        new_run[1:] = (tb[1:] != tb[:-1]) | (bk[1:] != bk[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(t))
+        a_out, b_out = [], []
+        vecs = None
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if vecs is None:
+                vecs = np.stack(t["vec"].to_pandas().to_numpy())
+            sub = vecs[s:e]
+            sims = sub @ sub.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            run_ids = ids[s:e]
+            for i, j in zip(ii, jj):
+                a, b = int(run_ids[i]), int(run_ids[j])
+                if a != b:
+                    a_out.append(min(a, b)); b_out.append(max(a, b))
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64())})
+
+    bucket_pairs.__name__ = "lsh_bucket_pairs"
+
+    def outer_bucket(b: pa.Table) -> pa.Table:
+        h = (splitmix64(b["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                        ^ (b["tbl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                           * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(32))
+        return b.append_column("_bkt", pa.array(h.astype(np.int32)))
+
+    pairs = (bucketed.map_batches(outer_bucket, batch_format="pyarrow")
+             .groupby("_bkt").map_groups(bucket_pairs, batch_format="pyarrow"))
+
+    # global dedupe: same (a,b) may surface from several probe tables →
+    # one more tiny groupby on the pair key
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        h = (splitmix64(b["a"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(31)
+                        ^ b["b"].to_numpy(zero_copy_only=False).astype(np.uint64))
+             % np.uint64(16))
+        return b.append_column("_pb", pa.array(h.astype(np.int32)))
+
+    def uniq(group: pa.Table) -> pa.Table:
+        df = group.select(["a", "b"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uniq.__name__ = "uniq_pairs"
+    return (pairs.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("_pb").map_groups(uniq, batch_format="pyarrow"))

@@ -286,14 +286,27 @@ def _record_scaling(out: dict) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     begin, end = "<!-- SCALING_RESULTS -->", "<!-- /SCALING_RESULTS -->"
     lo, hi = out["throughput_lo"], out["throughput_hi"]
+    ratio = hi["num_cpus"] / lo["num_cpus"]
+    phase_rows = []
+    for key, label in (("load_s", "bulk load"), ("merge_s", "MERGE INTO"),
+                       ("maintenance_s", "maintenance (cluster)"),
+                       ("scan_s", "verify scan")):
+        a, b = lo.get(key), hi.get(key)
+        if a and b:
+            phase_rows.append(
+                f"| {label} | {a}s | {b}s | {round(a / b, 2)}× | "
+                f"{round((a / b) / ratio, 2)} |")
     block = (
-        f"{begin}\n## Measured scaling results (bench.py --scaling)\n\n"
+        f"{begin}\n## Measured scaling results (bench.py --scaling, latest run)\n\n"
         f"| cpus | job rows/s | merge rows/s | scan GiB/s |\n|---|---|---|---|\n"
         f"| {lo['num_cpus']} | {lo['rows_per_s']} | {lo['merge_rows_per_s']} | {lo['scan_gib_per_s']} |\n"
         f"| {hi['num_cpus']} | {hi['rows_per_s']} | {hi['merge_rows_per_s']} | {hi['scan_gib_per_s']} |\n\n"
-        f"**Scaling efficiency {lo['num_cpus']}→{hi['num_cpus']} cpus: "
+        f"| phase | {lo['num_cpus']} cpus | {hi['num_cpus']} cpus | speedup | efficiency |\n"
+        f"|---|---|---|---|---|\n" + "\n".join(phase_rows) + "\n\n"
+        f"**Job-level scaling efficiency {lo['num_cpus']}→{hi['num_cpus']} cpus: "
         f"{out['scaling_efficiency']}** (target ≥ 0.8; sf={out['sf']}, "
-        f"n_images={SCALING_N_IMAGES}, n_changes={SCALING_N_CHANGES})\n{end}"
+        f"n_images={SCALING_N_IMAGES}, n_changes={SCALING_N_CHANGES}; see the "
+        f"evidence section above for run-to-run spread and hardware ceilings)\n{end}"
     )
     try:
         text = open(path).read()

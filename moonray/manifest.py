@@ -79,7 +79,12 @@ def commit_manifest(root: str, manifest: dict) -> int:
     manifest.setdefault("format", FORMAT)
     manifest.setdefault("hash_impl", HASH_IMPL)
     path = _vpath(root, version)
-    assert not os.path.exists(path), f"version {version} already committed"
+    if os.path.exists(path):
+        raise RuntimeError(
+            f"version {version} already committed — concurrent writer "
+            "detected. moonray tables are single-writer per table (like "
+            "the reference's one TableHandler per table); serialize "
+            "writers externally or use separate tables.")
     atomic_write_json(path, manifest, durable=True)
     atomic_write_text(os.path.join(root, "versions", "LATEST"), str(version), durable=True)
     return version

@@ -188,6 +188,50 @@ class MoonrayTable:
             "index_files": sum(len(v) for v in m["index"]["partitions"].values()),
         }
 
+    def history(self) -> list[dict]:
+        """Version history (the Iceberg snapshots/metadata-table
+        analogue): one row per retained version with commit LSN, job and
+        stats — newest last."""
+        out = []
+        for v in self.versions():
+            m = self.manifest(v)
+            out.append({
+                "version": v, "parent": m["parent"],
+                "commit_lsn": m["commit_lsn"], "job_id": m["job_id"],
+                "num_fragments": len(m["fragments"]),
+                "rows": sum(f["rows"] - f["dv_count"] for f in m["fragments"]),
+                "stats": m.get("stats", {}),
+            })
+        return out
+
+    def fragments(self, version: int | None = None) -> pa.Table:
+        """Fragment metadata as an Arrow table (the files/manifests
+        metadata-table analogue): id, path, rows, bytes, dv_count and
+        flattened zone-map min/max per zone column."""
+        m = self.manifest(version)
+        rows = []
+        for f in m["fragments"]:
+            row = {"id": f["id"], "path": f["path"], "rows": f["rows"],
+                   "bytes": f["bytes"], "dv_count": f["dv_count"]}
+            for c, (lo, hi) in f.get("zones", {}).items():
+                row[f"zone_{c}_min"] = lo
+                row[f"zone_{c}_max"] = hi
+            rows.append(row)
+        if not rows:
+            return pa.table({"id": pa.array([], pa.string())})
+        return pa.Table.from_pylist(rows)
+
+    def sql(self, query: str, *, view_name: str = "t",
+            version: int | None = None):
+        """Run a DuckDB query against this table's snapshot (registered
+        as ``view_name`` via duckdb_view — the external-SQL consumption
+        path). Returns a pyarrow Table."""
+        import duckdb
+
+        con = duckdb.connect()
+        self.duckdb_view(con, view_name, version)
+        return con.sql(query).arrow()
+
     def pin(self, version: int, token: str) -> None:
         mf.pin(self.root, version, token)
 

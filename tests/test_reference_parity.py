@@ -120,3 +120,22 @@ def test_flush_republishes(tmp_path):
     assert v2 == v + 1
     assert _scan_ids(t) == [1]
     assert t.manifest()["commit_lsn"] == 1
+
+
+def test_history_fragments_sql(tmp_path):
+    t = _mk(tmp_path / "meta")
+    t.merge(_changes([
+        {"op": "I", "lsn": 1, "id": 1, "name": "a", "age": 10},
+        {"op": "I", "lsn": 2, "id": 2, "name": "b", "age": 20},
+    ]), job_id="h1")
+    t.merge(_changes([
+        {"op": "D", "lsn": 3, "id": 2, "name": None, "age": None},
+    ]), job_id="h2")
+    h = t.history()
+    assert [r["version"] for r in h] == [0, 1, 2]
+    assert h[-1]["commit_lsn"] == 3 and h[-1]["job_id"] == "h2"
+    fr = t.fragments()
+    assert set(fr.column_names) >= {"id", "path", "rows", "bytes", "dv_count"}
+    # DuckDB SQL over the snapshot honors the live deletion vector
+    out = t.sql("SELECT count(*) AS n, sum(age) AS s FROM t")
+    assert out.to_pylist() == [{"n": 1, "s": 10}]

@@ -270,11 +270,15 @@ def run_scaling() -> dict:
         "queries": {f"rows_per_s@{lo}cpus": round(thr_lo, 1),
                     f"rows_per_s@{hi}cpus": round(thr_hi, 1)},
         "throughput_lo": {"num_cpus": lo, "rows_per_s": round(thr_lo, 1),
-                          "scan_gib_per_s": results[lo]["scan_gib_per_s"],
-                          "merge_rows_per_s": results[lo]["merge_rows_per_s"]},
+                          **{k: results[lo][k] for k in
+                             ("scan_gib_per_s", "merge_rows_per_s", "load_s",
+                              "merge_s", "maintenance_s", "scan_s")
+                             if k in results[lo]}},
         "throughput_hi": {"num_cpus": hi, "rows_per_s": round(thr_hi, 1),
-                          "scan_gib_per_s": results[hi]["scan_gib_per_s"],
-                          "merge_rows_per_s": results[hi]["merge_rows_per_s"]},
+                          **{k: results[hi][k] for k in
+                             ("scan_gib_per_s", "merge_rows_per_s", "load_s",
+                              "merge_s", "maintenance_s", "scan_s")
+                             if k in results[hi]}},
         "scaling_efficiency": round(eff, 3),
     }
     _record_scaling(out)

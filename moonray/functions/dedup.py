@@ -330,9 +330,11 @@ class SimHash64:
         return batch.append_column("simhash", pa.array(out, pa.int64()))
 
 
-def simhash_fingerprints(ds, text_col: str = "text", concurrency=(1, 8)):
-    return ds.map_batches(SimHash64, fn_constructor_args=(text_col,),
-                          batch_format="pyarrow", concurrency=concurrency)
+def simhash_fingerprints(ds, text_col: str = "text"):
+    # stateless → plain tasks (an actor pool would pay startup for no
+    # per-worker state; actors are for stages that load models/indexes)
+    return ds.map_batches(as_fn(SimHash64(text_col), "simhash64"),
+                          batch_format="pyarrow")
 
 
 # ---------------- embedding near-dups ----------------

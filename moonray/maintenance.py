@@ -264,6 +264,20 @@ class ClusterWriteGroup:
                          "_frag": pa.array([], pa.string()),
                          "_off": pa.array([], pa.uint32())})
 
+    def _check_fault_injection(self, stage_dir: str) -> None:
+        """Same deterministic kill-switch as MergeApply (see merge.py):
+        a FAIL_INJECT file with n aborts every task once ≥ n buckets
+        completed — for fragment-granular resume tests."""
+        import glob as _glob
+
+        flag = os.path.join(stage_dir, "FAIL_INJECT")
+        if os.path.exists(flag):
+            n = int(open(flag).read().strip() or 0)
+            done = len(_glob.glob(os.path.join(stage_dir, "cluster-p*.done.json")))
+            if done >= n:
+                raise RuntimeError(
+                    f"injected failure: {done} cluster buckets done (limit {n})")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from moonray.shuffle import read_bucket
 
@@ -271,6 +285,7 @@ class ClusterWriteGroup:
         for pid in batch["bucket"].to_pylist():
             pid = int(pid)
             stage_dir = os.path.join(self.root, "staging", self.job_id)
+            self._check_fault_injection(stage_dir)
             marker = os.path.join(stage_dir, f"cluster-p{pid:05d}.done.json")
             entries_path = os.path.join(stage_dir, f"cluster-p{pid:05d}-entries.parquet")
             if os.path.exists(marker):

@@ -133,3 +133,36 @@ def test_chaos_seeded_rounds_with_maintenance(tmp_path):
         assert set(got) == set(state), f"round {rnd} post-{maint}"
         assert t.describe()["cardinality"] == len(state)
         lsn0 += 1_000_000
+
+
+def test_cluster_killed_mid_rewrite_resumes(tmp_path):
+    """A cluster pass that dies after 2 of ~N reduce buckets must leave
+    the table unchanged, then resume under the same job_id reusing the
+    completed buckets' fragments — fragment-granular maintenance resume
+    (north rule)."""
+    t = _mk(tmp_path / "ck")
+    ref = _mk(tmp_path / "ckref")
+    ref.cluster(job_id="zc", partition_rows=24)
+    expected = _scan_dict(ref)
+
+    v_before = t.latest_version()
+    stage_dir = os.path.join(t.root, "staging", "zc")
+    os.makedirs(stage_dir, exist_ok=True)
+    with open(os.path.join(stage_dir, "FAIL_INJECT"), "w") as f:
+        f.write("2")
+    # partition_rows=24 → ~7 reduce buckets > the 4 test CPUs, so the
+    # second task wave deterministically sees ≥2 done markers and trips
+    # the injected failure
+    with pytest.raises(Exception):
+        t.cluster(job_id="zc", partition_rows=24)
+    assert t.latest_version() == v_before  # no commit
+    done = [p for p in os.listdir(stage_dir) if p.endswith(".done.json")]
+    assert len(done) >= 2
+    mtimes = {p: os.path.getmtime(os.path.join(stage_dir, p)) for p in done}
+
+    os.remove(os.path.join(stage_dir, "FAIL_INJECT"))
+    v = t.cluster(job_id="zc", partition_rows=24)
+    assert v == v_before + 1
+    assert _scan_dict(t) == expected  # deterministic: same result as ref
+    for p, old in mtimes.items():
+        assert os.path.getmtime(os.path.join(stage_dir, p)) == old

@@ -371,19 +371,22 @@ def oracle_sql() -> dict[str, str]:
         "json_props_agg": """
             SELECT event_type,
                    count(*) AS n_events,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "tumbling_window_events": """
             SELECT user_id,
                    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,
                    count(*) AS n_events,
-                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
         """,
         "text_stats": text_stats_oracle_sql(),
         "docs_lang_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
         "dedup_exact": """

@@ -79,7 +79,10 @@ def main():
             status = f"ROWS got={len(got)} want={len(want)}"
         else:
             try:
-                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                # check_dtype=True: the driver's value-hash is dtype-sensitive
+                # (r1 lesson — DuckDB sum(BIGINT)->HUGEINT->float64 vs Ray int64
+                # passed a dtype-lax compare but failed the driver hash).
+                pd.testing.assert_frame_equal(got, want, check_dtype=True,
                                               check_exact=True)
             except AssertionError as ex:
                 status = "VALUES " + str(ex).splitlines()[-1][:200]

@@ -31,11 +31,16 @@ def merge_dv(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def save_dv(path: str, dv: np.ndarray) -> None:
-    # manifest-gated (no fsync): invisible until a durable manifest
-    # publish references it; rename keeps the file self-consistent
+    # manifest-referenced → must hit disk BEFORE the manifest fsync, or
+    # a power loss could leave a durable manifest pointing at a DV whose
+    # deleted rows resurface (util.fsync_file rationale)
+    from moonray.util import fsync_file
+
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.save(f, np.asarray(dv, dtype=np.uint32))
+        f.flush()
+    fsync_file(tmp)
     os.rename(tmp, path)
 
 

@@ -102,6 +102,9 @@ def write_fragment(
             if f.name not in comp:
                 comp[f.name] = compression
     pq.write_table(out, tmp, compression=comp)
+    from moonray.util import fsync_file
+
+    fsync_file(tmp)  # manifest-referenced: durable before the manifest is
     os.rename(tmp, path)
     meta = {
         "id": frag_id,

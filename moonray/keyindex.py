@@ -61,6 +61,9 @@ class WriteIndexDelta:
         path = os.path.join(self.root, rel)
         tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
         pq.write_table(tbl, tmp, compression="snappy")
+        from moonray.util import fsync_file
+
+        fsync_file(tmp)
         os.rename(tmp, path)
         return pa.table({"part": [part], "path": [rel], "rows": [len(tbl)]})
 
@@ -131,6 +134,9 @@ class MergeIndexPartition:
             path = os.path.join(self.root, rel)
             tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
             pq.write_table(merged, tmp, compression="snappy")
+            from moonray.util import fsync_file
+
+            fsync_file(tmp)
             os.rename(tmp, path)
             out_parts.append(int(part)); out_paths.append(rel); out_rows.append(len(merged))
         return pa.table({"part": pa.array(out_parts, pa.int32()),

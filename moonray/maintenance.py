@@ -312,32 +312,50 @@ class ClusterWriteGroup:
         return pa.concat_tables(out)
 
 
+_MAX_BOUNDARY_FRAGS = 64
+
+
 def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
                      num_partitions: int, curve: str = "z"):
-    """Equal-frequency Z-key range boundaries from a thin column read —
-    only the zone + key columns leave the parquet files (column pruning),
-    never image bytes. Boundaries are a performance knob only:
+    """Equal-frequency Z-key range boundaries from a BOUNDED driver-side
+    sample: the thin columns (zone + key — never image bytes) of ≤64
+    fragments picked by uniform stride over the manifest, ≤1024 rows
+    each, read directly with pyarrow in a small thread pool. Replaces a
+    whole extra Ray pipeline launch (~1-2 s fixed cost per cluster()
+    call, the single biggest drag on job-level scaling efficiency);
+    work is O(constant) regardless of table size, so it stays cheap at
+    any fragment count. Boundaries are a performance knob only:
     correctness never depends on them. Quantile (not equal-width) cuts
     absorb hot phash ranges; the low-bit key-hash salt breaks the
     remaining ties (north_rule skew handling)."""
-    import numpy as np
-    import ray.data as rd
+    from concurrent.futures import ThreadPoolExecutor
 
-    thin = table.scan(version=m["version"],
-                      columns=list(dict.fromkeys(list(cols) + [m["key_col"]])))
-    thin = thin.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits, curve),
-                            batch_format="pyarrow")
-    n = sum(f["rows"] for f in m["fragments"])
-    frac = min(1.0, _MAX_BOUNDARY_SAMPLE / max(1, n))
-    sample = thin.select_columns([ZKEY])
-    if frac < 1.0:
-        sample = sample.random_sample(frac, seed=7)
-    z = np.concatenate([
-        b[ZKEY].to_numpy(zero_copy_only=False)
-        for b in sample.iter_batches(batch_format="pyarrow", batch_size=65536)
-    ] or [np.array([], dtype=np.int64)])
-    if len(z) == 0:
+    import numpy as np
+
+    frags = m["fragments"]
+    if not frags:
         return np.array([], dtype=np.int64)
+    stride = max(1, len(frags) // _MAX_BOUNDARY_FRAGS)
+    pick = frags[::stride][:_MAX_BOUNDARY_FRAGS]
+    thin_cols = list(dict.fromkeys(list(cols) + [m["key_col"]]))
+    zk = AddZKey(cols, ranges, m["key_col"], salt_bits, curve)
+    per_frag = max(16, _MAX_BOUNDARY_SAMPLE // len(pick))
+
+    def sample_one(f) -> np.ndarray:
+        t = pq.read_table(os.path.join(table.root, f["path"]),
+                          columns=thin_cols, memory_map=True, pre_buffer=False)
+        if len(t) == 0:
+            return np.array([], dtype=np.int64)
+        if len(t) > per_frag:
+            step = len(t) // per_frag
+            t = t.take(pa.array(np.arange(0, len(t), step)[:per_frag]))
+        return zk(t)[ZKEY].to_numpy(zero_copy_only=False)
+
+    with ThreadPoolExecutor(max_workers=min(8, len(pick))) as ex:
+        zs = [z for z in ex.map(sample_one, pick) if len(z)]
+    if not zs:
+        return np.array([], dtype=np.int64)
+    z = np.concatenate(zs)
     qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
     return np.unique(np.quantile(z, qs).astype(np.int64))
 
@@ -369,41 +387,67 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
                          "create the table with zone_cols")
     log = LineageLog(table.root, job_id)
     log.stage_start("cluster")
-    ranges = {}
-    for c in cols:
-        mins = [f["zones"][c][0] for f in m["fragments"] if c in f.get("zones", {})]
-        maxs = [f["zones"][c][1] for f in m["fragments"] if c in f.get("zones", {})]
-        ranges[c] = (min(mins), max(maxs)) if mins else (0.0, 0.0)
     rpf = m["rows_per_fragment"]
     live_rows = sum(f["rows"] - f["dv_count"] for f in m["fragments"])
-    # each range partition holds ~2 output fragments: enough reduce
-    # parallelism, bounded reduce-task heap, small run-file fan-out.
-    part_rows = partition_rows or max(1, 2 * rpf)
-    P = max(1, -(-live_rows // part_rows))
-    bounds = _zkey_boundaries(table, m, cols, ranges, salt_bits, P, curve)
 
-    # ONE storage-backed range shuffle (shuffle.py): payload bytes go
-    # scan → per-bucket run file → sorted fragment. Ray's object-store
-    # sort shuffle is O(blocks²) in intermediate objects and blew up
-    # quadratically on wide image payloads.
+    # ---- stage: plan (persisted so a RESUME replays the exact same
+    # shuffle: bounds / P / batch_rows determine run-file slicing and
+    # content-derived names — recomputing them on a different-sized
+    # cluster would mix stale first-attempt runs with differently-sliced
+    # new ones in the same bucket dirs, duplicating rows) ----
+    plan = log.stage_outputs("cluster_plan")
+    if plan is None:
+        log.stage_start("cluster_plan")
+        ranges = {}
+        for c in cols:
+            mins = [f["zones"][c][0] for f in m["fragments"] if c in f.get("zones", {})]
+            maxs = [f["zones"][c][1] for f in m["fragments"] if c in f.get("zones", {})]
+            ranges[c] = (min(mins), max(maxs)) if mins else (0.0, 0.0)
+        # each range partition holds ~2 output fragments: enough reduce
+        # parallelism, bounded reduce-task heap, small run-file fan-out.
+        part_rows = partition_rows or max(1, 2 * rpf)
+        P = max(1, -(-live_rows // part_rows))
+        bounds = _zkey_boundaries(table, m, cols, ranges, salt_bits, P, curve)
+        # map-batch size: small enough for ≥2 map tasks per CPU (tiny
+        # tables stay parallel), large enough to bound run-file fan-out.
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        batch_rows = int(max(min(rpf, live_rows),
+                             min(4096, live_rows // (2 * cpus) or 1)))
+        plan = {"cols": cols, "curve": curve, "salt_bits": salt_bits,
+                "ranges": {c: list(v) for c, v in ranges.items()},
+                "P": int(P), "bounds": [int(x) for x in bounds],
+                "batch_rows": batch_rows,
+                "counters": {"partitions": int(P)}}
+        log.stage_done("cluster_plan", plan)
     import numpy as np
 
+    cols, curve, salt_bits = plan["cols"], plan["curve"], plan["salt_bits"]
+    ranges = {c: tuple(v) for c, v in plan["ranges"].items()}
+    P, batch_rows = plan["P"], plan["batch_rows"]
+    bounds = np.asarray(plan["bounds"], dtype=np.int64)
+
+    # ---- stage: shuffle — ONE storage-backed range pass (shuffle.py):
+    # payload bytes go scan → per-bucket run file → sorted fragment.
+    # Ray's object-store sort shuffle is O(blocks²) in intermediate
+    # objects and blew up quadratically on wide image payloads. ----
     from moonray.shuffle import reduce_buckets, write_runs
 
     def bucket_fn(b: pa.Table) -> np.ndarray:
         z = b[ZKEY].to_numpy(zero_copy_only=False)
         return np.searchsorted(bounds, z).astype(np.int32)
 
-    ds = table.scan(version=m["version"])
-    ds = ds.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits, curve),
-                        batch_format="pyarrow")
-    # map-batch size: small enough for ≥2 map tasks per CPU (tiny tables
-    # stay parallel), large enough to bound the run-file fan-out.
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    batch_rows = int(max(min(rpf, live_rows), min(4096, live_rows // (2 * cpus) or 1)))
-    buckets = write_runs(ds, table.root, job_id, "cluster", int(P),
-                         bucket_fn, id_cols=(m["key_col"],),
-                         batch_rows=batch_rows)
+    shuffle_out = log.stage_outputs("cluster_shuffle")
+    if shuffle_out is None:
+        log.stage_start("cluster_shuffle")
+        ds = table.scan(version=m["version"])
+        ds = ds.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits, curve),
+                            batch_format="pyarrow")
+        buckets = write_runs(ds, table.root, job_id, "cluster", int(P),
+                             bucket_fn, id_cols=(m["key_col"],),
+                             batch_rows=batch_rows)
+        shuffle_out = {"buckets": buckets, "counters": {"buckets": len(buckets)}}
+        log.stage_done("cluster_shuffle", shuffle_out)
+    buckets = shuffle_out["buckets"]
     key_type = table.schema().field(m["key_col"]).type
     entries = reduce_buckets(
         buckets, ClusterWriteGroup(table.root, job_id, m["key_col"],

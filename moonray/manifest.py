@@ -87,6 +87,11 @@ def commit_manifest(root: str, manifest: dict) -> int:
             "writers externally or use separate tables.")
     atomic_write_json(path, manifest, durable=True)
     atomic_write_text(os.path.join(root, "versions", "LATEST"), str(version), durable=True)
+    # fsync the directory so the two renames themselves survive power
+    # loss — file fsync alone doesn't persist the directory entries
+    from moonray.util import fsync_dir
+
+    fsync_dir(os.path.join(root, "versions"))
     return version
 
 

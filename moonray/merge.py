@@ -62,7 +62,8 @@ class MergeApply:
     views (index partition files, per-fragment DV lists, live set)."""
 
     def __init__(self, root: str, job_id: str, key_col: str, zone_cols,
-                 rows_per_fragment: int, user_cols: list[str], ctx_ref):
+                 rows_per_fragment: int, user_cols: list[str], ctx_ref,
+                 seq_col: str | None = None):
         self.root = root
         self.job_id = job_id
         self.key_col = key_col
@@ -70,6 +71,7 @@ class MergeApply:
         self.rpf = rows_per_fragment
         self.user_cols = user_cols
         self.ctx_ref = ctx_ref
+        self.seq_col = seq_col
         self._ctx = None
 
     @property
@@ -79,16 +81,22 @@ class MergeApply:
         return self._ctx
 
     def _winners(self, data: pa.Table) -> pa.Table:
-        """Last-writer-wins per key (strictly increasing LSNs guarantee a
-        unique winner). Pure Arrow/numpy — pandas would coerce nullable
-        int64 payload columns (D rows carry nulls) to float64 and corrupt
-        64-bit phash values."""
-        t = data.sort_by([(self.key_col, "ascending"), (LSN_COL, "ascending")])
-        keys = np.asarray(t[self.key_col].to_pandas(), dtype=object)
-        if len(keys) == 0:
+        """Last-writer-wins per key (strictly increasing LSNs — or the
+        ``seq_col`` tie-break within one streaming xact's constant LSN —
+        guarantee a unique winner). Pure Arrow — pandas would coerce
+        nullable int64 payload columns (D rows carry nulls) to float64
+        and corrupt 64-bit phash values."""
+        sort_keys = [(self.key_col, "ascending"), (LSN_COL, "ascending")]
+        if self.seq_col and self.seq_col in data.column_names:
+            sort_keys.append((self.seq_col, "ascending"))
+        t = data.sort_by(sort_keys)
+        n = len(t)
+        if n == 0:
             return t
-        last = np.ones(len(keys), dtype=bool)
-        last[:-1] = keys[:-1] != keys[1:]
+        k = t[self.key_col]
+        neq = pa.compute.not_equal(k.slice(0, n - 1), k.slice(1))
+        last = np.ones(n, dtype=bool)
+        last[:-1] = np.asarray(neq)
         return t.filter(pa.array(last))
 
     def _probe(self, bucket: int, keys: np.ndarray) -> dict[str, np.ndarray]:
@@ -184,6 +192,9 @@ class MergeApply:
                         rel_dir, f"idx-{self.job_id}-{bucket:04d}.parquet")
                     tmp = os.path.join(self.root, rel) + ".tmp"
                     pq.write_table(merged, tmp, compression="snappy")
+                    from moonray.util import fsync_file
+
+                    fsync_file(tmp)
                     os.rename(tmp, os.path.join(self.root, rel))
                     summary["index"] = rel
             atomic_write_json(marker, summary)
@@ -191,10 +202,14 @@ class MergeApply:
         return pa.table({"payload": pa.array(out_rows, pa.string())})
 
 
-def merge_into(table, changes, *, job_id: str | None = None) -> int:
+def merge_into(table, changes, *, job_id: str | None = None,
+               seq_col: str | None = None) -> int:
     """Apply one CDC change Dataset (op ∈ {I,U,D}, strictly increasing
     lsn, full-row payload for I/U) to the table; returns the committed
-    version. Idempotent per job_id (resume-safe at bucket granularity)."""
+    version. Idempotent per job_id (resume-safe at bucket granularity).
+    ``seq_col``: optional int column breaking LSN ties (streaming xacts
+    commit many staged batches under ONE caller LSN); consumed by the
+    winner sort, never reaches the committed manifest."""
     from moonray.util import new_job_id
 
     job_id = job_id or new_job_id()
@@ -215,8 +230,9 @@ def merge_into(table, changes, *, job_id: str | None = None) -> int:
         def bucket_fn(b: pa.Table) -> np.ndarray:
             return (hash_key_array(b[key_col]) % np.uint64(num_parts)).astype(np.int32)
 
+        id_cols = (key_col, LSN_COL) + ((seq_col,) if seq_col else ())
         buckets = write_runs(changes, table.root, job_id, "merge", num_parts,
-                             bucket_fn, id_cols=(key_col, LSN_COL))
+                             bucket_fn, id_cols=id_cols)
         shuffle_out = {"buckets": buckets, "counters": {"buckets": len(buckets)}}
         log.stage_done("shuffle", shuffle_out)
 
@@ -231,7 +247,8 @@ def merge_into(table, changes, *, job_id: str | None = None) -> int:
         })
         reducer = MergeApply(table.root, job_id, key_col, m["zone_cols"],
                              m["rows_per_fragment"],
-                             [f for f in table.schema().names], ctx_ref)
+                             [f for f in table.schema().names], ctx_ref,
+                             seq_col=seq_col)
         res = reduce_buckets(shuffle_out["buckets"], reducer)
         summaries = [json.loads(r["payload"]) for r in res.take_all()]
         apply_out = {"summaries": summaries, "counters": {

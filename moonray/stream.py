@@ -124,12 +124,18 @@ class StreamTransaction:
                     by_seq.setdefault(seq_of(p), []).append(os.path.join(base, p))
             for seq, paths in sorted(by_seq.items()):
                 ds = rd.read_parquet(paths)
-                op_lsn = lsn * 100_000 + seq
 
-                def tag(b: pa.Table, kind=kind, op_lsn=op_lsn) -> pa.Table:
+                # The caller's RAW lsn becomes the commit LSN; ordering
+                # across append()/delete() calls rides in the _seq
+                # tie-break column, which stays INTERNAL to the merge
+                # (never reaches commit_lsn) — an inflated synthetic LSN
+                # would permanently pollute the table's LSN domain and
+                # break scan_begin(lsn)/wait_for_commit_lsn resolution.
+                def tag(b: pa.Table, kind=kind, seq=seq) -> pa.Table:
                     n = len(b)
                     cols = {"op": pa.array([kind] * n, pa.string()),
-                            "lsn": pa.array([op_lsn] * n, pa.int64())}
+                            "lsn": pa.array([lsn] * n, pa.int64()),
+                            "_seq": pa.array([seq] * n, pa.int64())}
                     for f in schema:
                         if f.name in b.column_names:
                             cols[f.name] = b[f.name]
@@ -142,7 +148,8 @@ class StreamTransaction:
             v = self.table.latest_version()
         else:
             changes = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
-            v = self.table.merge(changes, job_id=f"xact-{self.xid}")
+            v = self.table.merge(changes, job_id=f"xact-{self.xid}",
+                                 seq_col="_seq")
         self._committed_version = v
         shutil.rmtree(self.dir, ignore_errors=True)
         return v

@@ -407,10 +407,11 @@ class MoonrayTable:
         }
         return mf.commit_manifest(self.root, child)
 
-    def merge(self, changes, *, job_id: str | None = None) -> int:
+    def merge(self, changes, *, job_id: str | None = None,
+              seq_col: str | None = None) -> int:
         from moonray.merge import merge_into
 
-        return merge_into(self, changes, job_id=job_id)
+        return merge_into(self, changes, job_id=job_id, seq_col=seq_col)
 
     def stream_begin(self, xid: str):
         """Open a streaming transaction (multi-batch xact staged outside
@@ -448,10 +449,14 @@ class MoonrayTable:
         become a parquet RowSelection). Here: a read_parquet view over
         the live fragments with an anti-join against the DV offsets
         (exact row-level exclusion via the persisted ``_rowoff``)."""
+        import re
+
         import numpy as np
 
         from moonray.dv import load_dv_union
 
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"view name must be a plain identifier: {name!r}")
         m = self.manifest(version)
         frags = [f for f in m["fragments"] if f["dv_count"] < f["rows"]]
         user_schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
@@ -461,18 +466,26 @@ class MoonrayTable:
                     f"(SELECT 1) WHERE 1=0")
             return name
         paths = [os.path.join(self.root, f["path"]) for f in frags]
-        path_sql = "[" + ", ".join(f"'{p}'" for p in paths) + "]"
-        dv_rows = []
+        # single quotes doubled: a quote in the table root must not break
+        # (or inject into) the view SQL
+        path_sql = "[" + ", ".join("'" + p.replace("'", "''") + "'"
+                                   for p in paths) + "]"
+        # vectorized DV relation: concat per-fragment offset arrays +
+        # repeat each filename by its DV length (no per-offset Python loop)
+        dv_offs, dv_names, dv_lens = [], [], []
         for f in frags:
             rels = dv_paths_of(f)
             if rels:
-                for off in load_dv_union(self.root, rels):
-                    dv_rows.append((os.path.join(self.root, f["path"]), int(off)))
-        if dv_rows:
+                offs = load_dv_union(self.root, rels)
+                if len(offs):
+                    dv_offs.append(offs)
+                    dv_names.append(os.path.join(self.root, f["path"]))
+                    dv_lens.append(len(offs))
+        if dv_offs:
             dv_tbl = pa.table({
-                "filename": pa.array([r[0] for r in dv_rows], pa.string()),
-                "_rowoff": pa.array(np.array([r[1] for r in dv_rows],
-                                             dtype=np.uint32)),
+                "filename": pa.array(np.repeat(np.array(dv_names, dtype=object),
+                                               dv_lens), pa.string()),
+                "_rowoff": pa.array(np.concatenate(dv_offs).astype(np.uint32)),
             })
             con.register(f"{name}__dv", dv_tbl)
             con.sql(f"""

@@ -68,21 +68,59 @@ def new_job_id() -> str:
 
 
 def content_id(batch: pa.Table, *cols: str) -> str:
-    """Deterministic 16-hex id from the given columns' values — stable
-    across Ray task retries, so side-effect files (fragments, shuffle
-    runs) written under content-derived names are idempotent: a retried
-    task overwrites the same path instead of duplicating rows."""
+    """Deterministic 16-hex id from the given columns' FULL values —
+    stable across Ray task retries, so side-effect files (fragments,
+    shuffle runs) written under content-derived names are idempotent: a
+    retried task overwrites the same path instead of duplicating rows.
+    Hashes the complete Arrow buffers (via IPC serialization of the id
+    columns, chunk-normalized), not endpoint probes: probe collisions
+    would silently overwrite one run/fragment with another — a
+    silent-data-loss class guarding every exactly-once path. The id
+    columns are narrow (keys + lsn), so the cost is negligible next to
+    the parquet write the name stamps."""
     h = hashlib.blake2b(digest_size=8)
     h.update(len(batch).to_bytes(8, "little"))
-    for c in cols:
-        if c not in batch.column_names or len(batch) == 0:
-            continue
-        col = batch[c]
-        first, last = col[0].as_py(), col[len(batch) - 1].as_py()
-        h.update(repr((c, first, last)).encode())
-        # a cheap middle probe guards against same-endpoint collisions
-        h.update(repr(col[len(batch) // 2].as_py()).encode())
+    present = [c for c in cols if c in batch.column_names]
+    if present and len(batch):
+        t = batch.select(present).combine_chunks()
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        h.update(sink.getvalue())
     return h.hexdigest()
+
+
+# Data-file durability: every file a MANIFEST can reference (fragment
+# parquet, DV delta, index parquet) is fsynced before its rename, and the
+# versions/ dir is fsynced after the manifest publish — so a durable
+# manifest never points at data that hasn't reached disk (power-loss
+# safety for committed versions). Intra-job state (shuffle runs, resume
+# markers, lineage) stays process-crash-scoped: after power loss an
+# in-flight job must restart from scratch, which loses no committed data.
+# MOONRAY_FSYNC_DATA=0 opts out (e.g. throwaway benchmarks on tmpfs).
+_FSYNC_DATA = os.environ.get("MOONRAY_FSYNC_DATA", "1").lower() not in ("0", "false")
+
+
+def fsync_file(path: str) -> None:
+    """fsync an already-written file by path (no-op if opted out)."""
+    if not _FSYNC_DATA:
+        return
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def fsync_dir(path: str) -> None:
+    """fsync a directory so renames within it are durable."""
+    if not _FSYNC_DATA:
+        return
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 _KERNEL_THREADS_CAPPED = False

@@ -77,6 +77,29 @@ def test_stream_xact_commit(tmp_path):
         x.append(rd.from_items([{"id": 1, "name": "x", "age": 1}]))
 
 
+def test_stream_xact_lsn_domain(tmp_path):
+    """A stream commit must record the caller's RAW lsn as commit_lsn —
+    not a synthetic inflated value — so later CDC merges with ordinary
+    LSNs still advance visibility and scan_begin(lsn) resolves the right
+    snapshot (read-at-LSN rule)."""
+    t = _mk(tmp_path / "t3b")
+    x = t.stream_begin("xl")
+    x.append(rd.from_items([{"id": 200, "name": "a", "age": 1}]))
+    x.delete(rd.from_items([{"id": 200}]))  # seq tie-break: delete wins
+    v_x = x.commit(lsn=3)
+    assert t.manifest(v_x)["commit_lsn"] == 3
+    rows = {r["id"] for r in _rows(t)}
+    assert 200 not in rows  # later-seq delete beat the same-lsn append
+    # a later CDC merge with a raw LSN must still raise commit_lsn …
+    t.merge(rd.from_items(
+        [{"op": "I", "lsn": 250, "id": 300, "name": "cdc", "age": 9}]))
+    assert t.manifest()["commit_lsn"] == 250
+    # … and scan_begin resolves to the post-merge version, not the xact's
+    v, tok = t.scan_begin(lsn=250)
+    assert v == t.latest_version()
+    t.scan_end(tok)
+
+
 def test_stream_xact_abort(tmp_path):
     t = _mk(tmp_path / "t4")
     state = _rows(t)

@@ -24,7 +24,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from moonray.util import as_fn, hash_key_array, splitmix64
+from moonray.util import (as_fn, default_buckets, hash_key_array,
+                          list_to_matrix, splitmix64)
 
 TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 
@@ -50,15 +51,18 @@ class KeepFirstPerHash:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t = group.sort_by([(self.id_col, "ascending")])
-        hashes = np.asarray(t["_chash"].to_pandas(), dtype=object)
+        hashes = np.asarray(t["_chash"].combine_chunks())
         _, first = np.unique(hashes, return_index=True)
         return t.take(pa.array(np.sort(first))).drop_columns(["_chash", "_bkt"])
 
 
 def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                prefix_len: int | None = None, buckets: int = 32):
+                prefix_len: int | None = None, buckets: int | None = None):
     """Keep the min-id row per content hash (md5 of text, optionally of a
-    prefix). groupby shuffles hash buckets, not one group per document."""
+    prefix). groupby shuffles hash buckets, not one group per document;
+    bucket count scales with the cluster (util.default_buckets)."""
+    buckets = buckets or default_buckets()
+
     def bucketed(b: pa.Table) -> pa.Table:
         h = np.array([int(x[:8], 16) for x in b["_chash"].to_pylist()], dtype=np.uint64)
         return b.append_column("_bkt", pa.array((h % np.uint64(buckets)).astype(np.int32)))
@@ -171,8 +175,10 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         as_fn(MinHashBands(text_col, id_col, num_perm, bands), "minhash_bands"),
         batch_format="pyarrow")
 
+    n_buckets = default_buckets()
+
     def add_bucket(b: pa.Table) -> pa.Table:
-        h = hash_key_array(b["bhash"]) % np.uint64(32)
+        h = hash_key_array(b["bhash"]) % np.uint64(n_buckets)
         return b.append_column("_bktb", pa.array(h.astype(np.int32)))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -182,7 +188,7 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         within-run id pairs."""
         t = group.sort_by([("band", "ascending"), ("bhash", "ascending"),
                            ("id", "ascending")])
-        bh = np.asarray(t["bhash"].to_pandas(), dtype=object)
+        bh = np.asarray(t["bhash"].combine_chunks())
         bd = t["band"].to_numpy(zero_copy_only=False)
         ids = t["id"].to_numpy(zero_copy_only=False)
         new_run = np.ones(len(t), dtype=bool)
@@ -306,28 +312,40 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 # ---------------- SimHash ----------------
 
 class SimHash64:
-    """map_batches: append a 64-bit SimHash fingerprint column."""
+    """map_batches: append a 64-bit SimHash fingerprint column.
+
+    Vectorized like MinHashBands: ALL tokens of the batch are hashed in
+    one call (polars string hash via util.hash_key_array — any
+    deterministic 64-bit token hash yields a valid SimHash family), the
+    per-token ±1 bit votes are one (tokens × 64) expression, and per-doc
+    vote sums come from np.add.reduceat over the token-count boundaries
+    — no per-token Python/md5 loop."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch[self.text_col].to_pylist():
-            toks = [t.lower() for t in TOKEN_RE.findall(text)]
-            if not toks:
-                out.append(0)
-                continue
-            hs = splitmix64(np.array(
-                [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-                 for t in toks], dtype=np.uint64))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-            val = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                val |= np.uint64(1) << np.uint64(i)
-            out.append(int(val.astype(np.int64)))
-        return batch.append_column("simhash", pa.array(out, pa.int64()))
+        texts = batch[self.text_col].to_pylist()
+        tok_lists = [[t.lower() for t in TOKEN_RE.findall(x)] for x in texts]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        flat = [t for toks in tok_lists for t in toks]
+        votes = np.zeros((len(texts), 64), dtype=np.int64)
+        if flat:
+            hs = hash_key_array(pa.array(flat, pa.string()))
+            sign = (((hs[:, None] >> np.arange(64, dtype=np.uint64))
+                     & np.uint64(1)).astype(np.int64) * 2 - 1)
+            starts = np.cumsum(counts) - counts
+            nonempty = counts > 0
+            # reduceat over the starts of non-empty docs: each segment
+            # ends where the next non-empty doc begins (empty docs own
+            # zero token rows, so boundaries stay exact)
+            votes[nonempty] = np.add.reduceat(sign, starts[nonempty], axis=0)
+        pos = votes > 0
+        val = np.zeros(len(texts), dtype=np.uint64)
+        for i in range(64):
+            val |= pos[:, i].astype(np.uint64) << np.uint64(i)
+        return batch.append_column(
+            "simhash", pa.array(val.astype(np.int64), pa.int64()))
 
 
 def simhash_fingerprints(ds, text_col: str = "text"):
@@ -353,7 +371,7 @@ class CosinePairs:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch[self.vec_col].to_pandas().to_numpy()).astype(np.float64)
+        vecs = list_to_matrix(batch[self.vec_col])
         vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sims = vecs @ self.mat.T                       # (batch, N)
@@ -395,7 +413,7 @@ class _HyperplaneBuckets:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch[self.vec_col].to_pandas().to_numpy()).astype(np.float64)
+        vecs = list_to_matrix(batch[self.vec_col])
         vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         n_tables, bits, _d = self.planes.shape
@@ -457,7 +475,7 @@ def embedding_near_dups_lsh(ds, *, id_col: str = "vec_id",
             if e - s < 2:
                 continue
             if vecs is None:
-                vecs = np.stack(t["vec"].to_pandas().to_numpy())
+                vecs = list_to_matrix(t["vec"])
             sub = vecs[s:e]
             sims = sub @ sub.T
             ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
@@ -471,10 +489,12 @@ def embedding_near_dups_lsh(ds, *, id_col: str = "vec_id",
 
     bucket_pairs.__name__ = "lsh_bucket_pairs"
 
+    n_outer = default_buckets()
+
     def outer_bucket(b: pa.Table) -> pa.Table:
         h = (splitmix64(b["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
                         ^ (b["tbl"].to_numpy(zero_copy_only=False).astype(np.uint64)
-                           * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(32))
+                           * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(n_outer))
         return b.append_column("_bkt", pa.array(h.astype(np.int32)))
 
     pairs = (bucketed.map_batches(outer_bucket, batch_format="pyarrow")
@@ -482,15 +502,20 @@ def embedding_near_dups_lsh(ds, *, id_col: str = "vec_id",
 
     # global dedupe: same (a,b) may surface from several probe tables →
     # one more tiny groupby on the pair key
+    n_pair = default_buckets()
+
     def pair_bucket(b: pa.Table) -> pa.Table:
         h = (splitmix64(b["a"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(31)
                         ^ b["b"].to_numpy(zero_copy_only=False).astype(np.uint64))
-             % np.uint64(16))
+             % np.uint64(n_pair))
         return b.append_column("_pb", pa.array(h.astype(np.int32)))
 
     def uniq(group: pa.Table) -> pa.Table:
-        df = group.select(["a", "b"]).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        ab = np.stack([group["a"].to_numpy(zero_copy_only=False),
+                       group["b"].to_numpy(zero_copy_only=False)], axis=1)
+        u = np.unique(ab, axis=0)
+        return pa.table({"a": pa.array(u[:, 0], pa.int64()),
+                         "b": pa.array(u[:, 1], pa.int64())})
 
     uniq.__name__ = "uniq_pairs"
     return (pairs.map_batches(pair_bucket, batch_format="pyarrow")

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from moonray.util import list_to_matrix
+
 
 class CosineTopK:
     def __init__(self, q_ref, id_col: str, vec_col: str, k: int):
@@ -25,7 +27,7 @@ class CosineTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch[self.vec_col].to_pandas().to_numpy()).astype(np.float64)
+        vecs = list_to_matrix(batch[self.vec_col])
         vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sims = self.q_mat @ vecs.T                       # (Q, batch)
@@ -115,7 +117,7 @@ class IvfTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch[self.vec_col].to_pandas().to_numpy()).astype(np.float64)
+        vecs = list_to_matrix(batch[self.vec_col])
         vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         buckets = np.argmax(vecs @ self.cent.T, axis=1)

@@ -110,18 +110,21 @@ class MergeIndexPartition:
             tables = [pq.read_table(os.path.join(self.root, rel)) for rel in files]
             if tables:
                 merged = pa.concat_tables(tables)
-                mask = np.isin(np.asarray(merged["_frag"]), list(self.live_frags))
+                frags_np = np.asarray(merged["_frag"].combine_chunks())
+                mask = np.isin(frags_np, list(self.live_frags))
                 merged = merged.filter(pa.array(mask))
                 if len(merged):
-                    df = merged.to_pandas()
-                    keep = np.ones(len(df), dtype=bool)
+                    # vectorized dead-row drop — no pandas round-trip
+                    frags_np = frags_np[mask]
+                    offs_np = np.asarray(merged["_off"].combine_chunks())
+                    keep = np.ones(len(merged), dtype=bool)
                     for frag, dvrels in self.dv_paths.items():
-                        sel = df["_frag"].to_numpy() == frag
+                        sel = frags_np == frag
                         if sel.any():
                             dv = load_dv_union(self.root, dvrels)
-                            keep[sel] &= ~np.isin(df["_off"].to_numpy()[sel], dv)
-                    merged = pa.Table.from_pandas(df[keep], preserve_index=False,
-                                                  schema=merged.schema)
+                            keep[sel] &= ~np.isin(offs_np[sel], dv)
+                    if not keep.all():
+                        merged = merged.filter(pa.array(keep))
             else:
                 merged = None
             if merged is None or len(merged) == 0:

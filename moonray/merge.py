@@ -99,32 +99,38 @@ class MergeApply:
         last[:-1] = np.asarray(neq)
         return t.filter(pa.array(last))
 
-    def _probe(self, bucket: int, keys: np.ndarray) -> dict[str, np.ndarray]:
+    def _probe(self, bucket: int, keys: pa.Array) -> dict[str, np.ndarray]:
         """Semi join of winner keys vs this bucket's index files →
         {fragment: fresh row offsets to delete} (already-deleted offsets
-        subtracted so DV deltas stay disjoint and counts exact)."""
-        import pandas as pd
+        subtracted so DV deltas stay disjoint and counts exact). Pure
+        Arrow/numpy: pc.is_in against the probe-key set, then a per-frag
+        np.unique (which also dedupes repeated (frag, off) entries)."""
+        import pyarrow.compute as pc
 
         files = self.ctx["partitions"].get(str(bucket), [])
         live = self.ctx["live"]
         if not files or len(keys) == 0:
             return {}
-        probe = pd.DataFrame({self.key_col: keys})
-        pieces = []
+        key_set = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        live_set = pa.array(list(live), pa.string())
+        frag_parts, off_parts = [], []
         for rel in files:
-            idx = pq.read_table(os.path.join(self.root, rel)).to_pandas()
-            idx = idx[idx["_frag"].isin(live)]
-            hit = idx.merge(probe, on=self.key_col, how="inner")
+            idx = pq.read_table(os.path.join(self.root, rel))
+            mask = pc.and_(pc.is_in(idx[self.key_col], value_set=key_set),
+                           pc.is_in(idx["_frag"], value_set=live_set))
+            hit = idx.filter(mask)
             if len(hit):
-                pieces.append(hit[["_frag", "_off"]])
-        if not pieces:
+                frag_parts.append(np.asarray(hit["_frag"].combine_chunks()))
+                off_parts.append(np.asarray(hit["_off"].combine_chunks()))
+        if not frag_parts:
             return {}
-        hits = pd.concat(pieces, ignore_index=True).drop_duplicates()
+        frags_np = np.concatenate(frag_parts)
+        offs_np = np.concatenate(off_parts)
         out: dict[str, np.ndarray] = {}
-        for frag, grp in hits.groupby("_frag"):
-            offs = grp["_off"].to_numpy(dtype=np.uint32)
+        for frag in np.unique(frags_np):
+            offs = np.unique(offs_np[frags_np == frag]).astype(np.uint32)
             old = load_dv_union(self.root, self.ctx["old_dv"].get(frag, []))
-            fresh = np.setdiff1d(offs, old, assume_unique=False)
+            fresh = np.setdiff1d(offs, old, assume_unique=True)
             if len(fresh):
                 out[str(frag)] = fresh
         return out
@@ -165,9 +171,8 @@ class MergeApply:
                 summary["rows_in"] = len(data)
                 summary["max_lsn"] = int(pa.compute.max(data[LSN_COL]).as_py())
                 win = self._winners(data)
-                keys = np.asarray(win[self.key_col].to_pandas(), dtype=object)
                 # semi join → DV deltas
-                for frag, offs in self._probe(bucket, keys).items():
+                for frag, offs in self._probe(bucket, win[self.key_col]).items():
                     rel = os.path.join(
                         "dv", f"{frag}.{self.job_id}.b{bucket:05d}.npy")
                     save_dv(os.path.join(self.root, rel), np.sort(offs))

@@ -180,9 +180,14 @@ def json_props_agg(sf_dir: str):
         batch_format="pyarrow")
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().groupby("event_type", as_index=False).agg(
-            n_events=("k", "size"), sum_k=("k", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # pure-Arrow partial agg (a pandas detour per batch costs a full
+        # copy and risks nullable-int → float64 coercion); count mode
+        # "all" = SQL count(*) incl. null k
+        g = b.group_by("event_type", use_threads=False).aggregate(
+            [("k", "count", pc.CountOptions(mode="all")), ("k", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "n_events": g["k_count"].cast(pa.int64()),
+                         "sum_k": g["k_sum"].cast(pa.int64())})
 
     partial.__name__ = "partial_agg"
     ds = ds.map_batches(partial, batch_format="pyarrow")
@@ -191,7 +196,8 @@ def json_props_agg(sf_dir: str):
                          Sum("sum_k", alias_name="sum_k")))
 
 
-def sessionize_events(sf_dir: str, gap_sec: int = 1800, buckets: int = 32):
+def sessionize_events(sf_dir: str, gap_sec: int = 1800,
+                      buckets: int | None = None):
     """Streaming-shaped sessionization: per-user sessions split at event
     gaps > gap_sec; emits one row per session (user_id, session_start_us,
     n_events, duration_us). Classic gaps-and-islands — per-user event
@@ -200,8 +206,11 @@ def sessionize_events(sf_dir: str, gap_sec: int = 1800, buckets: int = 32):
     group calls; the shuffle carries only ts/user_id columns)."""
     import ray.data as rd
 
+    from moonray.util import default_buckets
+
     path = os.path.join(sf_dir, "events.parquet")
     gap_us = gap_sec * 1_000_000
+    buckets = buckets or default_buckets()
 
     def bucketed(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -263,9 +272,13 @@ def tumbling_window_events(sf_dir: str, window_sec: int = 3600):
         })
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().groupby(["user_id", "win"], as_index=False).agg(
-            n_events=("value_cents", "size"), sum_cents=("value_cents", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # pure-Arrow partial agg — see json_props_agg.partial
+        g = b.group_by(["user_id", "win"], use_threads=False).aggregate(
+            [("value_cents", "count", pc.CountOptions(mode="all")),
+             ("value_cents", "sum")])
+        return pa.table({"user_id": g["user_id"], "win": g["win"],
+                         "n_events": g["value_cents_count"].cast(pa.int64()),
+                         "sum_cents": g["value_cents_sum"].cast(pa.int64())})
 
     partial.__name__ = "partial_agg"
     ds = rd.read_parquet(path, columns=["ts", "user_id", "value"])

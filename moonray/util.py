@@ -58,6 +58,24 @@ def hash_key_array(arr) -> np.ndarray:
     return hash_key_array(pa.array(arr_np))
 
 
+def list_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Fixed-length list<float> column → (n, d) matrix, zero-copy from
+    the Arrow values buffer where possible (the pandas detour
+    ``np.stack(col.to_pandas())`` materializes n Python objects + n
+    small arrays per batch)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if not pa.types.is_fixed_size_list(col.type):
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        if not (lens == lens[0]).all():
+            raise ValueError("ragged embedding column: lists have unequal lengths")
+    return np.ascontiguousarray(vals.reshape(n, len(vals) // n), dtype=dtype)
+
+
 def stable_hash_str(s: str) -> int:
     """Deterministic 64-bit hash of one string (seed derivation, frag bucketing)."""
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
@@ -65,6 +83,16 @@ def stable_hash_str(s: str) -> int:
 
 def new_job_id() -> str:
     return uuid.uuid4().hex[:12]
+
+
+def default_buckets(per_cpu: int = 4, lo: int = 16, hi: int = 4096) -> int:
+    """Shuffle fan-out sized to the cluster (~per_cpu reduce groups per
+    CPU for scheduling slack), clamped: hardcoded constants (the old 32)
+    cap parallelism on a big cluster and over-shard a laptop."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return int(min(hi, max(lo, per_cpu * cpus)))
 
 
 def content_id(batch: pa.Table, *cols: str) -> str:

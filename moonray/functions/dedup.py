@@ -156,6 +156,188 @@ def _jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+# ---------------- distributed pair verification ----------------
+#
+# Shared by minhash LSH (payload = shingle-hash set) and embedding LSH
+# (payload = vector): candidate pairs are verified WITHOUT any
+# whole-corpus broadcast or driver round-trip. Shuffle bytes are
+# ∝ candidates + payloads-of-candidate-ids — never ∝ corpus, and never
+# ∝ corpus × n_tables.
+
+
+def _dedupe_pairs(pairs, *, n_buckets: int | None = None):
+    """Distributed (a, b) pair dedupe: hash-bucket the pair key, unique
+    within each bucket (same pair key → same bucket → global dedupe)."""
+    n_buckets = n_buckets or default_buckets()
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        h = (splitmix64(b["a"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(31)
+                        ^ b["b"].to_numpy(zero_copy_only=False).astype(np.uint64))
+             % np.uint64(n_buckets))
+        return b.append_column("_pb", pa.array(h.astype(np.int32)))
+
+    def uniq(group: pa.Table) -> pa.Table:
+        ab = np.stack([group["a"].to_numpy(zero_copy_only=False),
+                       group["b"].to_numpy(zero_copy_only=False)], axis=1)
+        u = np.unique(ab, axis=0)
+        return pa.table({"a": pa.array(u[:, 0], pa.int64()),
+                         "b": pa.array(u[:, 1], pa.int64())})
+
+    uniq.__name__ = "uniq_pairs"
+    return (pairs.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("_pb").map_groups(uniq, batch_format="pyarrow"))
+
+
+def _candidate_ids_ref(pairs):
+    """Distinct ids appearing in the candidate pairs, sorted, broadcast
+    once via ray.put. This is the legitimate SMALL-side broadcast:
+    O(candidate ids) — two int64 columns' worth — never the corpus."""
+    import ray
+
+    def ids_of(b: pa.Table) -> pa.Table:
+        v = np.concatenate([b["a"].to_numpy(zero_copy_only=False),
+                            b["b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"id": pa.array(np.unique(v), pa.int64())})
+
+    ids_of.__name__ = "pair_ids"
+    ids = pairs.map_batches(ids_of, batch_format="pyarrow").unique("id")
+    return ray.put(np.sort(np.asarray(ids, dtype=np.int64)))
+
+
+def _filter_to_ids(batch: pa.Table, id_col: str, cand_sorted: np.ndarray) -> pa.Table:
+    """Keep only rows whose id is in the sorted candidate array."""
+    if len(cand_sorted) == 0 or len(batch) == 0:
+        return batch.slice(0, 0)
+    v = batch[id_col].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(cand_sorted, v)
+    pos_c = np.minimum(pos, len(cand_sorted) - 1)
+    found = (pos < len(cand_sorted)) & (cand_sorted[pos_c] == v)
+    return batch.filter(pa.array(found))
+
+
+def _verify_pairs(pairs, payloads, payload_type: pa.DataType, verdict_fn, *,
+                  n_buckets: int | None = None):
+    """Verify candidate pairs against per-id payloads, fully distributed:
+
+    1. each pair (a, b) splits into two id-keyed HALF rows; halves and
+       (id, payload) rows co-shuffle by hash(id) bucket, where each
+       group attaches payloads by a local sorted-array join;
+    2. payload-carrying halves re-shuffle by the PAIR key; each pair's
+       two sides meet in one group, where ``verdict_fn(tbl, ii, jj)``
+       returns a keep-mask over pair index arrays into the group table.
+
+    Duplicate candidate pairs collapse naturally (one verdict per pair
+    key run). Pairs whose payload is missing on either side are dropped.
+    Returns a Dataset[a:int64, b:int64] of verified pairs."""
+    n_buckets = n_buckets or default_buckets()
+
+    def halves(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.table({
+            "id": pa.array(np.concatenate([a, bb]), pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+            "payload": pa.array([None] * (2 * n), payload_type),
+            "kind": pa.array(np.zeros(2 * n, dtype=np.int8)),
+        })
+
+    halves.__name__ = "pair_halves"
+
+    def tag_payload(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "id": b["id"].cast(pa.int64()),
+            "a": pa.array(np.full(n, -1, dtype=np.int64)),
+            "b": pa.array(np.full(n, -1, dtype=np.int64)),
+            "payload": b["payload"],
+            "kind": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    tag_payload.__name__ = "tag_payload"
+
+    def id_bucket(b: pa.Table) -> pa.Table:
+        h = splitmix64(b["id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return b.append_column("_vb", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
+
+    unioned = (pairs.map_batches(halves, batch_format="pyarrow")
+               .union(payloads.map_batches(tag_payload, batch_format="pyarrow"))
+               .map_batches(id_bucket, batch_format="pyarrow"))
+
+    def attach(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "payload": pa.array([], payload_type)})
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        doc_mask = kind == 1
+        half_mask = ~doc_mask
+        doc_ids = ids[doc_mask]
+        if not len(doc_ids) or not half_mask.any():
+            return empty
+        order = np.argsort(doc_ids)
+        doc_sorted = doc_ids[order]
+        doc_payload = g.filter(pa.array(doc_mask))["payload"]
+        hid = ids[half_mask]
+        pos = np.searchsorted(doc_sorted, hid)
+        pos_c = np.minimum(pos, len(doc_sorted) - 1)
+        found = (pos < len(doc_sorted)) & (doc_sorted[pos_c] == hid)
+        half_tbl = g.filter(pa.array(half_mask)).filter(pa.array(found))
+        if not len(half_tbl):
+            return empty
+        take_idx = order[pos_c[found]]
+        return pa.table({"id": half_tbl["id"], "a": half_tbl["a"],
+                         "b": half_tbl["b"],
+                         "payload": doc_payload.take(pa.array(take_idx))})
+
+    attach.__name__ = "attach_payload"
+    attached = unioned.groupby("_vb").map_groups(attach, batch_format="pyarrow")
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        h = (splitmix64(b["a"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(31)
+                        ^ b["b"].to_numpy(zero_copy_only=False).astype(np.uint64))
+             % np.uint64(n_buckets))
+        return b.append_column("_pb", pa.array(h.astype(np.int32)))
+
+    def verify(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        n = len(g)
+        if n == 0:
+            return empty
+        t = g.sort_by([("a", "ascending"), ("b", "ascending"), ("id", "ascending")])
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b_ = t["b"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b_[1:] != b_[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        ii, jj = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run_ids = ids[s:e]
+            ia = np.flatnonzero(run_ids == a[s])
+            ib = np.flatnonzero(run_ids == b_[s])
+            if not len(ia) or not len(ib):
+                continue
+            ii.append(s + ia[0])
+            jj.append(s + ib[0])
+        if not ii:
+            return empty
+        ii, jj = np.asarray(ii), np.asarray(jj)
+        mask = np.asarray(verdict_fn(t, ii, jj), dtype=bool)
+        return pa.table({"a": pa.array(a[ii[mask]], pa.int64()),
+                         "b": pa.array(b_[ii[mask]], pa.int64())})
+
+    verify.__name__ = "verify_pairs"
+    return (attached.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("_pb").map_groups(verify, batch_format="pyarrow"))
+
+
 def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.8):
@@ -163,13 +345,11 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     representatives (min id per near-dup cluster).
 
     Scale notes: the LSH shuffle carries only (band, bhash, id); the
-    verify step re-reads candidate docs via a broadcast text lookup —
-    acceptable while candidates ≪ corpus (true for near-dup detection);
-    the connected-components union-find runs on the driver over verified
-    PAIRS (tiny). At 100 TB the verify stage would fetch texts from the
-    table by id instead of a broadcast dict."""
+    exact-Jaccard verify runs DISTRIBUTED via _verify_pairs (shingle
+    payloads of candidate ids co-shuffle with pair halves — no corpus
+    broadcast, no candidate take_all); only the VERIFIED pairs (tiny)
+    reach the driver for the connected-components union-find."""
     import ray
-    import ray.data as rd
 
     band_rows = ds.map_batches(
         as_fn(MinHashBands(text_col, id_col, num_perm, bands), "minhash_bands"),
@@ -208,29 +388,38 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     bucket_pairs.__name__ = "bucket_pairs"
     cand = (band_rows.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_bktb").map_groups(bucket_pairs, batch_format="pyarrow"))
-    pairs = {(r["a"], r["b"]) for r in cand.take_all()}
+    # thin (a, b) candidates: materialize once (bounded by band
+    # collisions, two int64 columns) so dedupe + id-extraction + verify
+    # don't re-run the LSH pipeline
+    cand = _dedupe_pairs(cand).materialize()
+    ids_ref = _candidate_ids_ref(cand)
 
-    # verify with exact jaccard (broadcast text lookup)
-    texts = {r[id_col]: r[text_col]
-             for r in ds.select_columns([id_col, text_col]).take_all()}
-    texts_ref = ray.put(texts)
+    def shingle_payloads(b: pa.Table) -> pa.Table:
+        """Shingle-hash payloads for CANDIDATE docs only (the broadcast
+        id filter is the small side; non-candidates never shingle)."""
+        sel = _filter_to_ids(b, id_col, ray.get(ids_ref))
+        pl = [np.unique(np.asarray(_shingle_set(t), dtype=np.uint64)).tolist()
+              for t in sel[text_col].to_pylist()]
+        return pa.table({"id": sel[id_col].cast(pa.int64()),
+                         "payload": pa.array(pl, pa.list_(pa.uint64()))})
 
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
-        keep_a, keep_b = [], []
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            sa = set(_shingle_set(lookup[a]))
-            sb = set(_shingle_set(lookup[b]))
-            if _jaccard(sa, sb) >= jaccard_threshold:
-                keep_a.append(a); keep_b.append(b)
-        return pa.table({"a": pa.array(keep_a, pa.int64()),
-                         "b": pa.array(keep_b, pa.int64())})
+    shingle_payloads.__name__ = "shingle_payloads"
+    payloads = ds.select_columns([id_col, text_col]).map_batches(
+        shingle_payloads, batch_format="pyarrow")
 
-    if pairs:
-        pair_ds = rd.from_items([{"a": a, "b": b} for a, b in sorted(pairs)])
-        verified = pair_ds.map_batches(verify, batch_format="pyarrow").take_all()
-    else:
-        verified = []
+    def jaccard_verdict(t: pa.Table, ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+        plist = t["payload"].to_pylist()
+        out = np.zeros(len(ii), dtype=bool)
+        for k in range(len(ii)):
+            sa = np.asarray(plist[ii[k]], dtype=np.uint64)
+            sb = np.asarray(plist[jj[k]], dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            out[k] = (union == 0) or (inter / union >= jaccard_threshold)
+        return out
+
+    verified = _verify_pairs(cand, payloads, pa.list_(pa.uint64()),
+                             jaccard_verdict).take_all()
 
     # connected components (union-find on the driver over verified pairs)
     parent: dict[int, int] = {}
@@ -401,9 +590,13 @@ def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
 
 
 class _HyperplaneBuckets:
-    """map_batches: random-hyperplane LSH signature per vector → one row
-    per (probe-table, bucket, id, vec). Multiple independent tables
-    boost recall (a near-dup pair collides in ≥1 table w.h.p.)."""
+    """map_batches: random-hyperplane LSH signature per vector → one THIN
+    row per (probe-table, bucket, id). Multiple independent tables boost
+    recall (a near-dup pair collides in ≥1 table w.h.p.). Vectors
+    deliberately do NOT ride along: emitting the payload once per probe
+    table would amplify shuffle bytes ×n_tables; the exact-cosine check
+    happens later in _verify_pairs, where each candidate id's vector
+    moves once."""
 
     def __init__(self, planes_ref, id_col: str, vec_col: str):
         import ray
@@ -413,24 +606,24 @@ class _HyperplaneBuckets:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"tbl": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64())})
         vecs = list_to_matrix(batch[self.vec_col])
         vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n_tables, bits, _d = self.planes.shape
-        out_t, out_b, out_id, out_vec = [], [], [], []
+        n = len(ids)
         weights = (1 << np.arange(bits)).astype(np.int64)
-        for ti in range(n_tables):
-            signs = (vecs @ self.planes[ti].T) > 0      # (n, bits)
-            codes = signs.astype(np.int64) @ weights
-            out_t.extend([ti] * len(ids))
-            out_b.extend(codes.tolist())
-            out_id.extend(ids.tolist())
-            out_vec.extend(vecs.tolist())
+        # (tables, n) codes in one tensor contraction
+        signs = (np.tensordot(self.planes, vecs.T, axes=([2], [0])) > 0)
+        codes = np.tensordot(signs.transpose(0, 2, 1).astype(np.int64),
+                             weights, axes=([2], [0]))      # (tables, n)
         return pa.table({
-            "tbl": pa.array(out_t, pa.int32()),
-            "bucket": pa.array(out_b, pa.int64()),
-            "id": pa.array(out_id, pa.int64()),
-            "vec": pa.array(out_vec, pa.list_(pa.float64())),
+            "tbl": pa.array(np.repeat(np.arange(n_tables, dtype=np.int32), n)),
+            "bucket": pa.array(codes.reshape(-1), pa.int64()),
+            "id": pa.array(np.tile(ids, n_tables), pa.int64()),
         })
 
 
@@ -441,9 +634,12 @@ def embedding_near_dups_lsh(ds, *, id_col: str = "vec_id",
                             concurrency=(1, 8)):
     """Sub-quadratic near-dup pairs — the 100 TB scale path the
     brute-force ``embedding_near_dups`` baselines: random-hyperplane LSH
-    buckets vectors, exact cosine verification runs only WITHIN buckets
-    (each ≪ corpus), pairs dedupe across probe tables. Recall vs the
-    exact baseline is tested (test_embedding_lsh.py)."""
+    emits THIN (tbl, bucket, id) rows, equal-bucket runs propose
+    candidate id pairs, and _verify_pairs checks exact cosine with each
+    candidate's vector shuffled ONCE (shuffle bytes ∝ corpus ids ×
+    n_tables + candidate vectors — never full vectors × n_tables).
+    Zero false positives (exact verify); recall vs the exact baseline is
+    tested (test_embedding_lsh.py)."""
     import ray
 
     # dimensionality probe (cheap: one row)
@@ -457,9 +653,9 @@ def embedding_near_dups_lsh(ds, *, id_col: str = "vec_id",
         batch_format="pyarrow", concurrency=concurrency)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        """Per (tbl, bucket) hash-bucket group (32-way outer bucketing
-        keeps Python call counts bounded): exact cosine within each
-        equal-bucket run."""
+        """Per outer hash-bucket of (tbl, bucket): emit the candidate id
+        pairs of every equal-bucket run (no payload here — cosine comes
+        from the verify stage)."""
         t = group.sort_by([("tbl", "ascending"), ("bucket", "ascending"),
                            ("id", "ascending")])
         tb = t["tbl"].to_numpy(zero_copy_only=False)
@@ -470,22 +666,18 @@ def embedding_near_dups_lsh(ds, *, id_col: str = "vec_id",
         starts = np.flatnonzero(new_run)
         ends = np.append(starts[1:], len(t))
         a_out, b_out = [], []
-        vecs = None
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            if vecs is None:
-                vecs = list_to_matrix(t["vec"])
-            sub = vecs[s:e]
-            sims = sub @ sub.T
-            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-            run_ids = ids[s:e]
-            for i, j in zip(ii, jj):
-                a, b = int(run_ids[i]), int(run_ids[j])
-                if a != b:
-                    a_out.append(min(a, b)); b_out.append(max(a, b))
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64())})
+            run = ids[s:e]
+            ii, jj = np.triu_indices(len(run), k=1)
+            a_out.append(run[ii])
+            b_out.append(run[jj])
+        if not a_out:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                         "b": pa.array(np.concatenate(b_out), pa.int64())})
 
     bucket_pairs.__name__ = "lsh_bucket_pairs"
 
@@ -497,26 +689,25 @@ def embedding_near_dups_lsh(ds, *, id_col: str = "vec_id",
                            * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(n_outer))
         return b.append_column("_bkt", pa.array(h.astype(np.int32)))
 
-    pairs = (bucketed.map_batches(outer_bucket, batch_format="pyarrow")
-             .groupby("_bkt").map_groups(bucket_pairs, batch_format="pyarrow"))
+    cand = (bucketed.map_batches(outer_bucket, batch_format="pyarrow")
+            .groupby("_bkt").map_groups(bucket_pairs, batch_format="pyarrow"))
+    cand = _dedupe_pairs(cand).materialize()  # thin (a, b) only
+    ids_ref = _candidate_ids_ref(cand)
 
-    # global dedupe: same (a,b) may surface from several probe tables →
-    # one more tiny groupby on the pair key
-    n_pair = default_buckets()
+    def vec_payloads(b: pa.Table) -> pa.Table:
+        sel = _filter_to_ids(b.select([id_col, vec_col]), id_col,
+                             ray.get(ids_ref))
+        vecs = list_to_matrix(sel[vec_col])
+        if len(vecs):
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        return pa.table({"id": sel[id_col].cast(pa.int64()),
+                         "payload": pa.array(list(vecs), pa.list_(pa.float64()))})
 
-    def pair_bucket(b: pa.Table) -> pa.Table:
-        h = (splitmix64(b["a"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(31)
-                        ^ b["b"].to_numpy(zero_copy_only=False).astype(np.uint64))
-             % np.uint64(n_pair))
-        return b.append_column("_pb", pa.array(h.astype(np.int32)))
+    vec_payloads.__name__ = "vec_payloads"
+    payloads = ds.map_batches(vec_payloads, batch_format="pyarrow")
 
-    def uniq(group: pa.Table) -> pa.Table:
-        ab = np.stack([group["a"].to_numpy(zero_copy_only=False),
-                       group["b"].to_numpy(zero_copy_only=False)], axis=1)
-        u = np.unique(ab, axis=0)
-        return pa.table({"a": pa.array(u[:, 0], pa.int64()),
-                         "b": pa.array(u[:, 1], pa.int64())})
+    def cosine_verdict(t: pa.Table, ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+        mat = list_to_matrix(t["payload"])
+        return np.einsum("ij,ij->i", mat[ii], mat[jj]) >= threshold
 
-    uniq.__name__ = "uniq_pairs"
-    return (pairs.map_batches(pair_bucket, batch_format="pyarrow")
-            .groupby("_pb").map_groups(uniq, batch_format="pyarrow"))
+    return _verify_pairs(cand, payloads, pa.list_(pa.float64()), cosine_verdict)

@@ -285,12 +285,11 @@ def _q_images_flagship(sf_dir: str):
     """Engine-native flagship on the synthetic image+caption table
     (BASELINE.json input_hint schema): bulk load → MERGE CDC → compact →
     cluster → scan. Verified against the brute-force oracle in tests/."""
-    import tempfile
-
     from moonray.fixtures import IMAGE_SCHEMA, make_changes_dataset, make_images_dataset
     from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
 
-    root = tempfile.mkdtemp(prefix="moonray-img-")
+    root = scratch_root("moonray-img-")
     t = MoonrayTable.create(root, key_col="image_id", schema=IMAGE_SCHEMA,
                             zone_cols=("phash", "w", "h"), index_partitions=8,
                             rows_per_fragment=128)

@@ -165,33 +165,13 @@ def _jaccard(a: set, b: set) -> float:
 # ∝ corpus × n_tables.
 
 
-def _dedupe_pairs(pairs, *, n_buckets: int | None = None):
-    """Distributed (a, b) pair dedupe: hash-bucket the pair key, unique
-    within each bucket (same pair key → same bucket → global dedupe)."""
-    n_buckets = n_buckets or default_buckets()
-
-    def pair_bucket(b: pa.Table) -> pa.Table:
-        h = (splitmix64(b["a"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(31)
-                        ^ b["b"].to_numpy(zero_copy_only=False).astype(np.uint64))
-             % np.uint64(n_buckets))
-        return b.append_column("_pb", pa.array(h.astype(np.int32)))
-
-    def uniq(group: pa.Table) -> pa.Table:
-        ab = np.stack([group["a"].to_numpy(zero_copy_only=False),
-                       group["b"].to_numpy(zero_copy_only=False)], axis=1)
-        u = np.unique(ab, axis=0)
-        return pa.table({"a": pa.array(u[:, 0], pa.int64()),
-                         "b": pa.array(u[:, 1], pa.int64())})
-
-    uniq.__name__ = "uniq_pairs"
-    return (pairs.map_batches(pair_bucket, batch_format="pyarrow")
-            .groupby("_pb").map_groups(uniq, batch_format="pyarrow"))
-
-
 def _candidate_ids_ref(pairs):
     """Distinct ids appearing in the candidate pairs, sorted, broadcast
     once via ray.put. This is the legitimate SMALL-side broadcast:
-    O(candidate ids) — two int64 columns' worth — never the corpus."""
+    O(candidate ids) — two int64 columns' worth — never the corpus.
+    Per-batch unique + a driver np.unique instead of Dataset.unique:
+    the ids are already tiny, and the Aggregate pipeline behind
+    ``unique()`` costs a whole extra all-to-all launch."""
     import ray
 
     def ids_of(b: pa.Table) -> pa.Table:
@@ -200,8 +180,11 @@ def _candidate_ids_ref(pairs):
         return pa.table({"id": pa.array(np.unique(v), pa.int64())})
 
     ids_of.__name__ = "pair_ids"
-    ids = pairs.map_batches(ids_of, batch_format="pyarrow").unique("id")
-    return ray.put(np.sort(np.asarray(ids, dtype=np.int64)))
+    parts = [np.asarray(t["id"]) for t in pairs.map_batches(
+        ids_of, batch_format="pyarrow").iter_batches(batch_format="pyarrow",
+                                                     batch_size=65536)]
+    ids = np.unique(np.concatenate(parts)) if parts else np.array([], np.int64)
+    return ray.put(ids.astype(np.int64))
 
 
 def _filter_to_ids(batch: pa.Table, id_col: str, cand_sorted: np.ndarray) -> pa.Table:
@@ -215,8 +198,82 @@ def _filter_to_ids(batch: pa.Table, id_col: str, cand_sorted: np.ndarray) -> pa.
     return batch.filter(pa.array(found))
 
 
+def _verify_pairs_broadcast(pairs, payloads, payload_type: pa.DataType,
+                            verdict_fn):
+    """Small-candidate verify: collect the (id, payload) rows of the
+    CANDIDATE ids (bounded by the candidate set — the corpus itself is
+    never materialized), broadcast once, verify each pair batch with a
+    single map. Same verdict interface as the co-shuffle path."""
+    import ray
+
+    parts = list(payloads.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536))
+    if parts:
+        ptbl = pa.concat_tables(parts).combine_chunks()
+        order = np.argsort(ptbl["id"].to_numpy(zero_copy_only=False))
+        ptbl = ptbl.take(pa.array(order))
+        ids_sorted = ptbl["id"].to_numpy(zero_copy_only=False)
+    else:
+        ptbl = pa.table({"id": pa.array([], pa.int64()),
+                         "payload": pa.array([], payload_type)})
+        ids_sorted = np.array([], dtype=np.int64)
+    store_ref = ray.put((ids_sorted, ptbl["payload"].combine_chunks()))
+
+    def verify_batch(b: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        ids_s, pay = ray.get(store_ref)
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        # dedupe within the batch (cross-batch dups are rare after LSH
+        # bucketing and harmless downstream: same verdict both times)
+        u = np.unique(np.stack([a, bb], axis=1), axis=0)
+        a, bb = u[:, 0], u[:, 1]
+        if len(ids_s) == 0:
+            return empty
+        pos_a = np.searchsorted(ids_s, a)
+        pos_b = np.searchsorted(ids_s, bb)
+        pa_c = np.minimum(pos_a, len(ids_s) - 1)
+        pb_c = np.minimum(pos_b, len(ids_s) - 1)
+        ok = ((pos_a < len(ids_s)) & (ids_s[pa_c] == a)
+              & (pos_b < len(ids_s)) & (ids_s[pb_c] == bb))
+        if not ok.any():
+            return empty
+        a, bb, pa_c, pb_c = a[ok], bb[ok], pa_c[ok], pb_c[ok]
+        n = len(a)
+        t = pa.table({"id": pa.array(np.concatenate([a, bb]), pa.int64()),
+                      "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                      "b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+                      "payload": pay.take(pa.array(np.concatenate([pa_c, pb_c])))})
+        mask = np.asarray(verdict_fn(t, np.arange(n), np.arange(n, 2 * n)),
+                          dtype=bool)
+        return pa.table({"a": pa.array(a[mask], pa.int64()),
+                         "b": pa.array(bb[mask], pa.int64())})
+
+    verify_batch.__name__ = "verify_pairs_broadcast"
+
+    def uniq_block(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        u = np.unique(np.stack([b["a"].to_numpy(zero_copy_only=False),
+                                b["b"].to_numpy(zero_copy_only=False)], axis=1),
+                      axis=0)
+        return pa.table({"a": pa.array(u[:, 0], pa.int64()),
+                         "b": pa.array(u[:, 1], pa.int64())})
+
+    uniq_block.__name__ = "uniq_pairs"
+    # VERIFIED pairs are small: one-block repartition + np.unique closes
+    # the cross-batch duplicate window without a sort shuffle
+    return (pairs.map_batches(verify_batch, batch_format="pyarrow")
+            .repartition(1).map_batches(uniq_block, batch_format="pyarrow"))
+
+
 def _verify_pairs(pairs, payloads, payload_type: pa.DataType, verdict_fn, *,
-                  n_buckets: int | None = None):
+                  n_buckets: int | None = None,
+                  n_candidate_ids: int | None = None,
+                  broadcast_threshold: int = 65536):
     """Verify candidate pairs against per-id payloads, fully distributed:
 
     1. each pair (a, b) splits into two id-keyed HALF rows; halves and
@@ -228,8 +285,17 @@ def _verify_pairs(pairs, payloads, payload_type: pa.DataType, verdict_fn, *,
 
     Duplicate candidate pairs collapse naturally (one verdict per pair
     key run). Pairs whose payload is missing on either side are dropped.
-    Returns a Dataset[a:int64, b:int64] of verified pairs."""
+    Returns a Dataset[a:int64, b:int64] of verified pairs.
+
+    Small-candidate fast path: when ``n_candidate_ids`` ≤
+    ``broadcast_threshold``, the CANDIDATE payloads (already computed
+    distributed, O(candidates) — never the corpus) are collected and
+    broadcast once, and verification is a single map over the pairs —
+    two whole shuffle launches cheaper. The co-shuffle path stays the
+    unconditional route for large candidate sets."""
     n_buckets = n_buckets or default_buckets()
+    if n_candidate_ids is not None and n_candidate_ids <= broadcast_threshold:
+        return _verify_pairs_broadcast(pairs, payloads, payload_type, verdict_fn)
 
     def halves(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)
@@ -389,9 +455,10 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     cand = (band_rows.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_bktb").map_groups(bucket_pairs, batch_format="pyarrow"))
     # thin (a, b) candidates: materialize once (bounded by band
-    # collisions, two int64 columns) so dedupe + id-extraction + verify
-    # don't re-run the LSH pipeline
-    cand = _dedupe_pairs(cand).materialize()
+    # collisions, two int64 columns) so id-extraction + verify don't
+    # re-run the LSH pipeline. No pre-dedupe pass: _verify_pairs
+    # collapses duplicate pairs into one verdict per pair key.
+    cand = cand.materialize()
     ids_ref = _candidate_ids_ref(cand)
 
     def shingle_payloads(b: pa.Table) -> pa.Table:
@@ -418,8 +485,9 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
             out[k] = (union == 0) or (inter / union >= jaccard_threshold)
         return out
 
-    verified = _verify_pairs(cand, payloads, pa.list_(pa.uint64()),
-                             jaccard_verdict).take_all()
+    verified = _verify_pairs(
+        cand, payloads, pa.list_(pa.uint64()), jaccard_verdict,
+        n_candidate_ids=len(ray.get(ids_ref))).take_all()
 
     # connected components (union-find on the driver over verified pairs)
     parent: dict[int, int] = {}
@@ -691,7 +759,9 @@ def embedding_near_dups_lsh(ds, *, id_col: str = "vec_id",
 
     cand = (bucketed.map_batches(outer_bucket, batch_format="pyarrow")
             .groupby("_bkt").map_groups(bucket_pairs, batch_format="pyarrow"))
-    cand = _dedupe_pairs(cand).materialize()  # thin (a, b) only
+    # thin (a, b) only; duplicates across probe tables collapse inside
+    # _verify_pairs (one verdict per pair key), so no pre-dedupe pass
+    cand = cand.materialize()
     ids_ref = _candidate_ids_ref(cand)
 
     def vec_payloads(b: pa.Table) -> pa.Table:
@@ -710,4 +780,5 @@ def embedding_near_dups_lsh(ds, *, id_col: str = "vec_id",
         mat = list_to_matrix(t["payload"])
         return np.einsum("ij,ij->i", mat[ii], mat[jj]) >= threshold
 
-    return _verify_pairs(cand, payloads, pa.list_(pa.float64()), cosine_verdict)
+    return _verify_pairs(cand, payloads, pa.list_(pa.float64()), cosine_verdict,
+                         n_candidate_ids=len(ray.get(ids_ref)))

@@ -47,7 +47,7 @@ from moonray import manifest as mf
 from moonray.checkpoint import LineageLog
 from moonray.dv import dv_paths_of, load_dv_union, save_dv
 from moonray.fragments import write_fragment
-from moonray.shuffle import read_bucket, reduce_buckets, write_runs
+from moonray.shuffle import read_bucket, reduce_buckets_tasks, write_runs
 from moonray.util import atomic_write_json, hash_key_array, read_json
 
 OP_COL, LSN_COL = "op", "lsn"
@@ -254,8 +254,8 @@ def merge_into(table, changes, *, job_id: str | None = None,
                              m["rows_per_fragment"],
                              [f for f in table.schema().names], ctx_ref,
                              seq_col=seq_col)
-        res = reduce_buckets(shuffle_out["buckets"], reducer)
-        summaries = [json.loads(r["payload"]) for r in res.take_all()]
+        res = reduce_buckets_tasks(shuffle_out["buckets"], reducer)
+        summaries = [json.loads(s) for t in res for s in t["payload"].to_pylist()]
         apply_out = {"summaries": summaries, "counters": {
             "rows_in": sum(s["rows_in"] for s in summaries),
             "rows_deleted": sum(d["count"] for s in summaries for d in s["dv"]),

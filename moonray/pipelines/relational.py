@@ -12,7 +12,6 @@ order row). The matching SQL lives in __ray_entry__.oracle_sql().
 from __future__ import annotations
 
 import os
-import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -63,7 +62,9 @@ def build_customer_table(sf_dir: str, root: str | None = None,
 
     from moonray.table import MoonrayTable
 
-    root = root or tempfile.mkdtemp(prefix="moonray-cust-")
+    from moonray.util import scratch_root
+
+    root = root or scratch_root("moonray-cust-")
     schema = pa.schema([
         ("c_custkey", pa.int64()), ("c_name", pa.string()),
         ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),

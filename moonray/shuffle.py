@@ -123,7 +123,8 @@ def read_bucket(root: str, job_id: str, name: str, bucket: int) -> pa.Table | No
 def reduce_buckets(buckets: list[int], reducer, *, concurrency=None):
     """Run ``reducer`` (an as_fn-wrapped callable taking a one-row batch
     {"bucket": i}) over every bucket as parallel Ray tasks; returns the
-    concatenated result Dataset."""
+    concatenated result Dataset. Use when the results feed a further
+    Dataset stage (e.g. the index-delta groupby after cluster)."""
     import ray.data as rd
 
     from moonray.util import as_fn
@@ -132,3 +133,22 @@ def reduce_buckets(buckets: list[int], reducer, *, concurrency=None):
     return rd.from_items(items).map_batches(
         as_fn(reducer), batch_format="pyarrow", batch_size=1,
         concurrency=concurrency)
+
+
+def reduce_buckets_tasks(buckets: list[int], reducer) -> list[pa.Table]:
+    """Run the reducer over buckets as RAW Ray tasks and return the
+    result tables. A ``from_items`` Dataset pipeline costs a fixed
+    ~0.5 s of driver planning/launch per call — pure overhead when the
+    reduce results are consumed on the driver anyway (MERGE apply
+    summaries), and a measurable drag on job-level scaling efficiency.
+    Per-bucket idempotency (done-markers inside the reducer) and Ray's
+    task retries behave exactly as under map_batches."""
+    import ray
+
+    @ray.remote
+    def run_bucket(b: int) -> pa.Table:
+        cap_kernel_threads()
+        return reducer(pa.table({"bucket": pa.array([b], pa.int32())}))
+
+    run_bucket = run_bucket.options(name=f"reduce:{type(reducer).__name__}")
+    return ray.get([run_bucket.remote(int(b)) for b in buckets])

@@ -85,6 +85,27 @@ def new_job_id() -> str:
     return uuid.uuid4().hex[:12]
 
 
+def scratch_root(prefix: str) -> str:
+    """Throwaway table root for pipeline/demo tables: tmpfs when
+    available (scratch tables shouldn't pay disk fsync), with
+    best-effort GC of stale siblings so repeated runs don't accumulate."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    parent = base or tempfile.gettempdir()
+    cutoff = time.time() - 2 * 3600
+    for d in _glob.glob(os.path.join(parent, f"{prefix}*")):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def default_buckets(per_cpu: int = 4, lo: int = 16, hi: int = 4096) -> int:
     """Shuffle fan-out sized to the cluster (~per_cpu reduce groups per
     CPU for scheduling slack), clamped: hardcoded constants (the old 32)

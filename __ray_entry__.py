@@ -77,6 +77,37 @@ WHERE a.vec_id < b.vec_id
                              CAST(b.embedding AS DOUBLE[])) >= 0.3
 """
 
+_COMPOSITE_MERGE_SQL = """
+WITH changes AS (
+  SELECT
+    CASE c_custkey % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op,
+    CASE WHEN c_custkey % 4 = 2 THEN c_custkey + 30000000
+         ELSE c_custkey END AS k_custkey,
+    c_nationkey AS k_nationkey,
+    'upd-' || CAST(c_custkey AS VARCHAR) AS c_name,
+    c_acctbal * 2.0 AS c_acctbal,
+    'CK' AS c_mktsegment
+  FROM customer WHERE c_custkey % 4 < 3
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM changes w
+  WHERE w.k_custkey = c.c_custkey AND w.k_nationkey = c.c_nationkey)
+UNION ALL
+SELECT k_custkey, c_name, k_nationkey, c_acctbal, c_mktsegment
+FROM changes WHERE op <> 'D'
+"""
+
+_APPEND_ONLY_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+UNION ALL
+SELECT c_custkey + 40000000,
+       'ap-' || CAST(c_custkey AS VARCHAR),
+       c_nationkey, c_acctbal + 5.0, 'AO'
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
 _ALTER_SQL = """
 SELECT c_custkey, c_name, c_nationkey, c_acctbal,
        CAST(5 AS INTEGER) AS c_loyalty
@@ -169,6 +200,18 @@ def _q_json_props(sf_dir: str):
     from moonray.pipelines.relational import json_props_agg
 
     return json_props_agg(sf_dir)
+
+
+def _q_composite_merge(sf_dir: str):
+    from moonray.pipelines.relational import merge_composite_key
+
+    return merge_composite_key(sf_dir)
+
+
+def _q_append_only(sf_dir: str):
+    from moonray.pipelines.relational import append_only_ingest
+
+    return append_only_ingest(sf_dir)
 
 
 def _q_alter(sf_dir: str):
@@ -326,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_isolation_pre_merge": _q_merge(scan_version="pre_merge"),
         "zone_pruned_scan": _q_zone_pruned,
         "images_merge_maintenance": _q_images_flagship,
+        "merge_composite_key": _q_composite_merge,
+        "append_only_ingest": _q_append_only,
         "alter_schema_evolution": _q_alter,
         "stream_xact_commit": _q_stream_xact,
         # ---- streaming-shaped ----
@@ -363,6 +408,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_isolation_pre_merge": _CUSTOMER_SQL,
         "zone_pruned_scan": _CUSTOMER_SQL
         + " WHERE c_acctbal >= 1000.0 AND c_acctbal <= 5000.0",
+        "merge_composite_key": _COMPOSITE_MERGE_SQL,
+        "append_only_ingest": _APPEND_ONLY_SQL,
         "alter_schema_evolution": _ALTER_SQL,
         "stream_xact_commit": _STREAM_XACT_SQL,
         "sessionize_events": _SESSIONIZE_SQL,

@@ -72,23 +72,31 @@ def write_fragment(
     job_id: str,
     table: pa.Table,
     *,
-    key_col: str,
+    key_col: str | None,
     zone_cols,
     frag_id: str | None = None,
     compression: str = "snappy",
-) -> tuple[dict, pa.Table]:
-    """Write one fragment parquet + sidecar; return (meta, index_entries)."""
+    data_cols: list[str] | None = None,
+) -> tuple[dict, pa.Table | None]:
+    """Write one fragment parquet + sidecar; return (meta, index_entries).
+
+    ``data_cols`` limits what lands in the parquet (e.g. the user schema,
+    excluding a derived ``_ckey`` identity column that still feeds the
+    index entries). ``key_col=None`` (identity='none' append-only
+    tables) skips index entries entirely — returns (meta, None)."""
     if frag_id is None:
         # content-derived id → idempotent under Ray task retries (a
         # retried task overwrites the same files, never duplicates rows)
         from moonray.util import content_id
 
-        frag_id = f"f-{job_id}-{content_id(table, key_col)}"
+        id_cols = [key_col] if key_col else list(table.column_names)[:2]
+        frag_id = f"f-{job_id}-{content_id(table, *id_cols)}"
     rel = os.path.join("fragments", f"{frag_id}.parquet")
     path = os.path.join(root, rel)
     n = len(table)
     offs = pa.array(np.arange(n, dtype=np.uint32))
-    out = table.append_column(ROWOFF, offs)
+    data = table.select(data_cols) if data_cols is not None else table
+    out = data.append_column(ROWOFF, offs)
     tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
     # binary payload columns (image bytes) are already codec-compressed;
     # re-compressing them costs CPU on both write and every scan for ~0%
@@ -118,6 +126,8 @@ def write_fragment(
     meta_dir = os.path.join(root, "staging", job_id, "meta")
     os.makedirs(meta_dir, exist_ok=True)
     atomic_write_json(os.path.join(meta_dir, f"{frag_id}.json"), meta)
+    if key_col is None:
+        return meta, None
     entries = pa.table(
         {
             key_col: table[key_col],
@@ -134,27 +144,34 @@ class FragmentWriter:
     used as a task (plain callable would also work) — kept as a class so
     config is serialized once per actor."""
 
-    def __init__(self, root: str, job_id: str, key_col: str, zone_cols,
-                 compression: str = "snappy"):
+    def __init__(self, root: str, job_id: str, key_col: str | None, zone_cols,
+                 compression: str = "snappy", data_cols: list[str] | None = None):
         self.root = root
         self.job_id = job_id
         self.key_col = key_col
         self.zone_cols = list(zone_cols)
         self.compression = compression
+        self.data_cols = data_cols
+
+    def _empty_entries(self, batch: pa.Table) -> pa.Table:
+        cols = {}
+        if self.key_col is not None:
+            cols[self.key_col] = (batch[self.key_col].slice(0, 0)
+                                  if self.key_col in batch.column_names
+                                  else pa.array([], pa.string()))
+        cols["_frag"] = pa.array([], pa.string())
+        cols["_off"] = pa.array([], pa.uint32())
+        return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return pa.table(
-                {self.key_col: batch[self.key_col],
-                 "_frag": pa.array([], pa.string()),
-                 "_off": pa.array([], pa.uint32())}
-            )
+            return self._empty_entries(batch)
         _meta, entries = write_fragment(
             self.root, self.job_id, batch,
             key_col=self.key_col, zone_cols=self.zone_cols,
-            compression=self.compression,
+            compression=self.compression, data_cols=self.data_cols,
         )
-        return entries
+        return entries if entries is not None else self._empty_entries(batch)
 
 
 def collect_staged_fragment_meta(root: str, job_id: str) -> list[dict]:

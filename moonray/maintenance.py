@@ -80,9 +80,9 @@ class CompactGroup:
     staged entries parquet short-circuit the rerun — this is the
     fragment-granular resume the north rule requires."""
 
-    def __init__(self, root: str, job_id: str, key_col: str, zone_cols,
+    def __init__(self, root: str, job_id: str, key_col: str | None, zone_cols,
                  rows_per_fragment: int, schema_ipc: str | None = None,
-                 defaults: dict | None = None):
+                 defaults: dict | None = None, key_cols: list[str] | None = None):
         self.root = root
         self.job_id = job_id
         self.key_col = key_col
@@ -90,6 +90,7 @@ class CompactGroup:
         self.rpf = rows_per_fragment
         self.schema_ipc = schema_ipc
         self.defaults = defaults or {}
+        self.key_cols = key_cols or ([key_col] if key_col else [])
 
     def _marker(self, gid: int) -> str:
         return os.path.join(self.root, "staging", self.job_id, f"compact-g{gid}.done.json")
@@ -121,6 +122,12 @@ class CompactGroup:
                     t = normalize_to_schema(t, schema, self.defaults)
                 pieces.append(t)
             data = pa.concat_tables(pieces) if pieces else None
+            user_cols = list(data.column_names) if data is not None else None
+            if data is not None and len(data) and self.key_col is not None:
+                from moonray.identity import CKEY, append_ckey
+
+                if self.key_col == CKEY:
+                    data = append_ckey(data, self.key_cols)
             group_entries = []
             if data is not None and len(data):
                 for i, start in enumerate(range(0, len(data), self.rpf)):
@@ -129,16 +136,22 @@ class CompactGroup:
                         self.root, self.job_id, chunk,
                         key_col=self.key_col, zone_cols=self.zone_cols,
                         frag_id=f"c-{self.job_id}-g{gid}-{i:04d}",
-                        compression="zstd",
+                        compression="zstd", data_cols=user_cols,
                     )
-                    group_entries.append(entries)
+                    if entries is not None:
+                        group_entries.append(entries)
             if group_entries:
                 merged = pa.concat_tables(group_entries)
             else:
-                key_type = data[self.key_col].type if data is not None else pa.string()
-                merged = pa.table({self.key_col: pa.array([], key_type),
-                                   "_frag": pa.array([], pa.string()),
-                                   "_off": pa.array([], pa.uint32())})
+                cols = {}
+                if self.key_col is not None:
+                    key_type = (data[self.key_col].type
+                                if data is not None and self.key_col in data.column_names
+                                else pa.string())
+                    cols[self.key_col] = pa.array([], key_type)
+                cols["_frag"] = pa.array([], pa.string())
+                cols["_off"] = pa.array([], pa.uint32())
+                merged = pa.table(cols)
             pq.write_table(merged, entries_path)
             atomic_write_json(marker, {"gid": gid, "rows": len(merged)})
             out_entries.append(merged)
@@ -182,16 +195,23 @@ def compact(table, *, target_bytes: int | None = None,
     )
     if not plan:
         return m["version"]
+    from moonray.identity import key_cols_of
+
     log.stage_start("compact")
     items = [{"gid": i, "spec": json.dumps(g)} for i, g in enumerate(plan)]
     entries = rd.from_items(items).map_batches(
         as_fn(CompactGroup(table.root, job_id, m["key_col"], m["zone_cols"],
                            m["rows_per_fragment"], m["schema_ipc"],
-                           m.get("column_defaults", {}))),
+                           m.get("column_defaults", {}),
+                           key_cols=key_cols_of(m))),
         batch_format="pyarrow", batch_size=1,
     )
-    deltas = write_index_deltas(entries, table.root, job_id, m["key_col"],
-                                m["index"]["num_partitions"])
+    if m["key_col"] is None:  # identity='none': no key index
+        entries.count()
+        deltas: dict[str, list[str]] = {}
+    else:
+        deltas = write_index_deltas(entries, table.root, job_id, m["key_col"],
+                                    m["index"]["num_partitions"])
     new_frags = [read_json(p) for p in _staged_meta_paths(table.root, job_id)]
     replaced = {f["id"] for g in plan for f in g["frags"]}
     log.stage_done("compact", {"counters": {
@@ -250,19 +270,24 @@ class ClusterWriteGroup:
     done-marker + staged entries parquet short-circuit reruns — the
     fragment-granular resume the north rule requires."""
 
-    def __init__(self, root: str, job_id: str, key_col: str, zone_cols,
-                 rows_per_fragment: int, key_type: pa.DataType = pa.string()):
+    def __init__(self, root: str, job_id: str, key_col: str | None, zone_cols,
+                 rows_per_fragment: int, key_type: pa.DataType = pa.string(),
+                 data_cols: list[str] | None = None):
         self.root = root
         self.job_id = job_id
         self.key_col = key_col
         self.zone_cols = list(zone_cols)
         self.rpf = rows_per_fragment
         self.key_type = key_type
+        self.data_cols = data_cols
 
     def _empty(self) -> pa.Table:
-        return pa.table({self.key_col: pa.array([], self.key_type),
-                         "_frag": pa.array([], pa.string()),
-                         "_off": pa.array([], pa.uint32())})
+        cols = {}
+        if self.key_col is not None:
+            cols[self.key_col] = pa.array([], self.key_type)
+        cols["_frag"] = pa.array([], pa.string())
+        cols["_off"] = pa.array([], pa.uint32())
+        return pa.table(cols)
 
     def _check_fault_injection(self, stage_dir: str) -> None:
         """Same deterministic kill-switch as MergeApply (see merge.py):
@@ -301,8 +326,10 @@ class ClusterWriteGroup:
                     self.root, self.job_id, data.slice(start, self.rpf),
                     key_col=self.key_col, zone_cols=self.zone_cols,
                     frag_id=f"z-{self.job_id}-p{pid:05d}-{i:04d}", compression="zstd",
+                    data_cols=self.data_cols,
                 )
-                parts.append(entries)
+                if entries is not None:
+                    parts.append(entries)
             merged = pa.concat_tables(parts) if parts else self._empty()
             pq.write_table(merged, entries_path)
             atomic_write_json(marker, {"pid": pid, "rows": len(merged)})
@@ -335,9 +362,13 @@ def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
     frags = m["fragments"]
     if not frags:
         return np.array([], dtype=np.int64)
+    from moonray.identity import append_ckey, is_composite, key_cols_of
+
     stride = max(1, len(frags) // _MAX_BOUNDARY_FRAGS)
     pick = frags[::stride][:_MAX_BOUNDARY_FRAGS]
-    thin_cols = list(dict.fromkeys(list(cols) + [m["key_col"]]))
+    kcols = key_cols_of(m)
+    thin_cols = list(dict.fromkeys(list(cols) + kcols))
+    composite = is_composite(m)
     zk = AddZKey(cols, ranges, m["key_col"], salt_bits, curve)
     per_frag = max(16, _MAX_BOUNDARY_SAMPLE // len(pick))
 
@@ -349,6 +380,8 @@ def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
         if len(t) > per_frag:
             step = len(t) // per_frag
             t = t.take(pa.array(np.arange(0, len(t), step)[:per_frag]))
+        if composite:
+            t = append_ckey(t, kcols)
         return zk(t)[ZKEY].to_numpy(zero_copy_only=False)
 
     with ThreadPoolExecutor(max_workers=min(8, len(pick))) as ex:
@@ -436,24 +469,34 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
         z = b[ZKEY].to_numpy(zero_copy_only=False)
         return np.searchsorted(bounds, z).astype(np.int32)
 
+    from moonray.identity import with_identity_key
+
     shuffle_out = log.stage_outputs("cluster_shuffle")
     if shuffle_out is None:
         log.stage_start("cluster_shuffle")
-        ds = table.scan(version=m["version"])
+        ds = with_identity_key(table.scan(version=m["version"]), m)
         ds = ds.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits, curve),
                             batch_format="pyarrow")
+        id_cols = (m["key_col"],) if m["key_col"] else (ZKEY,)
         buckets = write_runs(ds, table.root, job_id, "cluster", int(P),
-                             bucket_fn, id_cols=(m["key_col"],),
+                             bucket_fn, id_cols=id_cols,
                              batch_rows=batch_rows)
         shuffle_out = {"buckets": buckets, "counters": {"buckets": len(buckets)}}
         log.stage_done("cluster_shuffle", shuffle_out)
     buckets = shuffle_out["buckets"]
-    key_type = table.schema().field(m["key_col"]).type
+    user_cols = list(table.schema().names)
+    key_type = (table.schema().field(m["key_col"]).type
+                if m["key_col"] in user_cols else pa.string())
     entries = reduce_buckets(
         buckets, ClusterWriteGroup(table.root, job_id, m["key_col"],
-                                   m["zone_cols"], rpf, key_type))
-    deltas = write_index_deltas(entries, table.root, job_id, m["key_col"],
-                                m["index"]["num_partitions"])
+                                   m["zone_cols"], rpf, key_type,
+                                   data_cols=user_cols))
+    if m["key_col"] is None:  # identity='none': no key index
+        entries.count()
+        deltas: dict[str, list[str]] = {}
+    else:
+        deltas = write_index_deltas(entries, table.root, job_id, m["key_col"],
+                                    m["index"]["num_partitions"])
     new_frags = [read_json(p) for p in _staged_meta_paths(table.root, job_id)]
     replaced = {f["id"] for f in m["fragments"]}
     log.stage_done("cluster", {"counters": {

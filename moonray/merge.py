@@ -179,14 +179,18 @@ class MergeApply:
                     summary["dv"].append(
                         {"frag": frag, "path": rel, "count": int(len(offs))})
                 # anti-join half: write non-delete winners as fragments
+                # (keep the key column — possibly the derived _ckey —
+                # for index entries; data_cols limits the parquet to the
+                # user schema)
                 ins = win.filter(pa.compute.not_equal(win[OP_COL], pa.scalar("D")))
-                ins = ins.select(self.user_cols)
+                ins = ins.select(list(dict.fromkeys(self.user_cols + [self.key_col])))
                 entries_parts = []
                 for start in range(0, len(ins), self.rpf):
                     chunk = ins.slice(start, self.rpf)
                     meta, entries = write_fragment(
                         self.root, self.job_id, chunk,
-                        key_col=self.key_col, zone_cols=self.zone_cols)
+                        key_col=self.key_col, zone_cols=self.zone_cols,
+                        data_cols=self.user_cols)
                     summary["new_frags"].append(meta)
                     entries_parts.append(entries)
                 if entries_parts:
@@ -224,6 +228,11 @@ def merge_into(table, changes, *, job_id: str | None = None,
 
     m = table.manifest()
     key_col = m["key_col"]
+    if key_col is None:  # identity='none': append-only fast path
+        return _append_only_merge(table, changes, m, job_id)
+    from moonray.identity import with_identity_key
+
+    changes = with_identity_key(changes, m)
     num_parts = m["index"]["num_partitions"]
     log = LineageLog(table.root, job_id)
 
@@ -265,6 +274,10 @@ def merge_into(table, changes, *, job_id: str | None = None,
 
     # ---- stage: commit (single-writer, atomic) ----
     log.stage_start("commit")
+    return _commit_merge(table, m, apply_out, job_id, log)
+
+
+def _commit_merge(table, m, apply_out, job_id, log) -> int:
     summaries = apply_out["summaries"]
     dv_updates: dict[str, dict] = {}
     for s in summaries:
@@ -279,3 +292,43 @@ def merge_into(table, changes, *, job_id: str | None = None,
                              job_id=job_id, dv_updates=dv_updates)
     log.stage_done("commit", {"counters": {"version": v}})
     return v
+
+
+def _append_only_merge(table, changes, m: dict, job_id: str) -> int:
+    """identity='none' tables are append-only (reference: delete
+    validation at mooncake_table.rs:129-139): only op='I' rows are
+    legal, no key index exists and no probe runs — the change set lands
+    as fresh fragments in ONE batch-atomic commit. Idempotent per
+    job_id via content-derived fragment names + the version job marker."""
+    import pyarrow.compute as pc
+
+    from moonray.fragments import FragmentWriter, collect_staged_fragment_meta
+    from moonray.util import as_fn
+
+    log = LineageLog(table.root, job_id)
+    log.stage_start("append")
+    user_cols = list(table.schema().names)
+    writer = FragmentWriter(table.root, job_id, None, m["zone_cols"],
+                            data_cols=user_cols)
+
+    def apply_append(b: pa.Table) -> pa.Table:
+        bad = pc.sum(pc.cast(pc.not_equal(b[OP_COL], pa.scalar("I")),
+                             pa.int64())).as_py() or 0
+        if bad:
+            raise ValueError(
+                "identity='none' table is append-only: deletes/updates "
+                f"are forbidden ({bad} non-insert rows in change set)")
+        writer(b)
+        mx = pa.compute.max(b[LSN_COL]).as_py() if len(b) else 0
+        return pa.table({"rows": pa.array([len(b)], pa.int64()),
+                         "max_lsn": pa.array([int(mx or 0)], pa.int64())})
+
+    summary = changes.map_batches(as_fn(apply_append, "append_only"),
+                                  batch_format="pyarrow",
+                                  batch_size=m["rows_per_fragment"]).take_all()
+    max_lsn = max((int(r["max_lsn"]) for r in summary), default=0)
+    new_frags = collect_staged_fragment_meta(table.root, job_id)
+    log.stage_done("append", {"counters": {
+        "rows_in": sum(int(r["rows"]) for r in summary),
+        "fragments_written": len(new_frags)}})
+    return table._commit_append(m, new_frags, {}, lsn=max_lsn, job_id=job_id)

@@ -104,6 +104,99 @@ def merge_customer(sf_dir: str, *, maintenance: str | None = None,
     return t.scan()
 
 
+def merge_composite_key(sf_dir: str):
+    """Composite-key MERGE (reference IdentityProp::Keys,
+    moonlink_row.rs:270-277): customer keyed on (c_nationkey, c_custkey)
+    — the same c_custkey under a different nation is a different row.
+    Changes derived deterministically from customer itself:
+    custkey%4 == 0 → D, 1 → U (name 'upd-k', acctbal*2, segment 'CK'),
+    2 → I on a +30M-shifted custkey, 3 → untouched; lsn = custkey."""
+    import ray.data as rd
+
+    from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
+
+    root = scratch_root("moonray-ck-")
+    schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ])
+    t = MoonrayTable.create(root, key_cols=["c_nationkey", "c_custkey"],
+                            schema=schema, zone_cols=("c_acctbal",),
+                            index_partitions=8, rows_per_fragment=256)
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=CUSTOMER_COLS)
+    t.bulk_load(cust)
+
+    def to_changes(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        ab = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        sel = ck % 4
+        keep = sel < 3
+        ck, nk, ab, sel = ck[keep], nk[keep], ab[keep], sel[keep]
+        op = np.where(sel == 0, "D", np.where(sel == 1, "U", "I"))
+        is_del = op == "D"
+        key = np.where(sel == 2, ck + 30_000_000, ck)
+        name = np.array([f"upd-{k}" for k in ck], dtype=object)
+        return pa.table({
+            "op": pa.array(op.tolist(), pa.string()),
+            "lsn": pa.array(ck, pa.int64()),
+            "c_custkey": pa.array(key, pa.int64()),
+            "c_name": pa.array(np.where(is_del, None, name).tolist(), pa.string()),
+            "c_nationkey": pa.array(nk, pa.int32()),
+            "c_acctbal": pa.array(
+                [None if d else float(v) * 2.0 for d, v in zip(is_del, ab)],
+                pa.float64()),
+            "c_mktsegment": pa.array(
+                np.where(is_del, None, "CK").tolist(), pa.string()),
+        })
+
+    t.merge(cust.map_batches(to_changes, batch_format="pyarrow"))
+    return t.scan()
+
+
+def append_only_ingest(sf_dir: str):
+    """Append-only table (reference IdentityProp::None — deletes
+    forbidden, no key index): bulk load customer, then merge an
+    insert-only change set (custkey%3==0, +40M key shift, acctbal+5)."""
+    import ray.data as rd
+
+    from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
+
+    root = scratch_root("moonray-ao-")
+    schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ])
+    t = MoonrayTable.create(root, identity="none", schema=schema,
+                            zone_cols=("c_acctbal",), rows_per_fragment=256)
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=CUSTOMER_COLS)
+    t.bulk_load(cust)
+
+    def to_inserts(b: pa.Table) -> pa.Table:
+        ck_all = b["c_custkey"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ck_all % 3 == 0))
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "op": pa.array(["I"] * len(ck), pa.string()),
+            "lsn": pa.array(ck, pa.int64()),
+            "c_custkey": pa.array(ck + 40_000_000, pa.int64()),
+            "c_name": pa.array([f"ap-{k}" for k in ck], pa.string()),
+            "c_nationkey": b["c_nationkey"],
+            "c_acctbal": pa.array(
+                b["c_acctbal"].to_numpy(zero_copy_only=False) + 5.0, pa.float64()),
+            "c_mktsegment": pa.array(["AO"] * len(ck), pa.string()),
+        })
+
+    t.merge(cust.map_batches(to_inserts, batch_format="pyarrow"))
+    return t.scan()
+
+
 def alter_evolution_scan(sf_dir: str):
     """Schema evolution end-to-end: bulk load customer → ALTER TABLE
     add c_loyalty (default 5) + drop c_mktsegment → scan. Old fragments

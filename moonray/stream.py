@@ -56,14 +56,16 @@ class StreamTransaction:
 
         seq = self._seq
         self._seq += 1
-        key_col = self.table.manifest()["key_col"]
+        from moonray.identity import key_cols_of
+
+        key_cols = key_cols_of(self.table.manifest()) or list(schema.names)[:1]
 
         def stage(batch: pa.Table) -> pa.Table:
             from moonray.util import cap_kernel_threads, content_id
 
             cap_kernel_threads()
             batch = batch.select(schema.names)
-            rid = content_id(batch, key_col)
+            rid = content_id(batch, *key_cols)
             path = os.path.join(out_dir, f"a-{seq:05d}-{rid}.parquet")
             tmp = path + ".tmp"
             pq.write_table(batch, tmp, compression="snappy")
@@ -77,6 +79,13 @@ class StreamTransaction:
         """Stage a delete key set (Dataset carrying the key column)."""
         self._check_open()
         key_col = self.table.manifest()["key_col"]
+        if key_col is None:
+            raise ValueError("identity='none' table is append-only: "
+                             "deletes are forbidden (reference: "
+                             "mooncake_table.rs:129-139)")
+        from moonray.identity import key_cols_of
+
+        key_cols = key_cols_of(self.table.manifest())
         out_dir = os.path.join(self.dir, "deletes")
 
         seq = self._seq
@@ -86,8 +95,8 @@ class StreamTransaction:
             from moonray.util import cap_kernel_threads, content_id
 
             cap_kernel_threads()
-            batch = batch.select([key_col])
-            rid = content_id(batch, key_col)
+            batch = batch.select(key_cols)
+            rid = content_id(batch, *key_cols)
             path = os.path.join(out_dir, f"d-{seq:05d}-{rid}.parquet")
             tmp = path + ".tmp"
             pq.write_table(batch, tmp, compression="snappy")
@@ -115,8 +124,9 @@ class StreamTransaction:
         def seq_of(p: str) -> int:
             return int(os.path.basename(p).split("-")[1])
 
+        append_kind = "I" if self.table.manifest()["key_col"] is None else "U"
         parts = []
-        for kind, sub in (("U", "appends"), ("D", "deletes")):
+        for kind, sub in ((append_kind, "appends"), ("D", "deletes")):
             base = os.path.join(self.dir, sub)
             by_seq: dict[int, list[str]] = {}
             for p in sorted(os.listdir(base)):

@@ -133,17 +133,29 @@ class MoonrayTable:
 
     # ---------------- lifecycle ----------------
     @staticmethod
-    def create(root: str, *, key_col: str, schema: pa.Schema,
+    def create(root: str, *, schema: pa.Schema, key_col: str | None = None,
+               key_cols=None, identity: str = "keys",
                zone_cols=(), index_partitions: int = 16,
                rows_per_fragment: int = DEFAULT_ROWS_PER_FRAGMENT) -> "MoonrayTable":
-        """Create an empty table at version 0."""
+        """Create an empty table at version 0.
+
+        Identity modes (reference ``IdentityProp``, moonlink_row.rs:270-277):
+        ``keys`` + key_col (single) or key_cols (composite tuple),
+        ``full_row`` (every column is key), ``none`` (append-only — no
+        key index, deletes/updates forbidden)."""
+        from moonray.identity import resolve_identity
+
+        identity, kcols, index_key = resolve_identity(identity, key_col,
+                                                      key_cols, schema)
         mf.init_table_dirs(root)
         m = {
             "version": 0,
             "parent": None,
             "commit_lsn": 0,
             "job_id": "create",
-            "key_col": key_col,
+            "key_col": index_key,
+            "key_cols": kcols,
+            "identity": identity,
             "zone_cols": list(zone_cols),
             "index": {"num_partitions": index_partitions, "partitions": {}},
             "fragments": [],
@@ -294,16 +306,24 @@ class MoonrayTable:
         (src/moonlink/src/storage/mooncake_table/batch_ingestion.rs:65-120).
         Streams: fragment writes and index-entry emission happen inside
         map_batches tasks; only (key, frag, off) triples shuffle."""
+        from moonray.identity import with_identity_key
+
         job_id = job_id or new_job_id()
         prev = mf.find_version_by_job(self.root, job_id)
         if prev is not None:
             return prev
         m = self.manifest()
         rpf = rows_per_fragment or m["rows_per_fragment"]
-        writer = FragmentWriter(self.root, job_id, m["key_col"], m["zone_cols"])
-        entries = ds.map_batches(as_fn(writer), batch_format="pyarrow", batch_size=rpf)
-        deltas = write_index_deltas(entries, self.root, job_id, m["key_col"],
-                                    m["index"]["num_partitions"])
+        writer = FragmentWriter(self.root, job_id, m["key_col"], m["zone_cols"],
+                                data_cols=list(self.schema().names))
+        src = with_identity_key(ds, m)
+        entries = src.map_batches(as_fn(writer), batch_format="pyarrow", batch_size=rpf)
+        if m["key_col"] is None:  # identity='none': no key index
+            entries.count()  # drive the write pipeline
+            deltas: dict[str, list[str]] = {}
+        else:
+            deltas = write_index_deltas(entries, self.root, job_id, m["key_col"],
+                                        m["index"]["num_partitions"])
         new_frags = collect_staged_fragment_meta(self.root, job_id)
         return self._commit_append(m, new_frags, deltas, lsn, job_id)
 
@@ -345,6 +365,8 @@ class MoonrayTable:
             "commit_lsn": max(lsn, parent["commit_lsn"]),
             "job_id": job_id,
             "key_col": parent["key_col"],
+            "key_cols": parent.get("key_cols"),
+            "identity": parent.get("identity", "keys"),
             "zone_cols": parent["zone_cols"],
             "index": {"num_partitions": parent["index"]["num_partitions"],
                       "partitions": partitions},
@@ -374,12 +396,15 @@ class MoonrayTable:
         prev = mf.find_version_by_job(self.root, job_id)
         if prev is not None:
             return prev
+        from moonray.identity import key_cols_of
+
         m = self.manifest()
         schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
         defaults = dict(m.get("column_defaults", {}))
         drop = set(drop_columns)
-        if m["key_col"] in drop:
-            raise ValueError("cannot drop the key column")
+        dropped_keys = drop & set(key_cols_of(m))
+        if dropped_keys:
+            raise ValueError(f"cannot drop key column(s) {sorted(dropped_keys)}")
         fields = [f for f in schema if f.name not in drop]
         for spec in add_columns:
             name, typ = spec[0], spec[1]
@@ -396,6 +421,8 @@ class MoonrayTable:
             "commit_lsn": m["commit_lsn"],
             "job_id": job_id,
             "key_col": m["key_col"],
+            "key_cols": m.get("key_cols"),
+            "identity": m.get("identity", "keys"),
             "zone_cols": [c for c in m["zone_cols"] if c not in drop],
             "index": m["index"],
             "fragments": m["fragments"],

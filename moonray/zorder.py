@@ -90,7 +90,7 @@ class AddZKey:
     column (Z-order bit interleave by default, Hilbert optional)."""
 
     def __init__(self, cols: list[str], ranges: dict[str, tuple[float, float]],
-                 key_col: str, salt_bits: int = 8, curve: str = "z"):
+                 key_col: str | None, salt_bits: int = 8, curve: str = "z"):
         assert curve in ("z", "hilbert"), curve
         self.cols = cols
         self.ranges = ranges
@@ -108,6 +108,18 @@ class AddZKey:
             z = hilbert_index(scaled)
         else:
             z = interleave_bits(scaled)
-        salt = hash_key_array(batch[self.key_col]) & np.uint64((1 << self.salt_bits) - 1)
+        if self.key_col is not None:
+            salt = hash_key_array(batch[self.key_col])
+        else:
+            # identity='none' tables have no key column: salt from the
+            # pre-scale values themselves (identical tuples stay tied,
+            # which is the best any deterministic salt can do)
+            mixed = scaled[0].copy()
+            for s in scaled[1:]:
+                mixed = (mixed * np.uint64(0x9E3779B97F4A7C15)) ^ s
+            from moonray.util import splitmix64
+
+            salt = splitmix64(mixed)
+        salt &= np.uint64((1 << self.salt_bits) - 1)
         z = (z << np.uint64(self.salt_bits)) | salt
         return batch.append_column(ZKEY, pa.array(z.astype(np.int64) & np.int64(2**63 - 1)))

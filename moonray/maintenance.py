@@ -37,6 +37,34 @@ from moonray.zorder import ZKEY, AddZKey
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # reference flush target: 128 MiB
 DEFAULT_DV_FRAC = 0.5                     # reference: ≥50% rows deleted
 DEFAULT_MAX_GROUP = 32                    # reference: ≤32 files per round
+# auto-maintenance triggers (reference: data compaction fires at ≥16
+# files below final size or ≥50% deleted rows, compaction_config.rs:47-54
+# via snapshot_maintenance.rs:42-199; index merge fires at ≥16 small
+# index files, index_merge_config.rs:50-88)
+TRIGGER_MIN_SMALL_FRAGS = 16
+TRIGGER_MIN_INDEX_FILES = 16
+
+
+def maintenance_due(m: dict, *, small_bytes: int | None = None,
+                    dv_frac: float = DEFAULT_DV_FRAC) -> dict:
+    """Evaluate the reference's background-maintenance triggers against
+    a manifest (pure metadata — no data touched). Returns which passes
+    are due plus the pressure counters that justified them."""
+    small_bytes = small_bytes if small_bytes is not None else DEFAULT_TARGET_BYTES // 2
+    frags = m["fragments"]
+    small = sum(1 for f in frags if f["bytes"] < small_bytes)
+    dv_heavy = sum(1 for f in frags
+                   if f["dv_count"] / max(1, f["rows"]) >= dv_frac)
+    n_parts = max(1, len(m["index"]["partitions"]))
+    index_files = sum(len(v) for v in m["index"]["partitions"].values())
+    return {
+        "compact": small >= TRIGGER_MIN_SMALL_FRAGS or dv_heavy > 0,
+        "index_merge": (index_files >= TRIGGER_MIN_INDEX_FILES
+                        and index_files > n_parts),
+        "small_fragments": small,
+        "dv_heavy_fragments": dv_heavy,
+        "index_files": index_files,
+    }
 
 
 def plan_compaction(fragments: list[dict], *, target_bytes: int,
@@ -87,7 +115,12 @@ class CompactGroup:
         self.job_id = job_id
         self.key_col = key_col
         self.zone_cols = list(zone_cols)
-        self.rpf = rows_per_fragment
+        # compacted outputs are 4× the flush granularity, mirroring the
+        # reference's 512 MiB compacted files vs 128 MiB flush files
+        # (compaction_config.rs:52 vs mooncake_table_config.rs:24) —
+        # otherwise small-file compaction of an rpf-sized table would
+        # re-emit the same file count it set out to reduce
+        self.rpf = 4 * rows_per_fragment
         self.schema_ipc = schema_ipc
         self.defaults = defaults or {}
         self.key_cols = key_cols or ([key_col] if key_col else [])

@@ -467,6 +467,36 @@ class MoonrayTable:
 
         return maintenance.cluster(self, cols=cols, **kw)
 
+    def maintenance_due(self, **kw) -> dict:
+        """Which background-maintenance passes the reference's trigger
+        policy would fire right now (metadata-only; see
+        maintenance.maintenance_due for the thresholds)."""
+        from moonray import maintenance
+
+        return maintenance.maintenance_due(self.manifest(), **kw)
+
+    def maintain_if_needed(self, *, expire_keep_last: int | None = None,
+                           **kw) -> dict:
+        """The engine-side analogue of the reference's background
+        maintenance loop (500 ms tick evaluating compaction/index-merge
+        triggers, table_handler_timer.rs:17-23 +
+        snapshot_maintenance.rs:42-199): evaluate the thresholds against
+        the current manifest and run exactly the passes that are due.
+        Call after merge commits (or on any cadence). Returns the
+        trigger evaluation plus the actions taken."""
+        due = self.maintenance_due(**kw)
+        actions = []
+        if due["compact"]:
+            self.optimize("data")
+            actions.append("compact")
+        if due["index_merge"]:
+            self.optimize("index")
+            actions.append("index_merge")
+        if actions and expire_keep_last is not None:
+            self.expire_snapshots(keep_last=expire_keep_last)
+            actions.append(f"expire(keep_last={expire_keep_last})")
+        return {**due, "actions": actions, "version": self.latest_version()}
+
     def duckdb_view(self, con, name: str, version: int | None = None) -> str:
         """Register this table's snapshot as a DuckDB view — the
         reference's headline consumption path (union read of parquet +

@@ -48,18 +48,12 @@ def main():
         t.merge(make_changes_dataset(per_round, n_base, seed=500 + rnd,
                                      lsn0=lsn0), job_id=f"soak-{rnd}")
         merge_s = time.perf_counter() - r0
-        d = t.describe()
-        maint = None
-        # reference-style triggers: DV debt ≥ 20% or fragment bloat → act
-        if d["deleted_rows"] >= 0.2 * max(1, d["cardinality"]):
-            m0 = time.perf_counter()
-            t.cluster()           # rewrite + DV fold + index rebuild
-            t.expire_snapshots(keep_last=2)
-            maint = ("cluster", round(time.perf_counter() - m0, 2))
-        elif rnd % 3 == 2:
-            m0 = time.perf_counter()
-            t.optimize("data")
-            maint = ("compact", round(time.perf_counter() - m0, 2))
+        # the trigger policy now lives in the ENGINE (reference
+        # background loop analogue): evaluate + run whatever is due
+        m0 = time.perf_counter()
+        res = t.maintain_if_needed(expire_keep_last=2)
+        maint = (res["actions"], round(time.perf_counter() - m0, 2)) \
+            if res["actions"] else None
         d = t.describe()
         print(json.dumps({
             "round": rnd, "merge_s": round(merge_s, 2),

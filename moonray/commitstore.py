@@ -1,0 +1,119 @@
+"""Commit-store abstraction: the two primitives a manifest publish
+actually needs, with object-store-safe semantics.
+
+The r1 commit path leaned on POSIX rename atomicity twice — fine on a
+local FS, silently broken on S3-class object stores (no rename; blind
+PUT races between two writers both "creating" the same version). The
+reference avoids this by committing through an Iceberg catalog
+transaction (src/moonlink/src/storage/table/iceberg/
+iceberg_table_syncer.rs:47-52, file_catalog.rs). The equivalent
+primitives, abstracted here:
+
+- ``put_if_absent(rel, data)``: atomically create a COMPLETE immutable
+  object, failing if it already exists. This is the concurrent-writer
+  guard: two racing committers of version N cannot both succeed.
+- ``set_pointer(name, value)`` / ``read_pointer(name)``: durably
+  publish the LATEST pointer. Monotonic integer values make blind
+  last-writer-wins acceptable *after* put_if_absent serialized the
+  version id; readers who see a stale pointer see an older committed
+  snapshot, never a torn one.
+
+Local implementation: write-to-temp + fsync + ``os.link`` (hard link
+creation is atomic AND fails with EEXIST — unlike the exists()+rename
+dance, there is no TOCTOU window), pointer via fsync'd rename + dir
+fsync.
+
+S3 implementation (documented; boto isn't in this container):
+
+- put_if_absent → ``PutObject`` with ``If-None-Match: *`` (S3
+  conditional writes, public API): the PUT fails with 412 if the key
+  exists. GCS: ``x-goog-if-generation-match: 0``; ABS:
+  ``If-None-Match: *``.
+- set_pointer → ``PutObject`` of the pointer key with
+  ``If-Match: <etag>`` CAS on the previous pointer generation (retry
+  loop keeping the max version), or a catalog/DynamoDB transactional
+  swap where available.
+- read_pointer → plain GET.
+
+``store_for(root)`` picks the implementation from the root scheme.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+
+class CommitConflict(RuntimeError):
+    """Another writer already committed this object."""
+
+
+class LocalCommitStore:
+    """POSIX implementation of the commit primitives."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def put_if_absent(self, rel: str, data: bytes) -> None:
+        """Atomically create ``rel`` with the full content, raising
+        CommitConflict if it exists. Temp + fsync + hard link: the
+        object appears complete-or-not-at-all, and link(2) is the
+        conditional create (EEXIST), with no exists()/rename race."""
+        from moonray.util import fsync_dir
+
+        path = self._abs(rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflict(
+                f"{rel} already committed — concurrent writer detected. "
+                "moonray tables are single-writer per table (like the "
+                "reference's one TableHandler per table); serialize "
+                "writers externally or use separate tables.") from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+        fsync_dir(os.path.dirname(path))
+
+    def set_pointer(self, name: str, value: str) -> None:
+        from moonray.util import atomic_write_text, fsync_dir
+
+        path = self._abs(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        atomic_write_text(path, value, durable=True)
+        fsync_dir(os.path.dirname(path))
+
+    def read_pointer(self, name: str) -> str:
+        with open(self._abs(name)) as f:
+            return f.read().strip()
+
+
+class S3CommitStore:  # pragma: no cover - no object store in this sandbox
+    """Contract for the S3-class implementation (see module docstring).
+    Instantiating raises: no boto/object store in this container. The
+    method semantics are pinned here so a deployment only fills in the
+    HTTP calls, not the protocol."""
+
+    def __init__(self, root: str):
+        raise NotImplementedError(
+            "S3 commit store: put_if_absent = PutObject + If-None-Match:*, "
+            "set_pointer = PutObject + If-Match CAS (keep max version), "
+            "read_pointer = GetObject. boto3 is not available in this "
+            "container; implement these three calls to deploy on S3.")
+
+
+def store_for(root: str):
+    if root.startswith(("s3://", "gs://", "abfs://")):
+        return S3CommitStore(root)
+    return LocalCommitStore(root)

@@ -30,7 +30,7 @@ from __future__ import annotations
 import glob
 import os
 
-from moonray.util import HASH_IMPL, atomic_write_json, atomic_write_text, read_json
+from moonray.util import HASH_IMPL, atomic_write_text, read_json
 
 FORMAT = "moonray/1"
 
@@ -71,27 +71,26 @@ def list_versions(root: str) -> list[int]:
 
 
 def commit_manifest(root: str, manifest: dict) -> int:
-    """Atomically publish a new version: immutable manifest file first,
-    then flip the LATEST pointer (both temp+rename). A crash between the
-    two leaves LATEST at the parent — the new version is simply invisible,
-    matching the reference's atomic Iceberg transaction commit."""
+    """Atomically publish a new version through the commit store
+    (commitstore.py): conditional-put of the immutable manifest object
+    (CommitConflict if a concurrent writer beat us to the version id —
+    no exists()/rename race), then the durable LATEST pointer swap. A
+    crash between the two leaves LATEST at the parent — the new version
+    is simply invisible, matching the reference's atomic Iceberg
+    catalog-transaction commit (iceberg_table_syncer.rs:47-52). The
+    same two primitives map to S3 conditional writes (see
+    commitstore.S3CommitStore)."""
+    import json
+
+    from moonray.commitstore import store_for
+
     version = manifest["version"]
     manifest.setdefault("format", FORMAT)
     manifest.setdefault("hash_impl", HASH_IMPL)
-    path = _vpath(root, version)
-    if os.path.exists(path):
-        raise RuntimeError(
-            f"version {version} already committed — concurrent writer "
-            "detected. moonray tables are single-writer per table (like "
-            "the reference's one TableHandler per table); serialize "
-            "writers externally or use separate tables.")
-    atomic_write_json(path, manifest, durable=True)
-    atomic_write_text(os.path.join(root, "versions", "LATEST"), str(version), durable=True)
-    # fsync the directory so the two renames themselves survive power
-    # loss — file fsync alone doesn't persist the directory entries
-    from moonray.util import fsync_dir
-
-    fsync_dir(os.path.join(root, "versions"))
+    store = store_for(root)
+    payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
+    store.put_if_absent(os.path.join("versions", f"v{version:08d}.json"), payload)
+    store.set_pointer(os.path.join("versions", "LATEST"), str(version))
     return version
 
 

@@ -44,17 +44,21 @@ class MoonrayCatalog:
         atomic_write_json(self._registry_path, reg, durable=True)
 
     # ---------------- operations ----------------
-    def create_table(self, name: str, *, key_col: str, schema: pa.Schema,
-                     **table_kwargs) -> MoonrayTable:
+    def create_table(self, name: str, *, schema: pa.Schema,
+                     key_col: str | None = None, key_cols=None,
+                     identity: str = "keys", **table_kwargs) -> MoonrayTable:
         reg = self._registry()
         if name in reg["tables"]:
             raise ValueError(f"table {name!r} already exists")
         root = os.path.join(self.warehouse, name)
-        t = MoonrayTable.create(root, key_col=key_col, schema=schema,
+        t = MoonrayTable.create(root, key_col=key_col, key_cols=key_cols,
+                                identity=identity, schema=schema,
                                 **table_kwargs)
         reg["tables"][name] = {
             "root": root,
             "key_col": key_col,
+            "key_cols": list(key_cols) if key_cols else None,
+            "identity": identity,
             "config": {k: v for k, v in table_kwargs.items()
                        if isinstance(v, (int, str, float, list, tuple))},
         }

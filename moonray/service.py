@@ -1,0 +1,360 @@
+"""HTTP control surface — the reference's REST API shim
+(src/moonlink_service/src/rest_api.rs:407-423) over MoonrayCatalog /
+MoonrayTable, stdlib-only (ThreadingHTTPServer):
+
+    GET    /health                      liveness
+    GET    /tables                      registry listing
+    POST   /tables/{t}                  create (schema, key_col/key_cols/identity, ...)
+    DELETE /tables/{t}                  drop
+    GET    /schema/{t}                  column name/type pairs
+    POST   /ingest/{t}                  {"operation": insert|upsert|delete,
+                                         "data": row-object | [row-objects]}
+                                        (rest_api.rs:1073-1075 op set)
+    POST   /upload/{t}                  {"operation": insert|upsert,
+                                         "files": [parquet paths]}
+    POST   /tables/{t}/optimize         {"mode": data|index|full}
+    POST   /tables/{t}/cluster          {"cols": [...], "curve": z|hilbert}
+    POST   /tables/{t}/snapshot         force snapshot (flush analogue)
+    POST   /tables/{t}/flush            same
+    POST   /tables/{t}/maintain         engine-trigger maintenance pass
+    POST   /tables/{t}/expire           {"keep_last": N}
+    GET    /tables/{t}                  describe
+    GET    /tables/{t}/history          version history
+    GET    /tables/{t}/scan?version=&columns=&limit=   rows as JSON (capped)
+
+One service process per warehouse = the single writer the engine
+assumes (the reference likewise funnels all writes through one
+TableHandler per table). LSNs for /ingest are assigned monotonically
+from the table's commit_lsn.
+
+Run:  python -m moonray.service --warehouse /wh --port 8642
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pyarrow as pa
+
+_TYPES = {
+    "string": pa.string(), "int32": pa.int32(), "int64": pa.int64(),
+    "float32": pa.float32(), "float64": pa.float64(),
+    "binary": pa.binary(), "bool": pa.bool_(),
+}
+_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_\-]*")
+MAX_SCAN_ROWS = 10_000
+
+
+def schema_from_json(pairs) -> pa.Schema:
+    fields = []
+    for col, typ in pairs:
+        if typ not in _TYPES:
+            raise ValueError(f"unknown type {typ!r}; one of {sorted(_TYPES)}")
+        fields.append(pa.field(col, _TYPES[typ]))
+    return pa.schema(fields)
+
+
+class ServiceError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+class MoonrayService:
+    """Route handlers over a catalog; transport-agnostic (the HTTP
+    handler below and tests call these directly)."""
+
+    def __init__(self, warehouse: str):
+        from moonray.catalog import MoonrayCatalog
+
+        self.catalog = MoonrayCatalog(warehouse)
+        self._write_lock = threading.Lock()  # single-writer per service
+
+    # ---------------- helpers ----------------
+    def _table(self, name: str):
+        try:
+            return self.catalog.open_table(name)
+        except KeyError:
+            raise ServiceError(404, f"no such table {name!r}") from None
+
+    def _rows_to_changes(self, t, op: str, rows: list[dict]) -> "object":
+        import numpy as np
+        import ray.data as rd
+
+        op_char = {"insert": "I", "upsert": "U", "delete": "D"}.get(op)
+        if op_char is None:
+            raise ServiceError(400, f"operation must be insert|upsert|delete, got {op!r}")
+        schema = t.schema()
+        lsn0 = t.manifest()["commit_lsn"] + 1
+        cols: dict = {
+            "op": pa.array([op_char] * len(rows), pa.string()),
+            "lsn": pa.array(np.arange(lsn0, lsn0 + len(rows)), pa.int64()),
+        }
+        for f in schema:
+            try:
+                cols[f.name] = pa.array([r.get(f.name) for r in rows], f.type)
+            except pa.ArrowInvalid as ex:
+                raise ServiceError(400, f"column {f.name!r}: {ex}") from None
+        return rd.from_arrow(pa.table(cols))
+
+    # ---------------- routes ----------------
+    def health(self) -> dict:
+        return {"service": "moonray-rest-api", "status": "healthy"}
+
+    def list_tables(self) -> dict:
+        return {"tables": self.catalog.list_tables()}
+
+    def create_table(self, name: str, body: dict) -> dict:
+        if not _NAME_RE.fullmatch(name):
+            raise ServiceError(400, f"bad table name {name!r}")
+        try:
+            schema = schema_from_json(body["schema"])
+        except (KeyError, ValueError, TypeError) as ex:
+            raise ServiceError(400, f"bad schema: {ex}") from None
+        kw = {k: body[k] for k in ("index_partitions", "rows_per_fragment")
+              if k in body}
+        try:
+            with self._write_lock:
+                self.catalog.create_table(
+                    name, schema=schema, key_col=body.get("key_col"),
+                    key_cols=body.get("key_cols"),
+                    identity=body.get("identity", "keys"),
+                    zone_cols=tuple(body.get("zone_cols", ())), **kw)
+        except ValueError as ex:
+            raise ServiceError(409, str(ex)) from None
+        return {"created": name}
+
+    def drop_table(self, name: str) -> dict:
+        with self._write_lock:
+            try:
+                self.catalog.drop_table(name)
+            except KeyError:
+                raise ServiceError(404, f"no such table {name!r}") from None
+        return {"dropped": name}
+
+    def schema(self, name: str) -> dict:
+        t = self._table(name)
+        return {"schema": [[f.name, str(f.type)] for f in t.schema()]}
+
+    def ingest(self, name: str, body: dict) -> dict:
+        t = self._table(name)
+        data = body.get("data")
+        rows = data if isinstance(data, list) else [data]
+        if not rows or any(not isinstance(r, dict) for r in rows):
+            raise ServiceError(400, "data must be a row object or list of them")
+        changes = self._rows_to_changes(t, body.get("operation", ""), rows)
+        with self._write_lock:
+            v = t.merge(changes, job_id=body.get("job_id"))
+        return {"table": name, "version": v, "rows": len(rows),
+                "commit_lsn": t.manifest()["commit_lsn"]}
+
+    def upload(self, name: str, body: dict) -> dict:
+        import ray.data as rd
+
+        t = self._table(name)
+        files = body.get("files") or []
+        op = body.get("operation", "insert")
+        if op not in ("insert", "upsert"):
+            raise ServiceError(400, "upload operation must be insert|upsert")
+        ds = rd.read_parquet(files)
+        with self._write_lock:
+            if op == "insert":
+                v = t.bulk_load(ds, job_id=body.get("job_id"))
+            else:
+                lsn0 = t.manifest()["commit_lsn"] + 1
+
+                def tag(b: pa.Table, lsn0=lsn0) -> pa.Table:
+                    import numpy as np
+
+                    n = len(b)
+                    out = {"op": pa.array(["U"] * n, pa.string()),
+                           "lsn": pa.array(np.full(n, lsn0, np.int64))}
+                    for c in b.column_names:
+                        out[c] = b[c]
+                    return pa.table(out)
+
+                v = t.merge(ds.map_batches(tag, batch_format="pyarrow"),
+                            job_id=body.get("job_id"), seq_col=None)
+        return {"table": name, "version": v}
+
+    def optimize(self, name: str, body: dict) -> dict:
+        t = self._table(name)
+        with self._write_lock:
+            v = t.optimize(body.get("mode", "data"), job_id=body.get("job_id"))
+        return {"table": name, "version": v}
+
+    def cluster(self, name: str, body: dict) -> dict:
+        t = self._table(name)
+        with self._write_lock:
+            v = t.cluster(cols=body.get("cols"), curve=body.get("curve", "z"),
+                          job_id=body.get("job_id"))
+        return {"table": name, "version": v}
+
+    def snapshot(self, name: str, body: dict) -> dict:
+        t = self._table(name)
+        with self._write_lock:
+            v = t.flush()
+        return {"table": name, "version": v}
+
+    def maintain(self, name: str, body: dict) -> dict:
+        t = self._table(name)
+        with self._write_lock:
+            return {"table": name,
+                    **t.maintain_if_needed(
+                        expire_keep_last=body.get("expire_keep_last"))}
+
+    def expire(self, name: str, body: dict) -> dict:
+        t = self._table(name)
+        with self._write_lock:
+            return t.expire_snapshots(keep_last=int(body.get("keep_last", 2)))
+
+    def describe(self, name: str) -> dict:
+        return self._table(name).describe()
+
+    def history(self, name: str) -> dict:
+        return {"history": self._table(name).history()}
+
+    def scan(self, name: str, q: dict) -> dict:
+        t = self._table(name)
+        version = int(q["version"][0]) if "version" in q else None
+        columns = q["columns"][0].split(",") if "columns" in q else None
+        limit = min(int(q.get("limit", [1000])[0]), MAX_SCAN_ROWS)
+        ds = t.scan(version=version, columns=columns).limit(limit)
+        rows = ds.take_all()
+        for r in rows:  # binary columns aren't JSON-serializable
+            for k, v in list(r.items()):
+                if isinstance(v, (bytes, bytearray)):
+                    r[k] = {"__bytes__": len(v)}
+        return {"rows": rows, "truncated_at": limit}
+
+
+def make_handler(svc: MoonrayService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, status: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            if not n:
+                return {}
+            try:
+                return json.loads(self.rfile.read(n))
+            except json.JSONDecodeError as ex:
+                raise ServiceError(400, f"bad JSON body: {ex}") from None
+
+        def _route(self, method: str):
+            u = urlparse(self.path)
+            parts = [p for p in u.path.split("/") if p]
+            q = parse_qs(u.query)
+            if method == "GET":
+                if parts == ["health"]:
+                    return svc.health()
+                if parts == ["tables"]:
+                    return svc.list_tables()
+                if len(parts) == 2 and parts[0] == "schema":
+                    return svc.schema(parts[1])
+                if len(parts) == 2 and parts[0] == "tables":
+                    return svc.describe(parts[1])
+                if len(parts) == 3 and parts[0] == "tables":
+                    if parts[2] == "history":
+                        return svc.history(parts[1])
+                    if parts[2] == "scan":
+                        return svc.scan(parts[1], q)
+            elif method == "POST":
+                body = self._body()
+                if len(parts) == 2 and parts[0] == "tables":
+                    return svc.create_table(parts[1], body)
+                if len(parts) == 2 and parts[0] == "ingest":
+                    return svc.ingest(parts[1], body)
+                if len(parts) == 2 and parts[0] == "upload":
+                    return svc.upload(parts[1], body)
+                if len(parts) == 3 and parts[0] == "tables":
+                    fn = {"optimize": svc.optimize, "cluster": svc.cluster,
+                          "snapshot": svc.snapshot, "flush": svc.snapshot,
+                          "maintain": svc.maintain, "expire": svc.expire,
+                          }.get(parts[2])
+                    if fn:
+                        return fn(parts[1], body)
+            elif method == "DELETE":
+                if len(parts) == 2 and parts[0] == "tables":
+                    return svc.drop_table(parts[1])
+            raise ServiceError(404, f"no route {method} {u.path}")
+
+        def _handle(self, method: str) -> None:
+            try:
+                self._reply(200, self._route(method))
+            except ServiceError as ex:
+                self._reply(ex.status, {"error": str(ex)})
+            except Exception as ex:  # noqa: BLE001 — service boundary
+                self._reply(500, {"error": f"{type(ex).__name__}: {ex}"})
+
+        def do_GET(self):
+            self._handle("GET")
+
+        def do_POST(self):
+            self._handle("POST")
+
+        def do_DELETE(self):
+            self._handle("DELETE")
+
+    return Handler
+
+
+def serve(warehouse: str, host: str = "127.0.0.1", port: int = 8642):
+    """Blocking serve loop. Returns (server, service) when used
+    programmatically via ``start_in_thread``."""
+    svc = MoonrayService(warehouse)
+    server = ThreadingHTTPServer((host, port), make_handler(svc))
+    return server, svc
+
+
+def start_in_thread(warehouse: str, host: str = "127.0.0.1", port: int = 0):
+    """Start the service on a daemon thread (port 0 = ephemeral);
+    returns (server, base_url). Used by tests and embedders."""
+    server, _svc = serve(warehouse, host, port)
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    return server, f"http://{server.server_address[0]}:{server.server_address[1]}"
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    import ray
+
+    p = argparse.ArgumentParser(prog="moonray.service", description=__doc__)
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8642)
+    args = p.parse_args(argv)
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    server, _ = serve(args.warehouse, args.host, args.port)
+    print(json.dumps({"serving": f"http://{args.host}:{args.port}",
+                      "warehouse": args.warehouse}))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -202,6 +202,12 @@ def _q_json_props(sf_dir: str):
     return json_props_agg(sf_dir)
 
 
+def _q_avro_ingest(sf_dir: str):
+    from moonray.pipelines.relational import avro_ingest_agg
+
+    return avro_ingest_agg(sf_dir)
+
+
 def _q_composite_merge(sf_dir: str):
     from moonray.pipelines.relational import merge_composite_key
 
@@ -377,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_events": _q_tumbling,
         "sessionize_events": _q_sessionize,
         "json_props_agg": _q_json_props,
+        "avro_ingest_agg": _q_avro_ingest,
         # ---- text analysis ----
         "text_stats": _q_text_stats,
         "docs_lang_stats": _q_lang_stats,
@@ -419,6 +426,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "avro_ingest_agg": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
             FROM events GROUP BY event_type
         """,
         "tumbling_window_events": """

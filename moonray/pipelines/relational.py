@@ -381,3 +381,56 @@ def tumbling_window_events(sf_dir: str, window_sec: int = 3600):
     return (ds.groupby(["user_id", "win"])
               .aggregate(Sum("n_events", alias_name="n_events"),
                          Sum("sum_cents", alias_name="sum_cents")))
+
+
+def avro_ingest_agg(sf_dir: str):
+    """Kafka-shaped Avro ingest end-to-end (reference avro_converter.rs
+    path): events rows → Avro binary datums (synthesized stream) →
+    AvroToRows decode stage → exact integer-cent aggregate per
+    event_type. The decode half is what production runs; the encode half
+    stands in for the Kafka producer."""
+    import ray.data as rd
+
+    from moonray.sources.avro_ingest import (AvroToRows, encode_avro,
+                                             parse_avro_schema)
+
+    schema_json = ('{"type":"record","name":"ev","fields":['
+                   '{"name":"user_id","type":"long"},'
+                   '{"name":"event_type","type":"string"},'
+                   '{"name":"value","type":"double"}]}')
+    schema = parse_avro_schema(schema_json)
+
+    def encode(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_pylist()
+        et = b["event_type"].to_pylist()
+        val = b["value"].to_pylist()
+        datums = [encode_avro(schema, {"user_id": u, "event_type": e,
+                                       "value": v})
+                  for u, e, v in zip(uid, et, val)]
+        return pa.table({"value": pa.array(datums, pa.binary())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "value"])
+    rows = ds.map_batches(encode, batch_format="pyarrow").map_batches(
+        AvroToRows, fn_constructor_args=(schema_json,),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100
+                         + 0.5).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "value_cents": pa.array(cents, pa.int64())})
+        g = t.group_by("event_type", use_threads=False).aggregate(
+            [("value_cents", "count", pc.CountOptions(mode="all")),
+             ("value_cents", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "n_events": g["value_cents_count"].cast(pa.int64()),
+                         "sum_cents": g["value_cents_sum"].cast(pa.int64())})
+
+    partial.__name__ = "partial_agg"
+    from ray.data.aggregate import Sum
+
+    return (rows.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_cents", alias_name="sum_cents")))

@@ -434,6 +434,28 @@ class MoonrayTable:
         }
         return mf.commit_manifest(self.root, child)
 
+    def initial_copy(self, snapshot_ds, buffered_changes, *,
+                     snapshot_lsn: int, job_id: str | None = None) -> int:
+        """Initial table copy with concurrent-change replay — the
+        reference buffers CDC events that arrive while the snapshot copy
+        runs and replays them once it finishes (pg_replicate.rs:244-309,
+        table_handler.rs:352-380). Batch shape: bulk-load the snapshot
+        (committed at ``snapshot_lsn``), then MERGE only the buffered
+        changes with lsn > snapshot_lsn — events already REFLECTED in
+        the snapshot are skipped, so replay is idempotent even when the
+        buffer overlaps the copy. Both halves resume under job_id."""
+        import pyarrow.compute as pc
+
+        job_id = job_id or new_job_id()
+        self.bulk_load(snapshot_ds, lsn=snapshot_lsn, job_id=f"{job_id}-copy")
+
+        def later(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater(b["lsn"], snapshot_lsn))
+
+        later.__name__ = "changes_after_snapshot"
+        return self.merge(buffered_changes.map_batches(
+            later, batch_format="pyarrow"), job_id=f"{job_id}-replay")
+
     def merge(self, changes, *, job_id: str | None = None,
               seq_col: str | None = None) -> int:
         from moonray.merge import merge_into

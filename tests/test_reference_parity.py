@@ -139,3 +139,34 @@ def test_history_fragments_sql(tmp_path):
     # DuckDB SQL over the snapshot honors the live deletion vector
     out = t.sql("SELECT count(*) AS n, sum(age) AS s FROM t")
     assert out.to_pylist() == [{"n": 1, "s": 10}]
+
+
+def test_initial_copy_with_concurrent_replay(tmp_path):
+    """Reference flow (pg_replicate.rs:244-309): CDC events buffered
+    during the snapshot copy replay afterwards; events with
+    lsn <= snapshot_lsn are already reflected in the snapshot and must
+    not double-apply."""
+    t = _mk(tmp_path / "ic")
+    # snapshot at LSN 100 already reflects: row 1 updated, row 2 absent
+    snapshot = rd.from_items([
+        {"id": 1, "name": "a-upd", "age": 11},
+        {"id": 3, "name": "c", "age": 30},
+    ])
+    # buffer overlaps the copy: lsn 90/95 are PRE-snapshot (skip), the
+    # rest are post-snapshot (apply)
+    buffered = _changes([
+        {"op": "U", "lsn": 90, "id": 1, "name": "a-upd", "age": 11},
+        {"op": "D", "lsn": 95, "id": 2, "name": None, "age": None},
+        {"op": "I", "lsn": 110, "id": 4, "name": "d", "age": 40},
+        {"op": "U", "lsn": 120, "id": 3, "name": "c2", "age": 31},
+        {"op": "D", "lsn": 130, "id": 1, "name": None, "age": None},
+    ])
+    v = t.initial_copy(snapshot, buffered, snapshot_lsn=100, job_id="ic-1")
+    assert t.manifest(v)["commit_lsn"] == 130
+    rows = {r["id"]: r for b in t.scan().iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()}
+    assert set(rows) == {3, 4}
+    assert rows[3]["name"] == "c2" and rows[4]["name"] == "d"
+    # resume: identical call is a no-op at the same version
+    assert t.initial_copy(snapshot, buffered, snapshot_lsn=100,
+                          job_id="ic-1") == v

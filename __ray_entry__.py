@@ -190,6 +190,12 @@ def _q_tumbling(sf_dir: str):
     return tumbling_window_events(sf_dir)
 
 
+def _q_hopping(sf_dir: str):
+    from moonray.pipelines.relational import hopping_window_events
+
+    return hopping_window_events(sf_dir)
+
+
 def _q_sessionize(sf_dir: str):
     from moonray.pipelines.relational import sessionize_events
 
@@ -349,6 +355,15 @@ def _q_images_flagship(sf_dir: str):
     return t.scan(columns=["image_id", "w", "h", "fmt", "caption", "phash"])
 
 
+def _q_audio_features(sf_dir: str):
+    from moonray.fixtures import make_audio_dataset
+    from moonray.functions.multimodal import audio_features
+
+    ds = audio_features(make_audio_dataset(200, seed=42))
+    return ds.select_columns(["audio_id", "sample_rate", "duration_s",
+                              "rms", "zcr", "spectral_centroid_hz"])
+
+
 def _q_images_decode(sf_dir: str):
     from moonray.fixtures import make_images_dataset
     from moonray.functions.multimodal import decode_stats
@@ -381,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_xact_commit": _q_stream_xact,
         # ---- streaming-shaped ----
         "tumbling_window_events": _q_tumbling,
+        "hopping_window_events": _q_hopping,
         "sessionize_events": _q_sessionize,
         "json_props_agg": _q_json_props,
         "avro_ingest_agg": _q_avro_ingest,
@@ -401,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- multimodal ----
         "images_decode_stats": _q_images_decode,
         "images_downsample2x": _q_images_downsample,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -442,6 +459,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_window_events": """
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 900000000 - k.k AS BIGINT) AS win,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+            GROUP BY 1, 2
         """,
         "text_stats": text_stats_oracle_sql(),
         "docs_lang_stats": """

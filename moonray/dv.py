@@ -62,10 +62,13 @@ def dv_paths_of(frag_meta: dict) -> list[str]:
 
 
 def load_dv_union(root: str, rel_paths: list[str]) -> np.ndarray:
-    """Union of DV delta files (deltas are disjoint → concat, sort)."""
+    """Union of DV delta files (deltas are disjoint → concat, sort);
+    remote roots read through the worker-local file cache."""
+    from moonray.filecache import data_path
+
     if not rel_paths:
         return empty_dv()
-    parts = [load_dv(os.path.join(root, p)) for p in rel_paths]
+    parts = [load_dv(data_path(root, p)) for p in rel_paths]
     out = np.concatenate(parts) if len(parts) > 1 else parts[0]
     return np.sort(out.astype(np.uint32))
 

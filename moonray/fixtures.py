@@ -183,3 +183,35 @@ def oracle_apply(base: pa.Table, changes: pa.Table, key_col: str = "image_id") -
             row = {c: r[c] for c in base.column_names}
             state[k] = row
     return state
+
+
+def make_audio_dataset(n: int, *, seed: int = 42, sample_rate: int = 8000):
+    """Deterministic synthetic audio clips: sine tones (varying
+    frequency/amplitude) + seeded noise, encoded as REAL PCM16 WAV
+    (multimodal.encode_wav). Distributed synthesis like
+    make_images_dataset — each map task generates its id range."""
+    import ray.data as rd
+
+    from moonray.functions.multimodal import encode_wav
+
+    def gen(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        out_id, out_audio, out_f0 = [], [], []
+        for i in batch["id"].to_pylist():
+            rng = np.random.default_rng(seed * 1_000_003 + i)
+            f0 = float(rng.integers(100, 2000))
+            dur = float(rng.uniform(0.2, 0.8))
+            t = np.arange(int(sample_rate * dur)) / sample_rate
+            wave = (0.6 * np.sin(2 * np.pi * f0 * t)
+                    + 0.05 * rng.standard_normal(len(t)))
+            pcm = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+            out_id.append(f"aud-{i:08d}")
+            out_audio.append(encode_wav(pcm, sample_rate))
+            out_f0.append(f0)
+        return pa.table({"audio_id": pa.array(out_id, pa.string()),
+                         "audio": pa.array(out_audio, pa.binary()),
+                         "f0_hz": pa.array(out_f0, pa.float64())})
+
+    return rd.range(n).map_batches(gen, batch_format="pyarrow")

@@ -142,3 +142,90 @@ def decode_stats(ds, *, concurrency=(1, 8), batch_size: int = 64):
 def downsample2x(ds, *, concurrency=(1, 8), batch_size: int = 64):
     return ds.map_batches(Downsample2x, batch_format="pyarrow",
                           concurrency=concurrency, batch_size=batch_size)
+
+
+# ---------------- audio (WAV PCM16 — real codec, pure numpy) ----------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE writer, PCM16 mono — real WAV (readable by any
+    audio tool), no external codec needed."""
+    import struct
+
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                   sample_rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)))
+    return hdr + pcm
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Minimal RIFF/WAVE reader (PCM16 mono). Compressed formats
+    (mp3/flac/ogg) need real codecs, absent from this container —
+    they raise NotImplementedError per the task's stub contract."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only WAV containers decode here; mp3/flac/ogg need an audio "
+            "codec library — swap decode_wav for soundfile/pydub")
+    pos = 12
+    sr, samples = None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt_tag, channels, sr = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only PCM16 mono WAV is decoded here")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype=np.int16)
+        pos += 8 + ln + (ln & 1)
+    if sr is None or samples is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    return samples, sr
+
+
+class AudioFeatures:
+    """Actor-pool stage over a binary WAV column: decode, extract
+    duration / RMS / zero-crossing rate / spectral centroid (numpy FFT)
+    per clip. The per-clip DSP is vectorized; the row loop is inherent
+    (variable-length clips)."""
+
+    def __init__(self, audio_col: str = "audio"):
+        self.audio_col = audio_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, zcr, cent, srs = [], [], [], [], []
+        for data in batch[self.audio_col].to_pylist():
+            x, sr = decode_wav(data)
+            xf = x.astype(np.float64) / 32768.0
+            n = len(xf)
+            dur.append(n / sr)
+            rms.append(float(np.sqrt(np.mean(xf * xf))) if n else 0.0)
+            zcr.append(float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1])))
+                       if n > 1 else 0.0)
+            if n:
+                spec = np.abs(np.fft.rfft(xf))
+                freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                tot = spec.sum()
+                cent.append(float((freqs * spec).sum() / tot) if tot else 0.0)
+            else:
+                cent.append(0.0)
+            srs.append(sr)
+        return (batch
+                .append_column("duration_s", pa.array(dur, pa.float64()))
+                .append_column("sample_rate", pa.array(srs, pa.int32()))
+                .append_column("rms", pa.array(rms, pa.float64()))
+                .append_column("zcr", pa.array(zcr, pa.float64()))
+                .append_column("spectral_centroid_hz", pa.array(cent, pa.float64())))
+
+
+def audio_features(ds, *, audio_col: str = "audio", concurrency=(1, 8),
+                   batch_size: int = 64):
+    return ds.map_batches(AudioFeatures, fn_constructor_args=(audio_col,),
+                          batch_format="pyarrow", concurrency=concurrency,
+                          batch_size=batch_size)

@@ -104,10 +104,12 @@ class MergeIndexPartition:
         from moonray.dv import load_dv_union
 
         out_parts, out_paths, out_rows = [], [], []
+        from moonray.filecache import data_path
+
         for part in batch["part"].to_pylist():
             part = str(part)
             files = self.partitions.get(part, [])
-            tables = [pq.read_table(os.path.join(self.root, rel)) for rel in files]
+            tables = [pq.read_table(data_path(self.root, rel)) for rel in files]
             if tables:
                 merged = pa.concat_tables(tables)
                 frags_np = np.asarray(merged["_frag"].combine_chunks())

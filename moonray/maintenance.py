@@ -141,9 +141,11 @@ class CompactGroup:
                 continue
             schema = (pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(self.schema_ipc)))
                       if self.schema_ipc else None)
+            from moonray.filecache import data_path
+
             pieces = []
             for f in spec["frags"]:
-                t = pq.read_table(os.path.join(self.root, f["path"]),
+                t = pq.read_table(data_path(self.root, f["path"]),
                                   memory_map=True, pre_buffer=False)
                 dvp = dv_paths_of(f)
                 if dvp:
@@ -405,8 +407,10 @@ def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
     zk = AddZKey(cols, ranges, m["key_col"], salt_bits, curve)
     per_frag = max(16, _MAX_BOUNDARY_SAMPLE // len(pick))
 
+    from moonray.filecache import data_path
+
     def sample_one(f) -> np.ndarray:
-        t = pq.read_table(os.path.join(table.root, f["path"]),
+        t = pq.read_table(data_path(table.root, f["path"]),
                           columns=thin_cols, memory_map=True, pre_buffer=False)
         if len(t) == 0:
             return np.array([], dtype=np.int64)

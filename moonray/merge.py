@@ -113,9 +113,11 @@ class MergeApply:
             return {}
         key_set = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
         live_set = pa.array(list(live), pa.string())
+        from moonray.filecache import data_path
+
         frag_parts, off_parts = [], []
         for rel in files:
-            idx = pq.read_table(os.path.join(self.root, rel))
+            idx = pq.read_table(data_path(self.root, rel))
             mask = pc.and_(pc.is_in(idx[self.key_col], value_set=key_set),
                            pc.is_in(idx["_frag"], value_set=live_set))
             hit = idx.filter(mask)

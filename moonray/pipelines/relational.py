@@ -434,3 +434,47 @@ def avro_ingest_agg(sf_dir: str):
             .groupby("event_type")
             .aggregate(Sum("n_events", alias_name="n_events"),
                        Sum("sum_cents", alias_name="sum_cents")))
+
+
+def hopping_window_events(sf_dir: str, window_sec: int = 3600,
+                          hop_sec: int = 900):
+    """Hopping (sliding) event-time windows: each event lands in
+    window_sec/hop_sec overlapping windows (win = start index in hops).
+    The ×k window fan-out happens vectorized inside map_batches
+    (np.repeat/tile), partial-aggregated per (user, win) before the
+    groupby shuffle — the shuffle carries one row per group per batch,
+    not ×k event rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    assert window_sec % hop_sec == 0
+    k = window_sec // hop_sec
+    hop_us = hop_sec * 1_000_000
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def fanout_partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100
+                         + 0.5).astype(np.int64)
+        base = us // hop_us
+        win = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64),
+                                           len(us))
+        t = pa.table({
+            "user_id": pa.array(np.repeat(uid, k), pa.int64()),
+            "win": pa.array(win, pa.int64()),
+            "value_cents": pa.array(np.repeat(cents, k), pa.int64()),
+        })
+        g = t.group_by(["user_id", "win"], use_threads=False).aggregate(
+            [("value_cents", "count", pc.CountOptions(mode="all")),
+             ("value_cents", "sum")])
+        return pa.table({"user_id": g["user_id"], "win": g["win"],
+                         "n_events": g["value_cents_count"].cast(pa.int64()),
+                         "sum_cents": g["value_cents_sum"].cast(pa.int64())})
+
+    fanout_partial.__name__ = "hop_fanout_partial"
+    ds = rd.read_parquet(path, columns=["ts", "user_id", "value"])
+    return (ds.map_batches(fanout_partial, batch_format="pyarrow")
+            .groupby(["user_id", "win"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_cents", alias_name="sum_cents")))

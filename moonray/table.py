@@ -52,8 +52,10 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
     from moonray.fragments import normalize_to_schema
     from moonray.util import cap_kernel_threads
 
+    from moonray.filecache import data_path
+
     cap_kernel_threads()
-    path = os.path.join(root, rel_path)
+    path = data_path(root, rel_path)
     cols = list(read_schema.names)
     if (dv_rels or with_internal) and ROWOFF not in cols:
         cols.append(ROWOFF)
@@ -544,7 +546,9 @@ class MoonrayTable:
             con.sql(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM "
                     f"(SELECT 1) WHERE 1=0")
             return name
-        paths = [os.path.join(self.root, f["path"]) for f in frags]
+        from moonray.filecache import data_path
+
+        paths = [data_path(self.root, f["path"]) for f in frags]
         # single quotes doubled: a quote in the table root must not break
         # (or inject into) the view SQL
         path_sql = "[" + ", ".join("'" + p.replace("'", "''") + "'"

@@ -60,3 +60,32 @@ def test_downsample2x_halves_and_stays_decodable():
     ref = decode_image(encode_image(arr, "jpeg")).reshape(32, 2, 64, 2, 3).mean(
         axis=(1, 3)).astype(np.uint8)
     assert psnr(small, ref) >= 40.0
+
+
+def test_wav_roundtrip_and_audio_features():
+    import numpy as np
+
+    from moonray.fixtures import make_audio_dataset
+    from moonray.functions.multimodal import (audio_features, decode_wav,
+                                              encode_wav)
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = (np.sin(2 * np.pi * 440.0 * t) * 16384).astype(np.int16)
+    back, sr2 = decode_wav(encode_wav(tone, sr))
+    assert sr2 == sr and np.array_equal(back, tone)
+
+    ds = audio_features(make_audio_dataset(20, seed=7))
+    rows = ds.take_all()
+    assert len(rows) == 20
+    for r in rows:
+        # spectral centroid of a tone+noise clip tracks its f0 loosely;
+        # ZCR of a sine ≈ 2*f0/sr
+        assert 0.1 < r["duration_s"] < 1.0
+        assert 0.2 < r["rms"] < 0.6
+        assert abs(r["zcr"] - 2 * r["f0_hz"] / r["sample_rate"]) < 0.15
+    # unsupported container raises (stub contract for real codecs)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x03...mp3 data...")

@@ -234,7 +234,8 @@ def compact(table, *, target_bytes: int | None = None,
 
     log.stage_start("compact")
     items = [{"gid": i, "spec": json.dumps(g)} for i, g in enumerate(plan)]
-    entries = rd.from_items(items).map_batches(
+    # one block per group — see shuffle.reduce_buckets on bundling
+    entries = rd.from_items(items, override_num_blocks=len(items)).map_batches(
         as_fn(CompactGroup(table.root, job_id, m["key_col"], m["zone_cols"],
                            m["rows_per_fragment"], m["schema_ipc"],
                            m.get("column_defaults", {}),
@@ -280,7 +281,8 @@ def merge_index(table, *, job_id: str | None = None, tasks_per_batch: int = 4) -
     log.stage_start("index_merge")
     live = {f["id"] for f in m["fragments"]}
     dv_paths = {f["id"]: dv_paths_of(f) for f in m["fragments"] if dv_paths_of(f)}
-    summary = rd.from_items([{"part": int(p)} for p in parts]).map_batches(
+    summary = rd.from_items([{"part": int(p)} for p in parts],
+                            override_num_blocks=len(parts)).map_batches(
         as_fn(MergeIndexPartition(table.root, job_id, m["key_col"],
                                   m["index"]["partitions"], live, dv_paths)),
         batch_format="pyarrow", batch_size=tasks_per_batch,

@@ -59,7 +59,11 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("create")
     tbl(sp)
-    sp.add_argument("--key", required=True)
+    sp.add_argument("--key", default=None, help="single key column")
+    sp.add_argument("--keys", default=None,
+                    help="comma-separated composite key columns")
+    sp.add_argument("--identity", choices=("keys", "full_row", "none"),
+                    default="keys")
     sp.add_argument("--schema-json", required=True,
                     help='[["col","type"], ...] types: ' + ",".join(_TYPES))
     sp.add_argument("--zone-cols", default="")
@@ -109,7 +113,9 @@ def main(argv=None) -> int:
         schema = pa.schema([(c, _pa_type(t))
                             for c, t in json.loads(args.schema_json)])
         MoonrayTable.create(
-            args.table, key_col=args.key, schema=schema,
+            args.table, key_col=args.key,
+            key_cols=args.keys.split(",") if args.keys else None,
+            identity=args.identity, schema=schema,
             zone_cols=tuple(x for x in args.zone_cols.split(",") if x),
             index_partitions=args.index_partitions,
             rows_per_fragment=args.rows_per_fragment)

@@ -297,7 +297,7 @@ def merge_index(table, *, job_id: str | None = None, tasks_per_batch: int = 4) -
 
 
 
-_MAX_BOUNDARY_SAMPLE = 65536
+_MAX_BOUNDARY_SAMPLE = 16384
 
 
 class ClusterWriteGroup:
@@ -385,7 +385,7 @@ class ClusterWriteGroup:
         return pa.concat_tables(out)
 
 
-_MAX_BOUNDARY_FRAGS = 64
+_MAX_BOUNDARY_FRAGS = 32
 
 
 def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,

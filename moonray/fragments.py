@@ -142,16 +142,24 @@ class FragmentWriter:
     """map_batches stage: Arrow batch in → index-entry rows out, fragment
     parquet + sidecar written as a side effect. Stateless w.r.t. batches;
     used as a task (plain callable would also work) — kept as a class so
-    config is serialized once per actor."""
+    config is serialized once per actor.
+
+    With ``index_partitions`` set, the task also stages its index entries
+    pre-partitioned (keyindex.stage_entry_runs) and returns only a tiny
+    count row — the caller then folds partitions with
+    ``build_index_from_runs`` instead of running a Ray Data entry
+    shuffle behind the write pipeline."""
 
     def __init__(self, root: str, job_id: str, key_col: str | None, zone_cols,
-                 compression: str = "snappy", data_cols: list[str] | None = None):
+                 compression: str = "snappy", data_cols: list[str] | None = None,
+                 index_partitions: int | None = None):
         self.root = root
         self.job_id = job_id
         self.key_col = key_col
         self.zone_cols = list(zone_cols)
         self.compression = compression
         self.data_cols = data_cols
+        self.index_partitions = index_partitions
 
     def _empty_entries(self, batch: pa.Table) -> pa.Table:
         cols = {}
@@ -165,12 +173,21 @@ class FragmentWriter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
+            if self.index_partitions is not None:
+                return pa.table({"rows": pa.array([0], pa.int64())})
             return self._empty_entries(batch)
         _meta, entries = write_fragment(
             self.root, self.job_id, batch,
             key_col=self.key_col, zone_cols=self.zone_cols,
             compression=self.compression, data_cols=self.data_cols,
         )
+        if self.index_partitions is not None:
+            if entries is not None and self.key_col is not None:
+                from moonray.keyindex import stage_entry_runs
+
+                stage_entry_runs(self.root, self.job_id, entries,
+                                 self.key_col, self.index_partitions)
+            return pa.table({"rows": pa.array([len(batch)], pa.int64())})
         return entries if entries is not None else self._empty_entries(batch)
 
 

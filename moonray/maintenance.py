@@ -30,7 +30,7 @@ from moonray import manifest as mf
 from moonray.checkpoint import LineageLog
 from moonray.dv import dv_paths_of, filter_batch, load_dv_union
 from moonray.fragments import ROWOFF, normalize_to_schema, write_fragment
-from moonray.keyindex import MergeIndexPartition, write_index_deltas
+from moonray.keyindex import MergeIndexPartition, build_index_from_runs
 from moonray.util import as_fn, atomic_write_json, new_job_id, read_json
 from moonray.zorder import ZKEY, AddZKey
 
@@ -110,7 +110,8 @@ class CompactGroup:
 
     def __init__(self, root: str, job_id: str, key_col: str | None, zone_cols,
                  rows_per_fragment: int, schema_ipc: str | None = None,
-                 defaults: dict | None = None, key_cols: list[str] | None = None):
+                 defaults: dict | None = None, key_cols: list[str] | None = None,
+                 index_partitions: int = 0):
         self.root = root
         self.job_id = job_id
         self.key_col = key_col
@@ -124,20 +125,19 @@ class CompactGroup:
         self.schema_ipc = schema_ipc
         self.defaults = defaults or {}
         self.key_cols = key_cols or ([key_col] if key_col else [])
+        self.index_partitions = index_partitions
 
     def _marker(self, gid: int) -> str:
         return os.path.join(self.root, "staging", self.job_id, f"compact-g{gid}.done.json")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_entries = []
+        out_rows = []
         for row in batch.to_pylist():
             gid = int(row["gid"])
             spec = json.loads(row["spec"])
             marker = self._marker(gid)
-            entries_path = os.path.join(self.root, "staging", self.job_id,
-                                        f"compact-g{gid}-entries.parquet")
             if os.path.exists(marker):
-                out_entries.append(pq.read_table(entries_path))
+                out_rows.append(int(read_json(marker)["rows"]))
                 continue
             schema = (pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(self.schema_ipc)))
                       if self.schema_ipc else None)
@@ -175,22 +175,17 @@ class CompactGroup:
                     )
                     if entries is not None:
                         group_entries.append(entries)
-            if group_entries:
+            n_entries = 0
+            if group_entries and self.key_col is not None and self.index_partitions:
+                from moonray.keyindex import stage_entry_runs
+
                 merged = pa.concat_tables(group_entries)
-            else:
-                cols = {}
-                if self.key_col is not None:
-                    key_type = (data[self.key_col].type
-                                if data is not None and self.key_col in data.column_names
-                                else pa.string())
-                    cols[self.key_col] = pa.array([], key_type)
-                cols["_frag"] = pa.array([], pa.string())
-                cols["_off"] = pa.array([], pa.uint32())
-                merged = pa.table(cols)
-            pq.write_table(merged, entries_path)
-            atomic_write_json(marker, {"gid": gid, "rows": len(merged)})
-            out_entries.append(merged)
-        return pa.concat_tables(out_entries) if out_entries else pa.table({})
+                stage_entry_runs(self.root, self.job_id, merged,
+                                 self.key_col, self.index_partitions)
+                n_entries = len(merged)
+            atomic_write_json(marker, {"gid": gid, "rows": n_entries})
+            out_rows.append(n_entries)
+        return pa.table({"rows": pa.array(out_rows, pa.int64())})
 
 
 def _auto_group_bytes(total_bytes: int) -> int:
@@ -234,20 +229,20 @@ def compact(table, *, target_bytes: int | None = None,
 
     log.stage_start("compact")
     items = [{"gid": i, "spec": json.dumps(g)} for i, g in enumerate(plan)]
-    # one block per group — see shuffle.reduce_buckets on bundling
-    entries = rd.from_items(items, override_num_blocks=len(items)).map_batches(
-        as_fn(CompactGroup(table.root, job_id, m["key_col"], m["zone_cols"],
-                           m["rows_per_fragment"], m["schema_ipc"],
-                           m.get("column_defaults", {}),
-                           key_cols=key_cols_of(m))),
-        batch_format="pyarrow", batch_size=1,
-    )
+    # raw tasks (no Dataset launch): each group rewrites its fragments
+    # and stages its index entries pre-partitioned; the index build is
+    # then one tiny raw task per partition (keyindex.build_index_from_runs)
+    from moonray.shuffle import run_items_tasks
+
+    run_items_tasks(items, CompactGroup(
+        table.root, job_id, m["key_col"], m["zone_cols"],
+        m["rows_per_fragment"], m["schema_ipc"], m.get("column_defaults", {}),
+        key_cols=key_cols_of(m),
+        index_partitions=m["index"]["num_partitions"]))
     if m["key_col"] is None:  # identity='none': no key index
-        entries.count()
         deltas: dict[str, list[str]] = {}
     else:
-        deltas = write_index_deltas(entries, table.root, job_id, m["key_col"],
-                                    m["index"]["num_partitions"])
+        deltas = build_index_from_runs(table.root, job_id, m["key_col"])
     new_frags = [read_json(p) for p in _staged_meta_paths(table.root, job_id)]
     replaced = {f["id"] for g in plan for f in g["frags"]}
     log.stage_done("compact", {"counters": {
@@ -303,28 +298,23 @@ _MAX_BOUNDARY_SAMPLE = 16384
 class ClusterWriteGroup:
     """Reduce task for one Z-key range partition: read its shuffle runs,
     sort by the salted Z-key, chunk into fragments, write them (ZSTD)
-    and return the fresh index entries. Idempotent per (job, bucket): a
-    done-marker + staged entries parquet short-circuit reruns — the
-    fragment-granular resume the north rule requires."""
+    and stage the fresh index entries pre-partitioned
+    (keyindex.stage_entry_runs — the caller folds them with one raw task
+    per index partition instead of chaining a Ray Data entry shuffle
+    behind the reduce). Idempotent per (job, bucket): a done-marker
+    short-circuits reruns (entry runs + fragments are already staged) —
+    the fragment-granular resume the north rule requires."""
 
     def __init__(self, root: str, job_id: str, key_col: str | None, zone_cols,
-                 rows_per_fragment: int, key_type: pa.DataType = pa.string(),
-                 data_cols: list[str] | None = None):
+                 rows_per_fragment: int, data_cols: list[str] | None = None,
+                 index_partitions: int = 0):
         self.root = root
         self.job_id = job_id
         self.key_col = key_col
         self.zone_cols = list(zone_cols)
         self.rpf = rows_per_fragment
-        self.key_type = key_type
         self.data_cols = data_cols
-
-    def _empty(self) -> pa.Table:
-        cols = {}
-        if self.key_col is not None:
-            cols[self.key_col] = pa.array([], self.key_type)
-        cols["_frag"] = pa.array([], pa.string())
-        cols["_off"] = pa.array([], pa.uint32())
-        return pa.table(cols)
+        self.index_partitions = index_partitions
 
     def _check_fault_injection(self, stage_dir: str) -> None:
         """Same deterministic kill-switch as MergeApply (see merge.py):
@@ -341,17 +331,17 @@ class ClusterWriteGroup:
                     f"injected failure: {done} cluster buckets done (limit {n})")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from moonray.keyindex import stage_entry_runs
         from moonray.shuffle import read_bucket
 
-        out = []
+        rows_out = []
         for pid in batch["bucket"].to_pylist():
             pid = int(pid)
             stage_dir = os.path.join(self.root, "staging", self.job_id)
             self._check_fault_injection(stage_dir)
             marker = os.path.join(stage_dir, f"cluster-p{pid:05d}.done.json")
-            entries_path = os.path.join(stage_dir, f"cluster-p{pid:05d}-entries.parquet")
             if os.path.exists(marker):
-                out.append(pq.read_table(entries_path))
+                rows_out.append(int(read_json(marker)["rows"]))
                 continue
             group = read_bucket(self.root, self.job_id, "cluster", pid)
             if group is None or len(group) == 0:
@@ -376,13 +366,15 @@ class ClusterWriteGroup:
                 )
                 if entries is not None:
                     parts.append(entries)
-            merged = pa.concat_tables(parts) if parts else self._empty()
-            pq.write_table(merged, entries_path)
-            atomic_write_json(marker, {"pid": pid, "rows": len(merged)})
-            out.append(merged)
-        if not out:
-            return self._empty()
-        return pa.concat_tables(out)
+            n_entries = 0
+            if parts and self.key_col is not None and self.index_partitions:
+                merged = pa.concat_tables(parts)
+                stage_entry_runs(self.root, self.job_id, merged,
+                                 self.key_col, self.index_partitions)
+                n_entries = len(merged)
+            atomic_write_json(marker, {"pid": pid, "rows": n_entries})
+            rows_out.append(n_entries)
+        return pa.table({"rows": pa.array(rows_out, pa.int64())})
 
 
 _MAX_BOUNDARY_FRAGS = 32
@@ -519,7 +511,7 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
     # payload bytes go scan → per-bucket run file → sorted fragment.
     # Ray's object-store sort shuffle is O(blocks²) in intermediate
     # objects and blew up quadratically on wide image payloads. ----
-    from moonray.shuffle import reduce_buckets, write_runs
+    from moonray.shuffle import reduce_buckets_tasks, write_runs
 
     def bucket_fn(b: pa.Table) -> np.ndarray:
         z = b[ZKEY].to_numpy(zero_copy_only=False)
@@ -541,18 +533,17 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
         log.stage_done("cluster_shuffle", shuffle_out)
     buckets = shuffle_out["buckets"]
     user_cols = list(table.schema().names)
-    key_type = (table.schema().field(m["key_col"]).type
-                if m["key_col"] in user_cols else pa.string())
-    entries = reduce_buckets(
+    # raw tasks (no Dataset launch): each bucket writes its sorted
+    # fragments and stages its index entries pre-partitioned; the index
+    # build is then one tiny raw task per partition
+    reduce_buckets_tasks(
         buckets, ClusterWriteGroup(table.root, job_id, m["key_col"],
-                                   m["zone_cols"], rpf, key_type,
-                                   data_cols=user_cols))
+                                   m["zone_cols"], rpf, data_cols=user_cols,
+                                   index_partitions=m["index"]["num_partitions"]))
     if m["key_col"] is None:  # identity='none': no key index
-        entries.count()
         deltas: dict[str, list[str]] = {}
     else:
-        deltas = write_index_deltas(entries, table.root, job_id, m["key_col"],
-                                    m["index"]["num_partitions"])
+        deltas = build_index_from_runs(table.root, job_id, m["key_col"])
     new_frags = [read_json(p) for p in _staged_meta_paths(table.root, job_id)]
     replaced = {f["id"] for f in m["fragments"]}
     log.stage_done("cluster", {"counters": {

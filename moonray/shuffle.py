@@ -155,3 +155,18 @@ def reduce_buckets_tasks(buckets: list[int], reducer) -> list[pa.Table]:
 
     run_bucket = run_bucket.options(name=f"reduce:{type(reducer).__name__}")
     return ray.get([run_bucket.remote(int(b)) for b in buckets])
+
+
+def run_items_tasks(items: list[dict], reducer) -> list[pa.Table]:
+    """``reduce_buckets_tasks`` generalized to arbitrary one-row item
+    dicts (e.g. compaction's {"gid", "spec"}) — same raw-task shape,
+    same idempotency contract (the reducer owns per-item done-markers)."""
+    import ray
+
+    @ray.remote
+    def run_item(item: dict) -> pa.Table:
+        cap_kernel_threads()
+        return reducer(pa.table({k: [v] for k, v in item.items()}))
+
+    run_item = run_item.options(name=f"reduce:{type(reducer).__name__}")
+    return ray.get([run_item.remote(i) for i in items])

@@ -34,7 +34,7 @@ from ray.data.datasource import Datasource, ReadTask
 from moonray import manifest as mf
 from moonray.dv import dv_paths_of
 from moonray.fragments import ROWOFF, FragmentWriter, collect_staged_fragment_meta
-from moonray.keyindex import write_index_deltas
+from moonray.keyindex import build_index_from_runs
 from moonray.util import as_fn, new_job_id
 
 DEFAULT_ROWS_PER_FRAGMENT = 4096  # reference mem-slice: 4096-row batches × 32
@@ -316,16 +316,21 @@ class MoonrayTable:
             return prev
         m = self.manifest()
         rpf = rows_per_fragment or m["rows_per_fragment"]
+        # write tasks stage their index entries pre-partitioned
+        # (keyindex.stage_entry_runs) — the index build is then one tiny
+        # raw task per partition, not a Ray Data entry shuffle chained
+        # behind the payload write pipeline
         writer = FragmentWriter(self.root, job_id, m["key_col"], m["zone_cols"],
-                                data_cols=list(self.schema().names))
+                                data_cols=list(self.schema().names),
+                                index_partitions=(m["index"]["num_partitions"]
+                                                  if m["key_col"] else None))
         src = with_identity_key(ds, m)
-        entries = src.map_batches(as_fn(writer), batch_format="pyarrow", batch_size=rpf)
+        src.map_batches(as_fn(writer), batch_format="pyarrow",
+                        batch_size=rpf).count()  # drive the write pipeline
         if m["key_col"] is None:  # identity='none': no key index
-            entries.count()  # drive the write pipeline
             deltas: dict[str, list[str]] = {}
         else:
-            deltas = write_index_deltas(entries, self.root, job_id, m["key_col"],
-                                        m["index"]["num_partitions"])
+            deltas = build_index_from_runs(self.root, job_id, m["key_col"])
         new_frags = collect_staged_fragment_meta(self.root, job_id)
         return self._commit_append(m, new_frags, deltas, lsn, job_id)
 

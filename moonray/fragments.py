@@ -32,6 +32,31 @@ import pyarrow.parquet as pq
 from moonray.util import atomic_write_json
 
 ROWOFF = "_rowoff"
+NBYTES = "_nbytes"
+
+
+def row_payload_bytes(t: pa.Table) -> pa.Array | None:
+    """Per-row payload size (uint32) when the table carries variable-
+    width binary columns, else None. Persisted as ``{NBYTES}`` alongside
+    ``{ROWOFF}`` so later planners (Z-order boundary sampling) can cut
+    equal-BYTE partitions from a thin-column read: equal-ROW cuts on an
+    image table skew reducer input 7× (payload size correlates with the
+    Z-key columns), and the biggest bucket alone sets the makespan."""
+    var_cols = [f.name for f in t.schema
+                if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)]
+    if not var_cols:
+        return None
+    total = np.zeros(len(t), dtype=np.int64)
+    for c in var_cols:
+        total += np.asarray(
+            pc.binary_length(t[c].combine_chunks()), dtype=np.int64)
+    for f in t.schema:
+        if f.name not in var_cols:
+            try:
+                total += f.type.bit_width // 8
+            except ValueError:  # nested / var-width non-binary: flat fee
+                total += 8
+    return pa.array(np.minimum(total, np.iinfo(np.uint32).max).astype(np.uint32))
 
 
 def normalize_to_schema(t: pa.Table, schema: pa.Schema,
@@ -97,6 +122,9 @@ def write_fragment(
     offs = pa.array(np.arange(n, dtype=np.uint32))
     data = table.select(data_cols) if data_cols is not None else table
     out = data.append_column(ROWOFF, offs)
+    nb = row_payload_bytes(data)
+    if nb is not None:
+        out = out.append_column(NBYTES, nb)
     tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
     # binary payload columns (image bytes) are already codec-compressed;
     # re-compressing them costs CPU on both write and every scan for ~0%

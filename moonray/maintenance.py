@@ -411,26 +411,42 @@ def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
     per_frag = max(16, _MAX_BOUNDARY_SAMPLE // len(pick))
 
     from moonray.filecache import data_path
+    from moonray.fragments import NBYTES
 
-    def sample_one(f) -> np.ndarray:
-        t = pq.read_table(data_path(table.root, f["path"]),
-                          columns=thin_cols, memory_map=True, pre_buffer=False)
+    def sample_one(f) -> tuple[np.ndarray, np.ndarray]:
+        path = data_path(table.root, f["path"])
+        present = set(pq.read_schema(path).names)
+        want = thin_cols + ([NBYTES] if NBYTES in present else [])
+        t = pq.read_table(path, columns=[c for c in want if c in present],
+                          memory_map=True, pre_buffer=False)
         if len(t) == 0:
-            return np.array([], dtype=np.int64)
+            return (np.array([], dtype=np.int64),) * 2
         if len(t) > per_frag:
             step = len(t) // per_frag
             t = t.take(pa.array(np.arange(0, len(t), step)[:per_frag]))
+        # per-row payload weight (persisted at fragment-write time) →
+        # equal-BYTE partitions; fall back to the fragment's bytes/rows
+        # average, so equal-rows only when nothing better is known
+        if NBYTES in t.column_names:
+            w = t[NBYTES].to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            w = np.full(len(t), max(1.0, f["bytes"] / max(1, f["rows"])))
         if composite:
             t = append_ckey(t, kcols)
-        return zk(t)[ZKEY].to_numpy(zero_copy_only=False)
+        return zk(t)[ZKEY].to_numpy(zero_copy_only=False), w
 
     with ThreadPoolExecutor(max_workers=min(8, len(pick))) as ex:
-        zs = [z for z in ex.map(sample_one, pick) if len(z)]
-    if not zs:
+        samples = [zw for zw in ex.map(sample_one, pick) if len(zw[0])]
+    if not samples:
         return np.array([], dtype=np.int64)
-    z = np.concatenate(zs)
-    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
-    return np.unique(np.quantile(z, qs).astype(np.int64))
+    z = np.concatenate([zw[0] for zw in samples])
+    w = np.concatenate([zw[1] for zw in samples])
+    order = np.argsort(z, kind="stable")
+    z, w = z[order], w[order]
+    cum = np.cumsum(w)
+    targets = cum[-1] * np.linspace(0, 1, num_partitions + 1)[1:-1]
+    idx = np.searchsorted(cum, targets)
+    return np.unique(z[np.minimum(idx, len(z) - 1)])
 
 
 def cluster(table, *, cols=None, salt_bits: int = 8,

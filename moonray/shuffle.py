@@ -44,7 +44,16 @@ def shuffle_dir(root: str, job_id: str, name: str) -> str:
 
 class RunWriter:
     """map stage: split the batch by ``BUCKET_COL`` and write one run
-    parquet per bucket present. Returns (bucket, rows) summary rows."""
+    file per bucket present. Returns (bucket, rows, bytes) summary rows.
+
+    Run files are Arrow IPC, not parquet: they live exactly one
+    map→reduce hop on tmpfs/local scratch, so durability encoding buys
+    nothing — IPC write is a straight buffer copy and the reduce side
+    memory-maps it zero-copy, where parquet paid a full encode on write
+    plus a full decode on read. On this VM's shared memory bus (the
+    binding resource for payload shuffles — BASELINE.md) those two
+    avoided passes are the difference between a reduce that scales and
+    one that saturates."""
 
     def __init__(self, root: str, job_id: str, name: str, id_cols: tuple[str, ...]):
         self.base = shuffle_dir(root, job_id, name)
@@ -54,7 +63,8 @@ class RunWriter:
         cap_kernel_threads()
         if len(batch) == 0:
             return pa.table({"bucket": pa.array([], pa.int32()),
-                             "rows": pa.array([], pa.int64())})
+                             "rows": pa.array([], pa.int64()),
+                             "bytes": pa.array([], pa.int64())})
         buckets = batch[BUCKET_COL].to_numpy(zero_copy_only=False)
         order = np.argsort(buckets, kind="stable")
         sorted_batch = batch.take(pa.array(order))
@@ -62,30 +72,25 @@ class RunWriter:
         edges = np.flatnonzero(np.diff(sb)) + 1
         starts = np.concatenate([[0], edges])
         ends = np.concatenate([edges, [len(sb)]])
-        comp: str | dict = "snappy"
-        binary_cols = [f.name for f in batch.schema
-                       if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)]
-        if binary_cols:
-            # payload columns are already codec-compressed — store raw
-            comp = {c: "none" for c in binary_cols}
-            for f in batch.schema:
-                if f.name != BUCKET_COL and f.name not in comp:
-                    comp[f.name] = "snappy"
-        out_b, out_r = [], []
+        out_b, out_r, out_n = [], [], []
         for s, e in zip(starts, ends):
             part = sorted_batch.slice(s, e - s).drop_columns([BUCKET_COL])
             b = int(sb[s])
             d = os.path.join(self.base, f"b{b:05d}")
             os.makedirs(d, exist_ok=True)
             rid = content_id(part, *self.id_cols)
-            path = os.path.join(d, f"run-{rid}.parquet")
+            path = os.path.join(d, f"run-{rid}.arrow")
             tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
-            pq.write_table(part, tmp, compression=comp)
+            with pa.OSFile(tmp, "wb") as sink:
+                with pa.ipc.new_file(sink, part.schema) as w:
+                    w.write_table(part)
             os.rename(tmp, path)
             out_b.append(b)
             out_r.append(e - s)
+            out_n.append(os.path.getsize(path))
         return pa.table({"bucket": pa.array(out_b, pa.int32()),
-                         "rows": pa.array(out_r, pa.int64())})
+                         "rows": pa.array(out_r, pa.int64()),
+                         "bytes": pa.array(out_n, pa.int64())})
 
 
 def write_runs(ds, root: str, job_id: str, name: str, num_buckets: int,
@@ -101,23 +106,32 @@ def write_runs(ds, root: str, job_id: str, name: str, num_buckets: int,
     summary = ds.map_batches(add_bucket, batch_format="pyarrow").map_batches(
         RunWriter(root, job_id, name, id_cols), batch_format="pyarrow",
         batch_size=batch_rows)
-    seen: set[int] = set()
+    sizes: dict[int, int] = {}
     for row in summary.take_all():
-        seen.add(int(row["bucket"]))
-    return sorted(seen)
+        sizes[int(row["bucket"])] = (sizes.get(int(row["bucket"]), 0)
+                                     + int(row.get("bytes", 0) or 0))
+    # biggest buckets first: the caller submits reduce tasks in this
+    # order, so stragglers (payload-byte skew across equal-ROW buckets —
+    # image size correlates with the Z-key columns) start in the first
+    # wave instead of serializing the last one (LPT packing)
+    return sorted(sizes, key=lambda b: -sizes[b])
 
 
 def read_bucket(root: str, job_id: str, name: str, bucket: int) -> pa.Table | None:
     """reduce-side helper: concat every run of one bucket (sorted paths
-    for determinism). memory_map avoids one full payload copy per read —
-    this node's memory bandwidth, not CPU, is the binding resource for
-    payload-heavy stages."""
+    for determinism). IPC runs memory-map ZERO-copy — the payload only
+    crosses the bus when downstream kernels touch it; parquet runs (if
+    any linger from an older job) still read via memory_map."""
     d = os.path.join(shuffle_dir(root, job_id, name), f"b{bucket:05d}")
-    paths = sorted(glob.glob(os.path.join(d, "run-*.parquet")))
-    if not paths:
+    parts = []
+    for p in sorted(glob.glob(os.path.join(d, "run-*.arrow"))):
+        with pa.memory_map(p, "r") as src:
+            parts.append(pa.ipc.open_file(src).read_all())
+    for p in sorted(glob.glob(os.path.join(d, "run-*.parquet"))):
+        parts.append(pq.read_table(p, memory_map=True, pre_buffer=False))
+    if not parts:
         return None
-    return pa.concat_tables(
-        [pq.read_table(p, memory_map=True, pre_buffer=False) for p in paths])
+    return pa.concat_tables(parts)
 
 
 def reduce_buckets(buckets: list[int], reducer, *, concurrency=None):

@@ -41,7 +41,7 @@ def test_retried_map_task_is_exactly_once(tmp_path):
     w(batch)
     w(batch)  # the retry
     d = os.path.join(root, "staging", "job1", "shuffle", "s", "b00003")
-    runs = [p for p in os.listdir(d) if p.endswith(".parquet")]
+    runs = [p for p in os.listdir(d) if p.endswith(".arrow")]
     assert len(runs) == 1
     assert len(read_bucket(root, "job1", "s", 3)) == 3
 

@@ -98,6 +98,59 @@ class LocalCommitStore:
         with open(self._abs(name)) as f:
             return f.read().strip()
 
+    # -- read/list plane (S3: GetObject / ListObjectsV2) --------------
+    def read(self, rel: str) -> bytes:
+        with open(self._abs(rel), "rb") as f:
+            return f.read()
+
+    def exists(self, rel: str) -> bool:
+        return os.path.exists(self._abs(rel))
+
+    def list(self, prefix: str) -> list[str]:
+        """Relative paths of every object under ``prefix`` (recursive,
+        sorted) — the ListObjectsV2-with-prefix analogue."""
+        base = self._abs(prefix)
+        out = []
+        for dirpath, _dirs, files in os.walk(base):
+            for fn in files:
+                out.append(os.path.relpath(os.path.join(dirpath, fn), self.root))
+        return sorted(out)
+
+    def delete(self, rel: str) -> None:
+        try:
+            os.remove(self._abs(rel))
+        except FileNotFoundError:
+            pass
+
+
+class MockCommitStore(LocalCommitStore):
+    """``mock://<local-dir>`` — the remote-metadata test double, pairing
+    with filecache's mock fetcher: a table root on an emulated object
+    store whose metadata plane (manifests, LATEST pointer, pins) is
+    served through the commit-store API and whose data plane goes
+    through the worker-local file cache. Operation counts let tests
+    assert access patterns (e.g. open+scan = O(1) metadata reads)."""
+
+    op_counts: dict[str, int] = {}
+
+    def __init__(self, root: str):
+        super().__init__(root[len("mock://"):])
+
+    def _count(self, op: str) -> None:
+        MockCommitStore.op_counts[op] = MockCommitStore.op_counts.get(op, 0) + 1
+
+    def read(self, rel: str) -> bytes:
+        self._count("read")
+        return super().read(rel)
+
+    def list(self, prefix: str) -> list[str]:
+        self._count("list")
+        return super().list(prefix)
+
+    def read_pointer(self, name: str) -> str:
+        self._count("read_pointer")
+        return super().read_pointer(name)
+
 
 class S3CommitStore:  # pragma: no cover - no object store in this sandbox
     """Contract for the S3-class implementation (see module docstring).
@@ -114,6 +167,8 @@ class S3CommitStore:  # pragma: no cover - no object store in this sandbox
 
 
 def store_for(root: str):
+    if root.startswith("mock://"):
+        return MockCommitStore(root)
     if root.startswith(("s3://", "gs://", "abfs://")):
         return S3CommitStore(root)
     return LocalCommitStore(root)

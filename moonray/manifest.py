@@ -39,21 +39,41 @@ def _vpath(root: str, version: int) -> str:
     return os.path.join(root, "versions", f"v{version:08d}.json")
 
 
+def _vrel(version: int) -> str:
+    return os.path.join("versions", f"v{version:08d}.json")
+
+
+def _store(root: str):
+    """Metadata-plane accessor: every manifest READ goes through the
+    commit store, so a table whose root is an object-store URL (mock://
+    in tests; S3 via the documented mapping) can be opened and scanned
+    with no filesystem assumptions — the remote half of the reference's
+    'Iceberg table readable by any engine' story. Local roots resolve
+    to direct os calls with no extra copies."""
+    from moonray.commitstore import store_for
+
+    return store_for(root)
+
+
+def is_remote_root(root: str) -> bool:
+    return "://" in root
+
+
 def init_table_dirs(root: str) -> None:
     for d in ("versions", "fragments", "dv", "index", "pins", "lineage", "staging"):
         os.makedirs(os.path.join(root, d), exist_ok=True)
 
 
 def latest_version(root: str) -> int:
-    p = os.path.join(root, "versions", "LATEST")
-    with open(p) as f:
-        return int(f.read().strip())
+    return int(_store(root).read_pointer(os.path.join("versions", "LATEST")))
 
 
 def load_manifest(root: str, version: int | None = None) -> dict:
+    import json
+
     if version is None:
         version = latest_version(root)
-    m = read_json(_vpath(root, version))
+    m = json.loads(_store(root).read(_vrel(version)))
     assert m["format"] == FORMAT, f"unknown table format {m['format']}"
     if m["hash_impl"] != HASH_IMPL:  # pragma: no cover
         raise RuntimeError(
@@ -65,8 +85,10 @@ def load_manifest(root: str, version: int | None = None) -> dict:
 
 def list_versions(root: str) -> list[int]:
     out = []
-    for p in glob.glob(os.path.join(root, "versions", "v*.json")):
-        out.append(int(os.path.basename(p)[1:-5]))
+    for rel in _store(root).list("versions"):
+        fn = os.path.basename(rel)
+        if fn.startswith("v") and fn.endswith(".json"):
+            out.append(int(fn[1:-5]))
     return sorted(out)
 
 
@@ -96,30 +118,27 @@ def commit_manifest(root: str, manifest: dict) -> int:
 
 def find_version_by_job(root: str, job_id: str) -> int | None:
     """Resume support: has job_id already committed a version?"""
+    import json
+
+    store = _store(root)
     for v in reversed(list_versions(root)):
-        m = read_json(_vpath(root, v))
+        m = json.loads(store.read(_vrel(v)))
         if m.get("job_id") == job_id:
             return v
     return None
 
 
 def pin(root: str, version: int, token: str) -> None:
-    atomic_write_text(os.path.join(root, "pins", token), str(version))
+    _store(root).set_pointer(os.path.join("pins", token), str(version))
 
 
 def unpin(root: str, token: str) -> None:
-    try:
-        os.remove(os.path.join(root, "pins", token))
-    except FileNotFoundError:
-        pass
+    _store(root).delete(os.path.join("pins", token))
 
 
 def pinned_versions(root: str) -> set[int]:
-    out = set()
-    for p in glob.glob(os.path.join(root, "pins", "*")):
-        with open(p) as f:
-            out.add(int(f.read().strip()))
-    return out
+    store = _store(root)
+    return {int(store.read(rel)) for rel in store.list("pins")}
 
 
 def referenced_files(manifest: dict) -> set[str]:
@@ -143,33 +162,32 @@ def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
     Retains: the newest ``keep_last`` versions, every pinned version,
     and ``keep_versions``. Deletes older manifest files and any data/DV/
     index file not referenced by a retained manifest."""
+    import json
+
+    store = _store(root)
     versions = list_versions(root)
     cur = latest_version(root)
     keep = set(versions[-keep_last:]) | {cur} | set(keep_versions) | pinned_versions(root)
     keep = {v for v in keep if v in versions}
     retained_refs: set[str] = set()
     for v in keep:
-        retained_refs |= referenced_files(read_json(_vpath(root, v)))
+        retained_refs |= referenced_files(json.loads(store.read(_vrel(v))))
     removed_manifests, removed_files = [], []
     committed_jobs: set[str] = set()
     expired_jobs: set[str] = set()
     for v in versions:
-        m = read_json(_vpath(root, v))
+        m = json.loads(store.read(_vrel(v)))
         if v not in keep:
-            os.remove(_vpath(root, v))
+            store.delete(_vrel(v))
             removed_manifests.append(v)
             expired_jobs.add(m.get("job_id", ""))
         else:
             committed_jobs.add(m.get("job_id", ""))
     for sub in ("fragments", "dv", "index"):
-        base = os.path.join(root, sub)
-        for dirpath, _dirs, files in os.walk(base):
-            for fn in files:
-                full = os.path.join(dirpath, fn)
-                rel = os.path.relpath(full, root)
-                if rel not in retained_refs and not fn.endswith((".tmp", ".meta.json")):
-                    os.remove(full)
-                    removed_files.append(rel)
+        for rel in store.list(sub):
+            if rel not in retained_refs and not rel.endswith((".tmp", ".meta.json")):
+                store.delete(rel)
+                removed_files.append(rel)
     # staging/lineage GC — the WAL-truncation analogue (reference flushes
     # WAL files whose LSN ≤ the persisted LSN, src/moonlink/src/storage/
     # wal.rs:670-760): a job's staging (shuffle runs, sidecars, resume

@@ -133,6 +133,24 @@ class MoonrayTable:
     def __init__(self, root: str):
         self.root = root
 
+    def _assert_writable(self, op: str) -> None:
+        """Remote (``scheme://``) roots are READ-ONLY in this engine:
+        the metadata plane reads through the commit store and the data
+        plane through the worker file cache, so open/scan/describe/
+        history/sql all work off an object store — but writers are
+        colocated with a posix/shared-fs root (fragment/staging writes
+        use direct paths). Mirrors the reference split: one writing
+        TableHandler owns the table; any engine may read the published
+        snapshots."""
+        from moonray.manifest import is_remote_root
+
+        if is_remote_root(self.root):
+            raise ValueError(
+                f"{op}: table root {self.root!r} is remote — remote roots "
+                "are read-only (open/scan/describe/history/sql). Run "
+                "writers against the table's primary (posix or shared-fs) "
+                "root.")
+
     # ---------------- lifecycle ----------------
     @staticmethod
     def create(root: str, *, schema: pa.Schema, key_col: str | None = None,
@@ -298,6 +316,7 @@ class MoonrayTable:
         return rewrite_manifest(self)
 
     def expire_snapshots(self, keep_last: int = 2, keep_versions=()) -> dict:
+        self._assert_writable("expire_snapshots")
         return mf.expire_snapshots(self.root, keep_last, keep_versions)
 
     # ---------------- write paths ----------------
@@ -308,6 +327,7 @@ class MoonrayTable:
         (src/moonlink/src/storage/mooncake_table/batch_ingestion.rs:65-120).
         Streams: fragment writes and index-entry emission happen inside
         map_batches tasks; only (key, frag, off) triples shuffle."""
+        self._assert_writable("bulk_load")
         from moonray.identity import with_identity_key
 
         job_id = job_id or new_job_id()
@@ -399,6 +419,7 @@ class MoonrayTable:
         add_columns: iterable of (name, pyarrow type, default) or
         (name, type). drop_columns: iterable of names (never the key
         column; zone columns are removed from the clustering spec)."""
+        self._assert_writable("alter")
         job_id = job_id or new_job_id()
         prev = mf.find_version_by_job(self.root, job_id)
         if prev is not None:
@@ -451,6 +472,7 @@ class MoonrayTable:
         changes with lsn > snapshot_lsn — events already REFLECTED in
         the snapshot are skipped, so replay is idempotent even when the
         buffer overlaps the copy. Both halves resume under job_id."""
+        self._assert_writable("initial_copy")
         import pyarrow.compute as pc
 
         job_id = job_id or new_job_id()
@@ -465,6 +487,7 @@ class MoonrayTable:
 
     def merge(self, changes, *, job_id: str | None = None,
               seq_col: str | None = None) -> int:
+        self._assert_writable("merge")
         from moonray.merge import merge_into
 
         return merge_into(self, changes, job_id=job_id, seq_col=seq_col)
@@ -473,6 +496,7 @@ class MoonrayTable:
         """Open a streaming transaction (multi-batch xact staged outside
         the table; commit folds atomically, abort discards — reference:
         transaction_stream.rs). Returns a StreamTransaction."""
+        self._assert_writable("stream_begin")
         from moonray.stream import StreamTransaction
 
         return StreamTransaction(self, xid)
@@ -480,6 +504,7 @@ class MoonrayTable:
     def optimize(self, mode: str = "data", **kw) -> int:
         """optimize(mode ∈ {data, index, full}) — mirrors the reference RPC
         ``optimize_table`` (src/moonlink_backend/src/lib.rs:353-384)."""
+        self._assert_writable("optimize")
         from moonray import maintenance
 
         if mode == "data":
@@ -492,6 +517,7 @@ class MoonrayTable:
         raise ValueError(f"unknown optimize mode {mode!r}")
 
     def cluster(self, cols=None, **kw) -> int:
+        self._assert_writable("cluster")
         from moonray import maintenance
 
         return maintenance.cluster(self, cols=cols, **kw)
@@ -559,15 +585,18 @@ class MoonrayTable:
         path_sql = "[" + ", ".join("'" + p.replace("'", "''") + "'"
                                    for p in paths) + "]"
         # vectorized DV relation: concat per-fragment offset arrays +
-        # repeat each filename by its DV length (no per-offset Python loop)
+        # repeat each filename by its DV length (no per-offset Python
+        # loop). Filenames must match read_parquet's filename=true
+        # column, i.e. the data_path-RESOLVED path (worker-cache path on
+        # remote roots), not the raw root join.
         dv_offs, dv_names, dv_lens = [], [], []
-        for f in frags:
+        for f, p in zip(frags, paths):
             rels = dv_paths_of(f)
             if rels:
                 offs = load_dv_union(self.root, rels)
                 if len(offs):
                     dv_offs.append(offs)
-                    dv_names.append(os.path.join(self.root, f["path"]))
+                    dv_names.append(p)
                     dv_lens.append(len(offs))
         if dv_offs:
             dv_tbl = pa.table({

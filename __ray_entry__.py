@@ -275,6 +275,12 @@ def _q_text_stats(sf_dir: str):
     return text_stats(_docs(sf_dir))
 
 
+def _q_quality_filter(sf_dir: str):
+    from moonray.functions.text import quality_filter
+
+    return quality_filter(_docs(sf_dir))
+
+
 def _q_dedup_exact(sf_dir: str):
     from moonray.functions.dedup import exact_dedup
 
@@ -402,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_ingest_agg": _q_avro_ingest,
         # ---- text analysis ----
         "text_stats": _q_text_stats,
+        "docs_quality_filter": _q_quality_filter,
         "docs_lang_stats": _q_lang_stats,
         # ---- dedup ----
         "dedup_exact": _q_dedup_exact,
@@ -422,7 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from moonray.functions.text import text_stats_oracle_sql
+    from moonray.functions.text import quality_filter_oracle_sql, text_stats_oracle_sql
 
     return {
         "merge_upsert": _MERGE_SQL,
@@ -470,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "text_stats": text_stats_oracle_sql(),
+        "docs_quality_filter": quality_filter_oracle_sql(),
         "docs_lang_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars

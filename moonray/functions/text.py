@@ -73,6 +73,82 @@ def text_stats(ds, concurrency=(1, 8)):
                           concurrency=concurrency, batch_size=1024)
 
 
+QF_MIN_TOKENS = 20
+QF_SW_LO, QF_SW_HI = 20, 200       # stopword permille band
+QF_MIN_UNIQ_PERMILLE = 300         # de-boilerplate: unique-token ratio
+
+
+class QualityScore:
+    """map_batches stage: heuristic document-quality signals as
+    SQL-exact integers (the C4/Gopher-style length + stopword-band +
+    repetition filters, integer-scaled so the DuckDB oracle matches
+    hash-for-hash): n_tokens, stopword_permille (en stopwords),
+    uniq_permille (unique/total tokens), mean_token_len_x10,
+    quality_ok. Actor pool — regexes compile once per actor."""
+
+    def __init__(self):
+        self.tok = re.compile(TOKEN_RE)
+        self.sw = frozenset(LANG_STOPWORDS["en"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_tok, sw_pm, uq_pm, mtl = [], [], [], []
+        for t in texts:
+            toks = [x.lower() for x in self.tok.findall(t)]
+            n = len(toks)
+            n_tok.append(n)
+            sw_pm.append(1000 * sum(1 for x in toks if x in self.sw) // max(1, n))
+            uq_pm.append(1000 * len(set(toks)) // max(1, n))
+            mtl.append(10 * sum(len(x) for x in toks) // max(1, n))
+        ok = [int(n >= QF_MIN_TOKENS and QF_SW_LO <= s <= QF_SW_HI
+                  and u >= QF_MIN_UNIQ_PERMILLE)
+              for n, s, u in zip(n_tok, sw_pm, uq_pm)]
+        return (batch
+                .append_column("n_tokens", pa.array(n_tok, pa.int64()))
+                .append_column("stopword_permille", pa.array(sw_pm, pa.int64()))
+                .append_column("uniq_permille", pa.array(uq_pm, pa.int64()))
+                .append_column("mean_token_len_x10", pa.array(mtl, pa.int64()))
+                .append_column("quality_ok", pa.array(ok, pa.int64())))
+
+
+def quality_filter(ds, concurrency=(1, 8)):
+    """documents Dataset → only docs passing the quality band, with the
+    integer score columns attached. The canonical pre-training filter
+    stage: length floor, stopword-ratio band (too few = non-language,
+    too many = boilerplate), unique-token floor (repetition)."""
+    import pyarrow.compute as pc
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["quality_ok"], pa.scalar(1, pa.int64())))
+
+    return ds.map_batches(QualityScore, batch_format="pyarrow",
+                          concurrency=concurrency,
+                          batch_size=1024).map_batches(
+        keep, batch_format="pyarrow")
+
+
+def quality_filter_oracle_sql() -> str:
+    toks = f"regexp_extract_all(lower(text), '[a-z0-9]+')"
+    sw = f"len(list_filter({toks}, x -> x IN {tuple(LANG_STOPWORDS['en'])!r}))"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, lang, source, n_chars,
+    len({toks}) AS n_tokens,
+    1000 * {sw} // greatest(1, len({toks})) AS stopword_permille,
+    1000 * len(list_distinct({toks})) // greatest(1, len({toks})) AS uniq_permille,
+    10 * length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+       // greatest(1, len({toks})) AS mean_token_len_x10
+  FROM documents)
+SELECT *, CAST(n_tokens >= {QF_MIN_TOKENS}
+     AND stopword_permille BETWEEN {QF_SW_LO} AND {QF_SW_HI}
+     AND uniq_permille >= {QF_MIN_UNIQ_PERMILLE} AS BIGINT) AS quality_ok
+FROM scored
+WHERE n_tokens >= {QF_MIN_TOKENS}
+  AND stopword_permille BETWEEN {QF_SW_LO} AND {QF_SW_HI}
+  AND uniq_permille >= {QF_MIN_UNIQ_PERMILLE}
+"""
+
+
 def text_stats_oracle_sql(extra_cols: str = "") -> str:
     """DuckDB SQL computing the same columns (see TextStats)."""
     score = {lang: f"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x IN {tuple(sw)!r}))"

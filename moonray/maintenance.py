@@ -520,31 +520,65 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
 
     cols, curve, salt_bits = plan["cols"], plan["curve"], plan["salt_bits"]
     ranges = {c: tuple(v) for c, v in plan["ranges"].items()}
-    P, batch_rows = plan["P"], plan["batch_rows"]
+    P = plan["P"]  # (plan also persists batch_rows for older resumes)
     bounds = np.asarray(plan["bounds"], dtype=np.int64)
 
-    # ---- stage: shuffle — ONE storage-backed range pass (shuffle.py):
-    # payload bytes go scan → per-bucket run file → sorted fragment.
-    # Ray's object-store sort shuffle is O(blocks²) in intermediate
-    # objects and blew up quadratically on wide image payloads. ----
-    from moonray.shuffle import reduce_buckets_tasks, write_runs
+    # ---- stage: shuffle — ONE storage-backed range pass: each source
+    # fragment maps to per-bucket IPC runs inside ONE raw task (read →
+    # DV filter → Z-key → split → write). Raw tasks, not a Dataset
+    # pipeline: the input is the table's own fragment list, so Dataset
+    # machinery buys nothing and costs a pipeline launch plus an
+    # object-store round trip of the full payload between the read
+    # operator and the map operator. Ray's own sort shuffle is
+    # O(blocks²) in intermediate objects and blew up quadratically on
+    # wide image payloads. Per-fragment task granularity is also
+    # CPU-count-independent → deterministic run slicing for resume. ----
+    from moonray.shuffle import RunWriter, reduce_buckets_tasks
 
     def bucket_fn(b: pa.Table) -> np.ndarray:
         z = b[ZKEY].to_numpy(zero_copy_only=False)
         return np.searchsorted(bounds, z).astype(np.int32)
 
-    from moonray.identity import with_identity_key
+    from moonray.identity import append_ckey, is_composite, key_cols_of
 
     shuffle_out = log.stage_outputs("cluster_shuffle")
     if shuffle_out is None:
         log.stage_start("cluster_shuffle")
-        ds = with_identity_key(table.scan(version=m["version"]), m)
-        ds = ds.map_batches(AddZKey(cols, ranges, m["key_col"], salt_bits, curve),
-                            batch_format="pyarrow")
-        id_cols = (m["key_col"],) if m["key_col"] else (ZKEY,)
-        buckets = write_runs(ds, table.root, job_id, "cluster", int(P),
-                             bucket_fn, id_cols=id_cols,
-                             batch_rows=batch_rows)
+        import ray
+
+        from moonray.dv import dv_paths_of
+        from moonray.shuffle import BUCKET_COL
+        from moonray.table import _read_fragment
+        from moonray.util import cap_kernel_threads
+
+        user_schema = table.schema()
+        defaults = m.get("column_defaults", {})
+        kcols = key_cols_of(m)
+        composite = is_composite(m)
+        zk = AddZKey(cols, ranges, m["key_col"], salt_bits, curve)
+        writer = RunWriter(table.root, job_id, "cluster",
+                           id_cols=(m["key_col"],) if m["key_col"] else (ZKEY,))
+        root = table.root
+
+        @ray.remote
+        def map_frag(rel: str, dvs: list[str]) -> pa.Table:
+            cap_kernel_threads()
+            t = _read_fragment(root, rel, dvs, user_schema, defaults, False)
+            if composite:
+                t = append_ckey(t, kcols)
+            t = zk(t)
+            t = t.append_column(BUCKET_COL,
+                                pa.array(bucket_fn(t).astype(np.int32)))
+            return writer(t)
+
+        map_frag = map_frag.options(name="cluster_map_frag")
+        res = ray.get([map_frag.remote(f["path"], dv_paths_of(f))
+                       for f in m["fragments"]])
+        sizes: dict[int, int] = {}
+        for t in res:
+            for b, nb in zip(t["bucket"].to_pylist(), t["bytes"].to_pylist()):
+                sizes[int(b)] = sizes.get(int(b), 0) + int(nb)
+        buckets = sorted(sizes, key=lambda b: -sizes[b])  # LPT order
         shuffle_out = {"buckets": buckets, "counters": {"buckets": len(buckets)}}
         log.stage_done("cluster_shuffle", shuffle_out)
     buckets = shuffle_out["buckets"]

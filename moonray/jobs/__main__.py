@@ -44,6 +44,8 @@ def _pa_type(name: str):
 def _ensure_ray():
     import ray
 
+    # workers at nice 0, not Ray's default 15 — see bench._init_ray
+    os.environ.setdefault("RAY_worker_niceness", "0")
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")

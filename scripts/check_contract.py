@@ -41,6 +41,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     import ray
 
+    # workers at nice 0, not Ray's default 15 — see bench._init_ray
+    os.environ.setdefault("RAY_worker_niceness", "0")
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     ray.init(address="local", num_cpus=8, include_dashboard=False,

@@ -27,6 +27,7 @@ def main():
     n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     per_round = int(sys.argv[3]) if len(sys.argv) > 3 else 8000
 
+    os.environ.setdefault("RAY_worker_niceness", "0")  # see bench._init_ray
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     ray.data.DataContext.get_current().enable_progress_bars = False

@@ -1,9 +1,13 @@
+import os
+
 import pytest
 import ray
 
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
+    # workers at nice 0, not Ray's default 15 — see bench._init_ray
+    os.environ.setdefault("RAY_worker_niceness", "0")
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     ctx = ray.data.DataContext.get_current()

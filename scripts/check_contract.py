@@ -8,6 +8,7 @@ over the same parquet views, and compare row count + schema + values
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 

@@ -178,6 +178,12 @@ def _q_merge(maintenance=None, scan_version=None):
     return run
 
 
+def _q_lookup(sf_dir: str):
+    from moonray.pipelines.relational import lookup_point_reads
+
+    return lookup_point_reads(sf_dir)
+
+
 def _q_zone_pruned(sf_dir: str):
     from moonray.pipelines.relational import zone_pruned_scan
 
@@ -395,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_full_maintenance_expire": _q_merge(maintenance="full"),
         "snapshot_isolation_pre_merge": _q_merge(scan_version="pre_merge"),
         "zone_pruned_scan": _q_zone_pruned,
+        "lookup_point_reads": _q_lookup,
         "images_merge_maintenance": _q_images_flagship,
         "merge_composite_key": _q_composite_merge,
         "append_only_ingest": _q_append_only,
@@ -439,6 +446,11 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_isolation_pre_merge": _CUSTOMER_SQL,
         "zone_pruned_scan": _CUSTOMER_SQL
         + " WHERE c_acctbal >= 1000.0 AND c_acctbal <= 5000.0",
+        "lookup_point_reads": "SELECT * FROM (" + _MERGE_SQL + """
+        ) merged
+        WHERE c_custkey BETWEEN 1 AND 300
+           OR c_custkey BETWEEN 10000001 AND 10000300
+        """,
         "merge_composite_key": _COMPOSITE_MERGE_SQL,
         "append_only_ingest": _APPEND_ONLY_SQL,
         "alter_schema_evolution": _ALTER_SQL,

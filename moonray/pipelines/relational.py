@@ -104,6 +104,20 @@ def merge_customer(sf_dir: str, *, maintenance: str | None = None,
     return t.scan()
 
 
+def lookup_point_reads(sf_dir: str):
+    """Index-served batch point reads after a MERGE — the reference's
+    GlobalIndex batch lookup (hash_index.rs:392) as a pipeline: bulk
+    load customer, apply the orders-derived CDC log, then look up a
+    fixed key set (original custkeys 1..300 plus the +10M-shifted
+    insert range) straight from the persisted key index. Returns the
+    live rows as a pyarrow Table — deleted keys absent, updated keys
+    with their post-merge values."""
+    t = build_customer_table(sf_dir)
+    t.merge(_changes_dataset(sf_dir))
+    keys = list(range(1, 301)) + [10_000_000 + k for k in range(1, 301)]
+    return t.lookup(keys)
+
+
 def merge_composite_key(sf_dir: str):
     """Composite-key MERGE (reference IdentityProp::Keys,
     moonlink_row.rs:270-277): customer keyed on (c_nationkey, c_custkey)

@@ -34,7 +34,10 @@ class LineageLog:
     def __init__(self, root: str, job_id: str):
         self.root = root
         self.job_id = job_id
-        self.path = os.path.join(root, "lineage", f"{job_id}.jsonl")
+        from moonray.storage import stage_path
+
+        self.path = stage_path(root, "lineage", f"{job_id}.jsonl")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
         self._stage_t0: dict[str, float] = {}
 
     # -- log records -------------------------------------------------
@@ -50,7 +53,10 @@ class LineageLog:
 
     # -- stage-done markers (resume) ---------------------------------
     def _marker(self, stage: str) -> str:
-        return os.path.join(self.root, "staging", self.job_id, f"stage-{stage}.done.json")
+        from moonray.storage import stage_path
+
+        return stage_path(self.root, "staging", self.job_id,
+                          f"stage-{stage}.done.json")
 
     def stage_done(self, stage: str, outputs: dict | None = None) -> None:
         os.makedirs(os.path.dirname(self._marker(stage)), exist_ok=True)

@@ -98,6 +98,19 @@ class LocalCommitStore:
         with open(self._abs(name)) as f:
             return f.read().strip()
 
+    def put(self, rel: str, local_path: str) -> None:
+        """Blind PUT of a complete immutable object (S3: plain
+        PutObject). For content/job-named artifacts only — races are
+        benign because both writers carry identical bytes; version
+        files must keep using put_if_absent."""
+        path = self._abs(rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        import shutil as _shutil
+
+        _shutil.copyfile(local_path, tmp)
+        os.replace(tmp, path)
+
     # -- read/list plane (S3: GetObject / ListObjectsV2) --------------
     def read(self, rel: str) -> bytes:
         with open(self._abs(rel), "rb") as f:
@@ -150,6 +163,10 @@ class MockCommitStore(LocalCommitStore):
     def read_pointer(self, name: str) -> str:
         self._count("read_pointer")
         return super().read_pointer(name)
+
+    def put(self, rel: str, local_path: str) -> None:
+        self._count("put")
+        super().put(rel, local_path)
 
 
 class S3CommitStore:  # pragma: no cover - no object store in this sandbox

@@ -30,18 +30,18 @@ def merge_dv(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.union1d(a.astype(np.uint32), b.astype(np.uint32))
 
 
-def save_dv(path: str, dv: np.ndarray) -> None:
+def save_dv(root: str, rel: str, dv: np.ndarray) -> None:
     # manifest-referenced → must hit disk BEFORE the manifest fsync, or
     # a power loss could leave a durable manifest pointing at a DV whose
-    # deleted rows resurface (util.fsync_file rationale)
-    from moonray.util import fsync_file
+    # deleted rows resurface (util.fsync_file rationale); remote roots
+    # publish the complete object through the commit store
+    from moonray.storage import publish_file, publish_tmp
 
-    tmp = path + ".tmp"
+    tmp = publish_tmp(root, rel)
     with open(tmp, "wb") as f:
         np.save(f, np.asarray(dv, dtype=np.uint32))
         f.flush()
-    fsync_file(tmp)
-    os.rename(tmp, path)
+    publish_file(root, rel, tmp)
 
 
 def load_dv(path: str) -> np.ndarray:

@@ -117,7 +117,6 @@ def write_fragment(
         id_cols = [key_col] if key_col else list(table.column_names)[:2]
         frag_id = f"f-{job_id}-{content_id(table, *id_cols)}"
     rel = os.path.join("fragments", f"{frag_id}.parquet")
-    path = os.path.join(root, rel)
     n = len(table)
     offs = pa.array(np.arange(n, dtype=np.uint32))
     data = table.select(data_cols) if data_cols is not None else table
@@ -125,7 +124,9 @@ def write_fragment(
     nb = row_payload_bytes(data)
     if nb is not None:
         out = out.append_column(NBYTES, nb)
-    tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
+    from moonray.storage import publish_file, publish_tmp, stage_path
+
+    tmp = publish_tmp(root, rel)
     # binary payload columns (image bytes) are already codec-compressed;
     # re-compressing them costs CPU on both write and every scan for ~0%
     # size win — store them raw, compress only the narrow columns.
@@ -138,20 +139,20 @@ def write_fragment(
             if f.name not in comp:
                 comp[f.name] = compression
     pq.write_table(out, tmp, compression=comp)
-    from moonray.util import fsync_file
-
-    fsync_file(tmp)  # manifest-referenced: durable before the manifest is
-    os.rename(tmp, path)
+    nbytes = os.path.getsize(tmp)
+    # manifest-referenced: durable before the manifest is (publish_file
+    # fsyncs locally / uploads the complete object remotely)
+    publish_file(root, rel, tmp)
     meta = {
         "id": frag_id,
         "path": rel,
         "rows": n,
-        "bytes": os.path.getsize(path),
+        "bytes": nbytes,
         "dv": None,
         "dv_count": 0,
         "zones": compute_zones(table, zone_cols),
     }
-    meta_dir = os.path.join(root, "staging", job_id, "meta")
+    meta_dir = stage_path(root, "staging", job_id, "meta")
     os.makedirs(meta_dir, exist_ok=True)
     atomic_write_json(os.path.join(meta_dir, f"{frag_id}.json"), meta)
     if key_col is None:
@@ -225,7 +226,10 @@ def collect_staged_fragment_meta(root: str, job_id: str) -> list[dict]:
     import json
 
     metas = []
-    for p in sorted(_glob.glob(os.path.join(root, "staging", job_id, "meta", "*.json"))):
+    from moonray.storage import stage_path
+
+    for p in sorted(_glob.glob(os.path.join(
+            stage_path(root, "staging", job_id, "meta"), "*.json"))):
         with open(p) as f:
             metas.append(json.load(f))
     return metas

@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from moonray.storage import publish_file, publish_tmp, stage_path
 from moonray.util import as_fn, hash_key_array
 
 PART_COL = "_part"
@@ -55,16 +56,11 @@ class WriteIndexDelta:
                              "rows": pa.array([], pa.int64())})
         part = int(group[PART_COL][0].as_py())
         tbl = group.drop_columns([PART_COL]).sort_by(self.key_col)
-        rel_dir = os.path.join("index", f"p{part:04d}")
-        os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
-        rel = os.path.join(rel_dir, f"idx-{self.job_id}-{part:04d}.parquet")
-        path = os.path.join(self.root, rel)
-        tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
+        rel = os.path.join("index", f"p{part:04d}",
+                           f"idx-{self.job_id}-{part:04d}.parquet")
+        tmp = publish_tmp(self.root, rel)
         pq.write_table(tbl, tmp, compression="snappy")
-        from moonray.util import fsync_file
-
-        fsync_file(tmp)
-        os.rename(tmp, path)
+        publish_file(self.root, rel, tmp)
         return pa.table({"part": [part], "path": [rel], "rows": [len(tbl)]})
 
 
@@ -87,7 +83,7 @@ def write_index_deltas(entries_ds, root: str, job_id: str, key_col: str,
 
 
 def _idxruns_dir(root: str, job_id: str) -> str:
-    return os.path.join(root, "staging", job_id, "idxruns")
+    return stage_path(root, "staging", job_id, "idxruns")
 
 
 def stage_entry_runs(root: str, job_id: str, entries: pa.Table, key_col: str,
@@ -139,7 +135,7 @@ def build_index_from_runs(root: str, job_id: str,
 
     import ray
 
-    from moonray.util import cap_kernel_threads, fsync_file
+    from moonray.util import cap_kernel_threads
 
     base = _idxruns_dir(root, job_id)
     parts = sorted(int(os.path.basename(d)[1:])
@@ -154,14 +150,11 @@ def build_index_from_runs(root: str, job_id: str,
         tbl = pa.concat_tables([pq.read_table(p) for p in paths]).sort_by(key_col)
         if len(tbl) == 0:
             return part, "", 0
-        rel_dir = os.path.join("index", f"p{part:04d}")
-        os.makedirs(os.path.join(root, rel_dir), exist_ok=True)
-        rel = os.path.join(rel_dir, f"idx-{job_id}-{part:04d}.parquet")
-        path = os.path.join(root, rel)
-        tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
+        rel = os.path.join("index", f"p{part:04d}",
+                           f"idx-{job_id}-{part:04d}.parquet")
+        tmp = publish_tmp(root, rel)
         pq.write_table(tbl, tmp, compression="snappy")
-        fsync_file(tmp)
-        os.rename(tmp, path)
+        publish_file(root, rel, tmp)
         return part, rel, len(tbl)
 
     build = build.options(name="build_index_part")
@@ -216,16 +209,11 @@ class MergeIndexPartition:
                 out_parts.append(int(part)); out_paths.append(""); out_rows.append(0)
                 continue
             merged = merged.sort_by(self.key_col)
-            rel_dir = os.path.join("index", f"p{int(part):04d}")
-            os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
-            rel = os.path.join(rel_dir, f"idx-{self.job_id}-{int(part):04d}.parquet")
-            path = os.path.join(self.root, rel)
-            tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
+            rel = os.path.join("index", f"p{int(part):04d}",
+                               f"idx-{self.job_id}-{int(part):04d}.parquet")
+            tmp = publish_tmp(self.root, rel)
             pq.write_table(merged, tmp, compression="snappy")
-            from moonray.util import fsync_file
-
-            fsync_file(tmp)
-            os.rename(tmp, path)
+            publish_file(self.root, rel, tmp)
             out_parts.append(int(part)); out_paths.append(rel); out_rows.append(len(merged))
         return pa.table({"part": pa.array(out_parts, pa.int32()),
                          "path": pa.array(out_paths, pa.string()),

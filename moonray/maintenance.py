@@ -30,6 +30,7 @@ from moonray import manifest as mf
 from moonray.checkpoint import LineageLog
 from moonray.dv import dv_paths_of, filter_batch, load_dv_union
 from moonray.fragments import ROWOFF, normalize_to_schema, write_fragment
+from moonray.storage import stage_path
 from moonray.keyindex import MergeIndexPartition, build_index_from_runs
 from moonray.util import as_fn, atomic_write_json, new_job_id, read_json
 from moonray.zorder import ZKEY, AddZKey
@@ -128,7 +129,8 @@ class CompactGroup:
         self.index_partitions = index_partitions
 
     def _marker(self, gid: int) -> str:
-        return os.path.join(self.root, "staging", self.job_id, f"compact-g{gid}.done.json")
+        return stage_path(self.root, "staging", self.job_id,
+                          f"compact-g{gid}.done.json")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_rows = []
@@ -254,7 +256,8 @@ def compact(table, *, target_bytes: int | None = None,
 
 def _staged_meta_paths(root: str, job_id: str) -> list[str]:
     import glob
-    return sorted(glob.glob(os.path.join(root, "staging", job_id, "meta", "*.json")))
+    return sorted(glob.glob(os.path.join(
+        stage_path(root, "staging", job_id, "meta"), "*.json")))
 
 
 def merge_index(table, *, job_id: str | None = None, tasks_per_batch: int = 4) -> int:
@@ -337,7 +340,7 @@ class ClusterWriteGroup:
         rows_out = []
         for pid in batch["bucket"].to_pylist():
             pid = int(pid)
-            stage_dir = os.path.join(self.root, "staging", self.job_id)
+            stage_dir = stage_path(self.root, "staging", self.job_id)
             self._check_fault_injection(stage_dir)
             marker = os.path.join(stage_dir, f"cluster-p{pid:05d}.done.json")
             if os.path.exists(marker):

@@ -60,6 +60,10 @@ def is_remote_root(root: str) -> bool:
 
 
 def init_table_dirs(root: str) -> None:
+    if is_remote_root(root):
+        # object stores have no directories; the scratch plane
+        # (storage.scratch_for) creates its own dirs lazily
+        return
     for d in ("versions", "fragments", "dv", "index", "pins", "lineage", "staging"):
         os.makedirs(os.path.join(root, d), exist_ok=True)
 
@@ -196,13 +200,15 @@ def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
     import shutil as _shutil
 
     removed_staging = 0
-    staging = os.path.join(root, "staging")
+    from moonray.storage import stage_path
+
+    staging = stage_path(root, "staging")
     if os.path.isdir(staging):
         for job_dir in os.listdir(staging):
             if job_dir in committed_jobs or job_dir in expired_jobs:
                 _shutil.rmtree(os.path.join(staging, job_dir), ignore_errors=True)
                 removed_staging += 1
-    lineage = os.path.join(root, "lineage")
+    lineage = stage_path(root, "lineage")
     if os.path.isdir(lineage):
         for fn in os.listdir(lineage):
             if fn.endswith(".jsonl") and fn[:-6] in expired_jobs:

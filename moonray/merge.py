@@ -46,6 +46,7 @@ import ray
 from moonray import manifest as mf
 from moonray.checkpoint import LineageLog
 from moonray.dv import dv_paths_of, load_dv_union, save_dv
+from moonray.storage import publish_file, publish_tmp, stage_path
 from moonray.fragments import write_fragment
 from moonray.shuffle import read_bucket, reduce_buckets_tasks, write_runs
 from moonray.util import atomic_write_json, hash_key_array, read_json
@@ -147,11 +148,12 @@ class MergeApply:
         the whole job aborts mid-apply."""
         import glob as _glob
 
-        flag = os.path.join(self.root, "staging", self.job_id, "FAIL_INJECT")
+        flag = stage_path(self.root, "staging", self.job_id, "FAIL_INJECT")
         if os.path.exists(flag):
             n = int(open(flag).read().strip() or 0)
             done = len(_glob.glob(os.path.join(
-                self.root, "staging", self.job_id, "apply-b*.done.json")))
+                stage_path(self.root, "staging", self.job_id),
+                "apply-b*.done.json")))
             if done >= n:
                 raise RuntimeError(
                     f"injected failure: {done} buckets applied (limit {n})")
@@ -161,8 +163,8 @@ class MergeApply:
         for bucket in batch["bucket"].to_pylist():
             bucket = int(bucket)
             self._check_fault_injection()
-            marker = os.path.join(self.root, "staging", self.job_id,
-                                  f"apply-b{bucket:05d}.done.json")
+            marker = stage_path(self.root, "staging", self.job_id,
+                                f"apply-b{bucket:05d}.done.json")
             if os.path.exists(marker):
                 out_rows.append(json.dumps(read_json(marker)))
                 continue
@@ -177,7 +179,7 @@ class MergeApply:
                 for frag, offs in self._probe(bucket, win[self.key_col]).items():
                     rel = os.path.join(
                         "dv", f"{frag}.{self.job_id}.b{bucket:05d}.npy")
-                    save_dv(os.path.join(self.root, rel), np.sort(offs))
+                    save_dv(self.root, rel, np.sort(offs))
                     summary["dv"].append(
                         {"frag": frag, "path": rel, "count": int(len(offs))})
                 # anti-join half: write non-delete winners as fragments
@@ -197,16 +199,12 @@ class MergeApply:
                     entries_parts.append(entries)
                 if entries_parts:
                     merged = pa.concat_tables(entries_parts).sort_by(self.key_col)
-                    rel_dir = os.path.join("index", f"p{bucket:04d}")
-                    os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
                     rel = os.path.join(
-                        rel_dir, f"idx-{self.job_id}-{bucket:04d}.parquet")
-                    tmp = os.path.join(self.root, rel) + ".tmp"
+                        "index", f"p{bucket:04d}",
+                        f"idx-{self.job_id}-{bucket:04d}.parquet")
+                    tmp = publish_tmp(self.root, rel)
                     pq.write_table(merged, tmp, compression="snappy")
-                    from moonray.util import fsync_file
-
-                    fsync_file(tmp)
-                    os.rename(tmp, os.path.join(self.root, rel))
+                    publish_file(self.root, rel, tmp)
                     summary["index"] = rel
             atomic_write_json(marker, summary)
             out_rows.append(json.dumps(summary))

@@ -39,7 +39,12 @@ BUCKET_COL = "_bucket"
 
 
 def shuffle_dir(root: str, job_id: str, name: str) -> str:
-    return os.path.join(root, "staging", job_id, "shuffle", name)
+    # scratch plane: run files are one-hop coordination state, written
+    # and globbed POSIX-style — a remote table root keeps them on the
+    # shared scratch mount (storage.scratch_for), not the object store
+    from moonray.storage import stage_path
+
+    return stage_path(root, "staging", job_id, "shuffle", name)
 
 
 class RunWriter:

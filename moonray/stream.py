@@ -33,7 +33,9 @@ class StreamTransaction:
     def __init__(self, table, xid: str):
         self.table = table
         self.xid = xid
-        self.dir = os.path.join(table.root, "staging", f"xact-{xid}")
+        from moonray.storage import stage_path
+
+        self.dir = stage_path(table.root, "staging", f"xact-{xid}")
         os.makedirs(os.path.join(self.dir, "appends"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "deletes"), exist_ok=True)
         self._seq = 0

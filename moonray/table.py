@@ -134,22 +134,19 @@ class MoonrayTable:
         self.root = root
 
     def _assert_writable(self, op: str) -> None:
-        """Remote (``scheme://``) roots are READ-ONLY in this engine:
-        the metadata plane reads through the commit store and the data
-        plane through the worker file cache, so open/scan/describe/
-        history/sql all work off an object store — but writers are
-        colocated with a posix/shared-fs root (fragment/staging writes
-        use direct paths). Mirrors the reference split: one writing
-        TableHandler owns the table; any engine may read the published
-        snapshots."""
+        """Writes to a remote (``scheme://``) root require a commit
+        store that implements the write plane (put / put_if_absent /
+        set_pointer — mock:// in tests; the documented S3 mapping in
+        production) AND a shared scratch mount for the coordination
+        plane ($MOONRAY_SCRATCH; see storage.py). The store raises
+        NotImplementedError for schemes whose write calls aren't
+        wired (s3:// in this container), which surfaces here before
+        any data moves. Reads never come through this check."""
+        from moonray.commitstore import store_for
         from moonray.manifest import is_remote_root
 
         if is_remote_root(self.root):
-            raise ValueError(
-                f"{op}: table root {self.root!r} is remote — remote roots "
-                "are read-only (open/scan/describe/history/sql). Run "
-                "writers against the table's primary (posix or shared-fs) "
-                "root.")
+            store_for(self.root)  # raises for write-incapable schemes
 
     # ---------------- lifecycle ----------------
     @staticmethod

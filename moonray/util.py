@@ -210,6 +210,7 @@ def atomic_write_json(path: str, obj, durable: bool = False) -> None:
     DV deltas are manifest-gated: a crash before commit loses nothing
     durable, and per-file fsyncs serialize the whole node's IO when a
     hundred tasks write concurrently."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1, sort_keys=True)

@@ -178,6 +178,12 @@ def _q_merge(maintenance=None, scan_version=None):
     return run
 
 
+def _q_changelog(sf_dir: str):
+    from moonray.pipelines.relational import changelog_scan
+
+    return changelog_scan(sf_dir)
+
+
 def _q_lookup(sf_dir: str):
     from moonray.pipelines.relational import lookup_point_reads
 
@@ -402,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_isolation_pre_merge": _q_merge(scan_version="pre_merge"),
         "zone_pruned_scan": _q_zone_pruned,
         "lookup_point_reads": _q_lookup,
+        "changelog_scan": _q_changelog,
         "images_merge_maintenance": _q_images_flagship,
         "merge_composite_key": _q_composite_merge,
         "append_only_ingest": _q_append_only,
@@ -446,6 +453,33 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_isolation_pre_merge": _CUSTOMER_SQL,
         "zone_pruned_scan": _CUSTOMER_SQL
         + " WHERE c_acctbal >= 1000.0 AND c_acctbal <= 5000.0",
+        "changelog_scan": """
+        WITH changes AS (
+          SELECT
+            CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+                 WHEN o_orderkey % 10 < 5 THEN 'I' ELSE 'U' END AS op,
+            o_orderkey AS lsn,
+            CASE WHEN o_orderkey % 10 >= 2 AND o_orderkey % 10 < 5
+                 THEN o_custkey + 10000000 ELSE o_custkey END AS c_custkey,
+            'name-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+            CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+            o_totalprice AS c_acctbal,
+            'SEG' AS c_mktsegment
+          FROM orders
+        ),
+        winners AS (
+          SELECT * FROM changes
+          QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY lsn DESC) = 1
+        )
+        SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+               c.c_mktsegment, 'delete' AS change_type
+        FROM customer c
+        WHERE c.c_custkey IN (SELECT c_custkey FROM winners)
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               'insert' AS change_type
+        FROM winners WHERE op <> 'D'
+        """,
         "lookup_point_reads": "SELECT * FROM (" + _MERGE_SQL + """
         ) merged
         WHERE c_custkey BETWEEN 1 AND 300

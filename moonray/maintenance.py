@@ -251,7 +251,7 @@ def compact(table, *, target_bytes: int | None = None,
         "groups": len(plan), "replaced": len(replaced),
         "new_fragments": len(new_frags)}})
     return table._commit_append(m, new_frags, deltas, m["commit_lsn"], job_id,
-                                replaced_frag_ids=replaced)
+                                replaced_frag_ids=replaced, op="maintenance")
 
 
 def _staged_meta_paths(root: str, job_id: str) -> list[str]:
@@ -291,7 +291,7 @@ def merge_index(table, *, job_id: str | None = None, tasks_per_batch: int = 4) -
             new_partitions[str(row["part"])] = [row["path"]]
     log.stage_done("index_merge", {"counters": {"partitions": len(new_partitions)}})
     return table._commit_append(m, [], new_partitions, m["commit_lsn"], job_id,
-                                replace_index=True)
+                                replace_index=True, op="maintenance")
 
 
 
@@ -604,7 +604,8 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
         "new_fragments": len(new_frags),
         "rows": sum(f["rows"] for f in new_frags)}})
     return table._commit_append(m, new_frags, deltas, m["commit_lsn"], job_id,
-                                replaced_frag_ids=replaced, replace_index=True)
+                                replaced_frag_ids=replaced, replace_index=True,
+                                op="maintenance")
 
 
 def rewrite_manifest(table, *, job_id: str | None = None) -> int:
@@ -617,4 +618,5 @@ def rewrite_manifest(table, *, job_id: str | None = None) -> int:
     if prev is not None:
         return prev
     m = table.manifest()
-    return table._commit_append(m, [], {}, m["commit_lsn"], job_id)
+    return table._commit_append(m, [], {}, m["commit_lsn"], job_id,
+                                op="maintenance")

@@ -289,7 +289,7 @@ def _commit_merge(table, m, apply_out, job_id, log) -> int:
     index_deltas = {str(s["bucket"]): [s["index"]] for s in summaries if s["index"]}
     max_lsn = max((s["max_lsn"] for s in summaries), default=0)
     v = table._commit_append(m, new_frags, index_deltas, lsn=max_lsn,
-                             job_id=job_id, dv_updates=dv_updates)
+                             job_id=job_id, dv_updates=dv_updates, op="merge")
     log.stage_done("commit", {"counters": {"version": v}})
     return v
 

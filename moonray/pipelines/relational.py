@@ -104,6 +104,19 @@ def merge_customer(sf_dir: str, *, maintenance: str | None = None,
     return t.scan()
 
 
+def changelog_scan(sf_dir: str):
+    """Changelog read (CDC out): bulk load customer, apply the
+    orders-derived CDC log, run full maintenance (data-preserving —
+    must contribute NOTHING), then read the logical changes since the
+    bulk-load version. Updates appear as delete+insert, matching the
+    engine's own CDC-in decomposition."""
+    t = build_customer_table(sf_dir)
+    v_loaded = t.latest_version()
+    t.merge(_changes_dataset(sf_dir))
+    t.optimize("full")
+    return t.changes(v_loaded).drop_columns(["commit_version"])
+
+
 def lookup_point_reads(sf_dir: str):
     """Index-served batch point reads after a MERGE — the reference's
     GlobalIndex batch lookup (hash_index.rs:392) as a pipeline: bulk

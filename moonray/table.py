@@ -355,7 +355,8 @@ class MoonrayTable:
                        index_deltas: dict[str, list[str]], lsn: int, job_id: str,
                        replaced_frag_ids: set[str] = frozenset(),
                        dv_updates: dict[str, dict] | None = None,
-                       replace_index: bool = False) -> int:
+                       replace_index: bool = False,
+                       op: str = "append") -> int:
         """Build + atomically publish the child manifest (driver-side
         single-writer commit, like the reference's snapshot commit at
         src/moonlink/src/storage/mooncake_table/snapshot.rs:484-662)."""
@@ -386,6 +387,10 @@ class MoonrayTable:
         child = {
             "version": parent["version"] + 1,
             "parent": parent["version"],
+            # commit kind: append | merge | maintenance | alter — lets
+            # the changelog reader (table.changes) skip data-preserving
+            # rewrites, like Iceberg snapshot summary operation kinds
+            "op": op,
             "commit_lsn": max(lsn, parent["commit_lsn"]),
             "job_id": job_id,
             "key_col": parent["key_col"],
@@ -743,3 +748,101 @@ class MoonrayTable:
             return pa.table({c: pa.array([], read_schema.field(c).type)
                              for c in read_cols})
         return pa.concat_tables(pieces)
+
+    def changes(self, from_version: int, to_version: int | None = None):
+        """Changelog read (CDC out): the logical row changes committed
+        in ``(from_version, to_version]``, as a lazy Dataset with
+        ``change_type`` ('insert' | 'delete') and ``commit_version``
+        columns. Updates appear as delete + insert — the same
+        decomposition this engine applies on CDC-in (reference upsert =
+        delete_if_exists + append). Maintenance and ALTER commits are
+        data-preserving rewrites and contribute nothing (commit ``op``
+        kinds, like Iceberg snapshot summary operations).
+
+        Cost is O(changed rows), never a table scan: inserts read only
+        fragments born in a step; deletes read only the row offsets
+        named by the step's new DV delta files (plus fragments the step
+        dropped as fully dead) — the incremental-read story of Delta
+        CDF / Iceberg incremental scans, derived purely from moonray's
+        own commit metadata. Every manifest in the range must still be
+        un-expired."""
+        import ray.data as rd
+
+        to_version = (self.latest_version() if to_version is None
+                      else to_version)
+        if to_version < from_version:
+            raise ValueError(f"to_version {to_version} < from_version "
+                             f"{from_version}")
+        head = self.manifest(to_version)
+        user_schema = pa.ipc.read_schema(
+            pa.py_buffer(bytes.fromhex(head["schema_ipc"])))
+        defaults = head.get("column_defaults", {})
+        units: list[dict] = []
+        for v in range(from_version + 1, to_version + 1):
+            child = self.manifest(v)
+            if child.get("op", "append") in ("maintenance", "alter"):
+                continue
+            parent = self.manifest(child["parent"])
+            pfr = {f["id"]: f for f in parent["fragments"]}
+            cfr = {f["id"]: f for f in child["fragments"]}
+            for fid, f in cfr.items():
+                if fid not in pfr:
+                    units.append({"kind": "insert", "path": f["path"],
+                                  "dv": [], "v": v})
+            for fid, f in pfr.items():
+                c = cfr.get(fid)
+                if c is None:
+                    # fully-dead drop: every row still live at the
+                    # parent died in this step
+                    units.append({"kind": "delete", "path": f["path"],
+                                  "dv": dv_paths_of(f), "v": v})
+                else:
+                    old = set(dv_paths_of(f))
+                    new_rels = [r for r in dv_paths_of(c) if r not in old]
+                    if new_rels:
+                        units.append({"kind": "delete_offsets",
+                                      "path": f["path"], "dv": new_rels,
+                                      "v": v})
+        out_schema = pa.schema(
+            list(user_schema)
+            + [pa.field("change_type", pa.string()),
+               pa.field("commit_version", pa.int64())])
+        if not units:
+            return rd.from_arrow(pa.table(
+                {f.name: pa.array([], f.type) for f in out_schema}))
+        root = self.root
+
+        def read_unit(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            from moonray.dv import load_dv_union
+
+            pieces = []
+            for u in batch.to_pylist():
+                kind = u["kind"]
+                if kind == "insert":
+                    t = _read_fragment(root, u["path"], [], user_schema,
+                                       defaults, False)
+                    ct = "insert"
+                elif kind == "delete":
+                    # rows live at the parent (old DV filtered out)
+                    t = _read_fragment(root, u["path"], list(u["dv"]),
+                                       user_schema, defaults, False)
+                    ct = "delete"
+                else:  # delete_offsets: rows named by this step's deltas
+                    t = _read_fragment(root, u["path"], [], user_schema,
+                                       defaults, True)
+                    offs = load_dv_union(root, list(u["dv"]))
+                    t = t.filter(pc.is_in(t[ROWOFF],
+                                          value_set=pa.array(offs)))
+                    t = t.select(user_schema.names)
+                    ct = "delete"
+                t = t.append_column("change_type",
+                                    pa.array([ct] * len(t), pa.string()))
+                t = t.append_column("commit_version",
+                                    pa.array([u["v"]] * len(t), pa.int64()))
+                pieces.append(t)
+            return pa.concat_tables(pieces)
+
+        return rd.from_items(units, override_num_blocks=len(units)).map_batches(
+            read_unit, batch_format="pyarrow", batch_size=1)

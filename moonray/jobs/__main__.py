@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 _TYPES = {
@@ -104,6 +105,18 @@ def main(argv=None) -> int:
     sp = sub.add_parser("describe")
     tbl(sp)
 
+    sp = sub.add_parser("lookup")
+    tbl(sp)
+    sp.add_argument("--keys-json", required=True,
+                    help='JSON list of key values (lists for composite keys)')
+    sp.add_argument("--columns", default=None)
+
+    sp = sub.add_parser("changes")
+    tbl(sp)
+    sp.add_argument("--from-version", type=int, required=True)
+    sp.add_argument("--to-version", type=int, default=None)
+    sp.add_argument("--output", required=True, help="parquet output dir")
+
     args = p.parse_args(argv)
     _ensure_ray()
     import pyarrow as pa
@@ -144,6 +157,16 @@ def main(argv=None) -> int:
         return 0
     elif args.cmd == "describe":
         print(json.dumps(t.describe()))
+        return 0
+    elif args.cmd == "lookup":
+        keys = [tuple(k) if isinstance(k, list) else k
+                for k in json.loads(args.keys_json)]
+        cols = args.columns.split(",") if args.columns else None
+        print(json.dumps(t.lookup(keys, columns=cols).to_pylist(), default=str))
+        return 0
+    elif args.cmd == "changes":
+        t.changes(args.from_version, args.to_version).write_parquet(args.output)
+        print(json.dumps({"output": args.output}))
         return 0
     print(json.dumps({"version": v, **t.describe()}))
     return 0

@@ -49,6 +49,14 @@ _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_\-]*")
 MAX_SCAN_ROWS = 10_000
 
 
+def _json_rows(rows):
+    for r in rows:  # binary columns aren't JSON-serializable
+        for k, v in list(r.items()):
+            if isinstance(v, (bytes, bytearray)):
+                r[k] = {"__bytes__": len(v)}
+    return rows
+
+
 def schema_from_json(pairs) -> pa.Schema:
     fields = []
     for col, typ in pairs:
@@ -224,12 +232,25 @@ class MoonrayService:
         columns = q["columns"][0].split(",") if "columns" in q else None
         limit = min(int(q.get("limit", [1000])[0]), MAX_SCAN_ROWS)
         ds = t.scan(version=version, columns=columns).limit(limit)
-        rows = ds.take_all()
-        for r in rows:  # binary columns aren't JSON-serializable
-            for k, v in list(r.items()):
-                if isinstance(v, (bytes, bytearray)):
-                    r[k] = {"__bytes__": len(v)}
-        return {"rows": rows, "truncated_at": limit}
+        return {"rows": _json_rows(ds.take_all()), "truncated_at": limit}
+
+    def lookup(self, name: str, body: dict) -> dict:
+        t = self._table(name)
+        keys = [tuple(k) if isinstance(k, list) else k
+                for k in body.get("keys", [])]
+        cols = body.get("columns")
+        rows = t.lookup(keys, columns=cols).to_pylist()
+        return {"rows": _json_rows(rows)}
+
+    def changes(self, name: str, q: dict) -> dict:
+        t = self._table(name)
+        if "from" not in q:
+            raise ServiceError(400, "changes needs ?from=<version>")
+        from_v = int(q["from"][0])
+        to_v = int(q["to"][0]) if "to" in q else None
+        limit = min(int(q.get("limit", [1000])[0]), MAX_SCAN_ROWS)
+        rows = t.changes(from_v, to_v).limit(limit).take_all()
+        return {"rows": _json_rows(rows), "truncated_at": limit}
 
 
 def make_handler(svc: MoonrayService):
@@ -272,6 +293,8 @@ def make_handler(svc: MoonrayService):
                         return svc.history(parts[1])
                     if parts[2] == "scan":
                         return svc.scan(parts[1], q)
+                    if parts[2] == "changes":
+                        return svc.changes(parts[1], q)
             elif method == "POST":
                 body = self._body()
                 if len(parts) == 2 and parts[0] == "tables":
@@ -284,6 +307,7 @@ def make_handler(svc: MoonrayService):
                     fn = {"optimize": svc.optimize, "cluster": svc.cluster,
                           "snapshot": svc.snapshot, "flush": svc.snapshot,
                           "maintain": svc.maintain, "expire": svc.expire,
+                          "lookup": svc.lookup,
                           }.get(parts[2])
                     if fn:
                         return fn(parts[1], body)

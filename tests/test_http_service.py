@@ -75,6 +75,22 @@ def test_http_roundtrip(svc):
     st, hist = _call("GET", f"{svc}/tables/events/history")
     assert st == 200 and len(hist["history"]) >= 1
 
+    # index-served point lookup over HTTP
+    st, lk = _call("POST", f"{svc}/tables/events/lookup",
+                   {"keys": [3, 7, 999], "columns": ["id", "name"]})
+    assert st == 200
+    assert {r["id"]: r["name"] for r in lk["rows"]} == {3: "upd"}
+
+    # changelog read over HTTP: everything since the empty table
+    st, ch = _call("GET", f"{svc}/tables/events/changes?from=0")
+    assert st == 200
+    net = {}
+    for r in ch["rows"]:
+        net[r["id"]] = net.get(r["id"], 0) + (1 if r["change_type"] == "insert" else -1)
+    assert sum(net.values()) == 9
+    st, _ = _call("GET", f"{svc}/tables/events/changes")
+    assert st == 400  # from= is required
+
     # bad operation → 400; unknown table → 404; unknown route → 404
     st, _ = _call("POST", f"{svc}/ingest/events",
                   {"operation": "replace", "data": {"id": 1}})

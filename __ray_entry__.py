@@ -293,6 +293,23 @@ def _q_quality_filter(sf_dir: str):
     return quality_filter(_docs(sf_dir))
 
 
+_MIX = {"en": 0.3, "de": 1.0, "fr": 0.5}
+
+
+def _q_stratified(sf_dir: str):
+    from moonray.functions.sample import stratified_sample
+
+    return stratified_sample(_docs(sf_dir), strata_col="lang",
+                             fractions=_MIX, key_col="doc_id",
+                             sampler="modulo")
+
+
+def _q_vocab(sf_dir: str):
+    from moonray.functions.text import vocab_top_tokens
+
+    return vocab_top_tokens(_docs(sf_dir), k=500)
+
+
 def _q_dedup_exact(sf_dir: str):
     from moonray.functions.dedup import exact_dedup
 
@@ -346,6 +363,33 @@ def _q_minhash(sf_dir: str):
     from moonray.functions.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(_docs(sf_dir), jaccard_threshold=0.8)
+
+
+def _q_decontam_join(sf_dir: str):
+    """Cross-corpus near-dup join: documents split into a 'train' side
+    (doc_id % 5 != 0) and an 'eval' side (doc_id % 5 == 0); pairs with
+    exact token-3-gram Jaccard >= 0.8 surfaced via MinHash-LSH."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moonray.functions.dedup import minhash_lsh_join
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def side(keep_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 5 == 0) if keep_eval else (ids % 5 != 0)
+            return b.filter(pa.array(mask))
+
+        f.__name__ = "eval_side" if keep_eval else "train_side"
+        return f
+
+    train = docs.map_batches(side(False), batch_format="pyarrow")
+    evald = docs.map_batches(side(True), batch_format="pyarrow")
+    return minhash_lsh_join(train, evald, jaccard_threshold=0.8)
 
 
 def _q_simhash(sf_dir: str):
@@ -424,6 +468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "docs_quality_filter": _q_quality_filter,
         "docs_lang_stats": _q_lang_stats,
+        "vocab_top_tokens": _q_vocab,
+        "stratified_sample_mix": _q_stratified,
         # ---- dedup ----
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_prefix": _q_dedup_prefix,
@@ -432,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": _q_near_dups,
         "embedding_near_dup_pairs_lsh": _q_near_dups_lsh,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "decontamination_join": _q_decontam_join,
         # ---- similarity search ----
         "knn_cosine_top10": _q_knn,
         "knn_cosine_ivf_top10": _q_knn_ivf,
@@ -443,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from moonray.functions.sample import stratified_sample_oracle_sql
     from moonray.functions.text import quality_filter_oracle_sql, text_stats_oracle_sql
 
     return {
@@ -490,7 +538,40 @@ def oracle_sql() -> dict[str, str]:
         "alter_schema_evolution": _ALTER_SQL,
         "stream_xact_commit": _STREAM_XACT_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "stratified_sample_mix": stratified_sample_oracle_sql(
+            "lang", _MIX, "doc_id"),
+        "vocab_top_tokens": """
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+          FROM documents
+        )
+        SELECT token, count(*) AS n
+        FROM toks GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 500
+        """,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "decontamination_join": """
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN ['']
+                  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' ')))
+             END AS sh
+          FROM t
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM s a, s b
+        WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.8
+        """,
         "json_props_agg": """
             SELECT event_type,
                    count(*) AS n_events,

@@ -514,6 +514,109 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(keep_reps, batch_format="pyarrow")
 
 
+def minhash_lsh_join(ds_a, ds_b, *, text_col: str = "text",
+                     id_col: str = "doc_id", num_perm: int = 64,
+                     bands: int = 16, jaccard_threshold: float = 0.8):
+    """Cross-corpus near-duplicate JOIN: (a from ds_a, b from ds_b)
+    pairs with exact token-3-gram Jaccard ≥ threshold, surfaced by
+    MinHash-LSH banding so only band-collision candidates verify. The
+    canonical use is decontamination — detecting benchmark/eval
+    documents leaked into a training corpus — where a full cross
+    product is unthinkable at scale.
+
+    Same scale shape as minhash_lsh_dedup: band shuffles carry thin
+    (band, bhash, id) rows; the exact verify co-shuffles candidate
+    payloads only (never a corpus broadcast). Ids are namespaced
+    side-locally (id*2+side) through the shuffles, so the corpora may
+    share doc_id values; outputs are decoded back. Returns a
+    Dataset[a:int64, b:int64]."""
+    import ray
+
+    def encode(side: int):
+        def enc(b: pa.Table) -> pa.Table:
+            ids = b[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({id_col: pa.array(ids * 2 + side, pa.int64()),
+                             text_col: b[text_col]})
+
+        enc.__name__ = f"encode_side{side}"
+        return enc
+
+    docs = (ds_a.select_columns([id_col, text_col])
+            .map_batches(encode(0), batch_format="pyarrow")
+            .union(ds_b.select_columns([id_col, text_col])
+                   .map_batches(encode(1), batch_format="pyarrow")))
+    band_rows = docs.map_batches(
+        as_fn(MinHashBands(text_col, id_col, num_perm, bands), "minhash_bands"),
+        batch_format="pyarrow")
+    n_buckets = default_buckets()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = hash_key_array(b["bhash"]) % np.uint64(n_buckets)
+        return b.append_column("_bktb", pa.array(h.astype(np.int32)))
+
+    def cross_pairs(group: pa.Table) -> pa.Table:
+        """Equal-signature runs like minhash_lsh_dedup.bucket_pairs,
+        but emitting only CROSS-side (A×B) pairs within each run."""
+        t = group.sort_by([("band", "ascending"), ("bhash", "ascending"),
+                           ("id", "ascending")])
+        bh = np.asarray(t["bhash"].combine_chunks())
+        bd = t["band"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(t), dtype=bool)
+        new_run[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(t))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            run = ids[s:e]
+            ra, rb = run[run % 2 == 0], run[run % 2 == 1]
+            if len(ra) and len(rb):
+                a_out.extend(np.repeat(ra, len(rb)))
+                b_out.extend(np.tile(rb, len(ra)))
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64())})
+
+    cross_pairs.__name__ = "cross_pairs"
+    cand = (band_rows.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bktb").map_groups(cross_pairs, batch_format="pyarrow"))
+    cand = cand.materialize()
+    ids_ref = _candidate_ids_ref(cand)
+
+    def shingle_payloads(b: pa.Table) -> pa.Table:
+        sel = _filter_to_ids(b, id_col, ray.get(ids_ref))
+        pl = [np.unique(np.asarray(_shingle_set(t), dtype=np.uint64)).tolist()
+              for t in sel[text_col].to_pylist()]
+        return pa.table({"id": sel[id_col].cast(pa.int64()),
+                         "payload": pa.array(pl, pa.list_(pa.uint64()))})
+
+    shingle_payloads.__name__ = "shingle_payloads"
+    payloads = docs.map_batches(shingle_payloads, batch_format="pyarrow")
+
+    def jaccard_verdict(t: pa.Table, ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+        plist = t["payload"].to_pylist()
+        out = np.zeros(len(ii), dtype=bool)
+        for k in range(len(ii)):
+            sa = np.asarray(plist[ii[k]], dtype=np.uint64)
+            sb = np.asarray(plist[jj[k]], dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            out[k] = (union == 0) or (inter / union >= jaccard_threshold)
+        return out
+
+    verified = _verify_pairs(
+        cand, payloads, pa.list_(pa.uint64()), jaccard_verdict,
+        n_candidate_ids=len(ray.get(ids_ref)))
+
+    def decode(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False) // 2
+        bb = b["b"].to_numpy(zero_copy_only=False) // 2
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(bb, pa.int64())})
+
+    decode.__name__ = "decode_pair_ids"
+    return verified.map_batches(decode, batch_format="pyarrow")
+
+
 # ---------------- exact n-gram Jaccard pairs ----------------
 
 class ShingleJaccardPairs:

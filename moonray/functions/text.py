@@ -172,3 +172,46 @@ SELECT doc_id, text, lang, source, n_chars,
   {lang_case} AS lang_pred
 FROM documents{extra_cols}
 """
+
+
+def vocab_top_tokens(ds, *, text_col: str = "text", k: int = 1000):
+    """Vocabulary build: the k most frequent lowercase tokens with
+    counts. The classic wordcount shape done scale-right: each batch
+    pre-aggregates its own token counts with one Arrow group_by
+    (combiner), so the global shuffle carries (token, partial_count)
+    uniques per batch instead of one row per token OCCURRENCE; the
+    global groupby sums partials and a (count desc, token) sort +
+    limit picks a deterministic top-k even across ties. Returns a
+    Dataset[token:string, n:int64]."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    tok = _re.compile(TOKEN_RE)
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        toks = []
+        for t in b[text_col].to_pylist():
+            toks.extend(tok.findall(t.lower()))
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"token": pa.array(toks, pa.string())})
+        g = t.group_by("token").aggregate([("token", "count")])
+        return pa.table({"token": g["token"],
+                         "n": g["token_count"].cast(pa.int64())})
+
+    partial_counts.__name__ = "partial_token_counts"
+    totals = (ds.select_columns([text_col])
+              .map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n_total")))
+    out = totals.sort(["n_total", "token"], descending=[True, False]).limit(k)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b["token"],
+                         "n": pc.cast(b["n_total"], pa.int64())})
+
+    rename.__name__ = "rename_vocab_cols"
+    return out.map_batches(rename, batch_format="pyarrow")

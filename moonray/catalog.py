@@ -27,20 +27,48 @@ from moonray.util import atomic_write_json, read_json
 
 
 class MoonrayCatalog:
+    """A warehouse may live on a local filesystem OR an object store
+    (``scheme://`` — mock:// in tests, the documented S3 mapping in
+    production): the registry reads/writes route through the commit
+    store, table roots are ``<warehouse>/<name>`` on the same scheme,
+    and drop deletes the table's objects by prefix. One catalog writer
+    per warehouse (the same single-writer rule tables follow)."""
+
     def __init__(self, warehouse: str):
+        from moonray.filecache import is_remote
+
         self.warehouse = warehouse
-        os.makedirs(warehouse, exist_ok=True)
+        self._remote = is_remote(warehouse)
+        if not self._remote:
+            os.makedirs(warehouse, exist_ok=True)
 
     @property
     def _registry_path(self) -> str:
         return os.path.join(self.warehouse, "tables.json")
 
     def _registry(self) -> dict:
+        if self._remote:
+            import json
+
+            from moonray.commitstore import store_for
+
+            st = store_for(self.warehouse)
+            if st.exists("tables.json"):
+                return json.loads(st.read("tables.json"))
+            return {"tables": {}}
         if os.path.exists(self._registry_path):
             return read_json(self._registry_path)
         return {"tables": {}}
 
     def _save(self, reg: dict) -> None:
+        if self._remote:
+            import json
+
+            from moonray.storage import publish_bytes
+
+            publish_bytes(self.warehouse, "tables.json",
+                          json.dumps(reg, indent=1, sort_keys=True).encode())
+            return
         atomic_write_json(self._registry_path, reg, durable=True)
 
     # ---------------- operations ----------------
@@ -86,4 +114,13 @@ class MoonrayCatalog:
         if entry is None:
             raise KeyError(f"no such table {name!r}")
         self._save(reg)
+        if self._remote:
+            from moonray.commitstore import store_for
+            from moonray.storage import scratch_for
+
+            st = store_for(self.warehouse)
+            for rel in st.list(name):
+                st.delete(rel)
+            shutil.rmtree(scratch_for(entry["root"]), ignore_errors=True)
+            return
         shutil.rmtree(entry["root"], ignore_errors=True)

@@ -168,3 +168,33 @@ def test_duckdb_view_over_mock_root(committed_table):
     remote.duckdb_view(con, "r")
     n = con.sql("SELECT count(*) FROM r").fetchone()[0]
     assert n == local.scan().count()
+
+
+def test_remote_warehouse_catalog(tmp_path):
+    """A whole warehouse on the object store: registry + table lifecycle
+    through the commit store, data through the write plane."""
+    import ray.data as rd
+    import shutil as _shutil
+
+    from moonray.catalog import MoonrayCatalog
+    from moonray.commitstore import MockCommitStore
+    from moonray.storage import scratch_for
+
+    wh = "mock://" + str(tmp_path / "wh")
+    cat = MoonrayCatalog(wh)
+    schema = pa.schema([("id", pa.int64()), ("v", pa.string())])
+    t = cat.create_table("docs", key_col="id", schema=schema,
+                         index_partitions=4, rows_per_fragment=32)
+    assert cat.table_exists("docs") and "docs" in cat.list_tables()
+    t.bulk_load(rd.from_arrow(pa.table({
+        "id": pa.array(range(50), pa.int64()),
+        "v": pa.array([f"v{i}" for i in range(50)], pa.string()),
+    })))
+    reopened = cat.open_table("docs")
+    assert reopened.scan().count() == 50
+    # drop removes registry entry AND the table's objects by prefix
+    root = cat.list_tables()["docs"]["root"]
+    cat.drop_table("docs")
+    assert not cat.table_exists("docs")
+    assert MockCommitStore(wh).list("docs") == []
+    _shutil.rmtree(scratch_for(root), ignore_errors=True)

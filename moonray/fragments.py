@@ -92,6 +92,13 @@ def compute_zones(table: pa.Table, zone_cols) -> dict:
     return zones
 
 
+def rg_rows_of(rows_per_fragment: int) -> int:
+    """Row-group granularity for fragment parquets: 8 scan splits per
+    flush-sized fragment (floor 64 rows so narrow tables don't explode
+    into sliver groups)."""
+    return max(64, rows_per_fragment // 8)
+
+
 def write_fragment(
     root: str,
     job_id: str,
@@ -102,6 +109,7 @@ def write_fragment(
     frag_id: str | None = None,
     compression: str = "snappy",
     data_cols: list[str] | None = None,
+    row_group_rows: int | None = None,
 ) -> tuple[dict, pa.Table | None]:
     """Write one fragment parquet + sidecar; return (meta, index_entries).
 
@@ -138,7 +146,16 @@ def write_fragment(
         for f in out.schema:
             if f.name not in comp:
                 comp[f.name] = compression
-    pq.write_table(out, tmp, compression=comp)
+    if row_group_rows:
+        # fixed row-group granularity, recorded in the fragment meta:
+        # scans split one big fragment into per-row-group ReadTasks, so
+        # compaction can consolidate files without capping scan
+        # parallelism at the fragment count (the file-split story every
+        # scan engine has)
+        pq.write_table(out, tmp, compression=comp,
+                       row_group_size=row_group_rows)
+    else:
+        pq.write_table(out, tmp, compression=comp)
     nbytes = os.path.getsize(tmp)
     # manifest-referenced: durable before the manifest is (publish_file
     # fsyncs locally / uploads the complete object remotely)
@@ -151,6 +168,7 @@ def write_fragment(
         "dv": None,
         "dv_count": 0,
         "zones": compute_zones(table, zone_cols),
+        **({"rg_rows": int(row_group_rows)} if row_group_rows else {}),
     }
     meta_dir = stage_path(root, "staging", job_id, "meta")
     os.makedirs(meta_dir, exist_ok=True)
@@ -181,7 +199,8 @@ class FragmentWriter:
 
     def __init__(self, root: str, job_id: str, key_col: str | None, zone_cols,
                  compression: str = "snappy", data_cols: list[str] | None = None,
-                 index_partitions: int | None = None):
+                 index_partitions: int | None = None,
+                 row_group_rows: int | None = None):
         self.root = root
         self.job_id = job_id
         self.key_col = key_col
@@ -189,6 +208,7 @@ class FragmentWriter:
         self.compression = compression
         self.data_cols = data_cols
         self.index_partitions = index_partitions
+        self.row_group_rows = row_group_rows
 
     def _empty_entries(self, batch: pa.Table) -> pa.Table:
         cols = {}
@@ -209,6 +229,7 @@ class FragmentWriter:
             self.root, self.job_id, batch,
             key_col=self.key_col, zone_cols=self.zone_cols,
             compression=self.compression, data_cols=self.data_cols,
+            row_group_rows=self.row_group_rows,
         )
         if self.index_partitions is not None:
             if entries is not None and self.key_col is not None:

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 from moonray import manifest as mf
 from moonray.checkpoint import LineageLog
 from moonray.dv import dv_paths_of, filter_batch, load_dv_union
-from moonray.fragments import ROWOFF, normalize_to_schema, write_fragment
+from moonray.fragments import ROWOFF, normalize_to_schema, rg_rows_of, write_fragment
 from moonray.storage import stage_path
 from moonray.keyindex import MergeIndexPartition, build_index_from_runs
 from moonray.util import as_fn, atomic_write_json, new_job_id, read_json
@@ -174,6 +174,7 @@ class CompactGroup:
                         key_col=self.key_col, zone_cols=self.zone_cols,
                         frag_id=f"c-{self.job_id}-g{gid}-{i:04d}",
                         compression="zstd", data_cols=user_cols,
+                        row_group_rows=rg_rows_of(self.rpf // 4),
                     )
                     if entries is not None:
                         group_entries.append(entries)
@@ -366,6 +367,7 @@ class ClusterWriteGroup:
                     key_col=self.key_col, zone_cols=self.zone_cols,
                     frag_id=f"z-{self.job_id}-p{pid:05d}-{i:04d}", compression="zstd",
                     data_cols=self.data_cols,
+                    row_group_rows=rg_rows_of(self.rpf),
                 )
                 if entries is not None:
                     parts.append(entries)

@@ -46,6 +46,7 @@ import ray
 from moonray import manifest as mf
 from moonray.checkpoint import LineageLog
 from moonray.dv import dv_paths_of, load_dv_union, save_dv
+from moonray.fragments import rg_rows_of
 from moonray.storage import publish_file, publish_tmp, stage_path
 from moonray.fragments import write_fragment
 from moonray.shuffle import read_bucket, reduce_buckets_tasks, write_runs
@@ -194,7 +195,7 @@ class MergeApply:
                     meta, entries = write_fragment(
                         self.root, self.job_id, chunk,
                         key_col=self.key_col, zone_cols=self.zone_cols,
-                        data_cols=self.user_cols)
+                        data_cols=self.user_cols, row_group_rows=rg_rows_of(self.rpf))
                     summary["new_frags"].append(meta)
                     entries_parts.append(entries)
                 if entries_parts:

@@ -43,11 +43,14 @@ PATH_COL = "path"  # added by read_parquet(include_paths=True)
 
 def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
                    read_schema: pa.Schema, defaults: dict,
-                   with_internal: bool) -> pa.Table:
+                   with_internal: bool,
+                   rg_span: tuple[int, int] | None = None) -> pa.Table:
     """Read one fragment (column-pruned, memory-mapped) + inline DV
     filter + projection onto the current schema (ALTER-added columns
     filled with defaults). Each read task loads only ITS fragment's DV
-    delta files — no broadcast needed."""
+    delta files — no broadcast needed. ``rg_span=(a, b)`` reads only
+    parquet row groups [a, b) — the scan-split unit that decouples scan
+    parallelism from the fragment count."""
     from moonray.dv import filter_batch, load_dv_union
     from moonray.fragments import normalize_to_schema
     from moonray.util import cap_kernel_threads
@@ -59,9 +62,16 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
     cols = list(read_schema.names)
     if (dv_rels or with_internal) and ROWOFF not in cols:
         cols.append(ROWOFF)
-    present = set(pq.read_schema(path).names)
-    t = pq.read_table(path, columns=[c for c in cols if c in present],
-                      memory_map=True, pre_buffer=False)
+    if rg_span is None:
+        present = set(pq.read_schema(path).names)
+        t = pq.read_table(path, columns=[c for c in cols if c in present],
+                          memory_map=True, pre_buffer=False)
+    else:
+        pf = pq.ParquetFile(path, memory_map=True, pre_buffer=False)
+        present = set(pf.schema_arrow.names)
+        hi = min(rg_span[1], pf.num_row_groups)
+        t = pf.read_row_groups(list(range(rg_span[0], hi)),
+                               columns=[c for c in cols if c in present])
     if dv_rels:
         t = filter_batch(t, ROWOFF, load_dv_union(root, dv_rels))
     t = normalize_to_schema(t, read_schema, defaults,
@@ -98,21 +108,35 @@ class FragmentDatasource(Datasource):
     def get_read_tasks(self, parallelism: int) -> list[ReadTask]:
         from moonray.dv import dv_paths_of
 
+        n = max(1, len(self.frags))
+        per_frag = max(1, -(-max(parallelism, n) // n))
         out = []
         for f in self.frags:
-            meta = BlockMetadata(
-                num_rows=f["rows"] - f["dv_count"],
-                size_bytes=int(f["bytes"] * (1 - f["dv_count"] / max(1, f["rows"]))),
-                exec_stats=None,
-                input_files=[os.path.join(self.root, f["path"])])
+            rg = f.get("rg_rows")
+            n_rgs = -(-f["rows"] // rg) if rg else 1
+            k = min(per_frag, n_rgs)
+            live_frac = 1 - f["dv_count"] / max(1, f["rows"])
+            bounds = [round(i * n_rgs / k) for i in range(k + 1)]
             root, rel, dvs = self.root, f["path"], dv_paths_of(f)
             sch, dflt, internal = self.read_schema, self.defaults, self.with_internal
+            for a, b in zip(bounds, bounds[1:]):
+                if a == b:
+                    continue
+                span = None if k == 1 else (a, b)
+                rows = (f["rows"] if span is None
+                        else min(f["rows"] - a * rg, (b - a) * rg))
+                meta = BlockMetadata(
+                    num_rows=int(rows * live_frac),
+                    size_bytes=int(f["bytes"] * (rows / f["rows"]) * live_frac),
+                    exec_stats=None,
+                    input_files=[os.path.join(self.root, f["path"])])
 
-            def fn(root=root, rel=rel, dvs=dvs, sch=sch, dflt=dflt,
-                   internal=internal):
-                return [_read_fragment(root, rel, dvs, sch, dflt, internal)]
+                def fn(root=root, rel=rel, dvs=dvs, sch=sch, dflt=dflt,
+                       internal=internal, span=span):
+                    return [_read_fragment(root, rel, dvs, sch, dflt,
+                                           internal, rg_span=span)]
 
-            out.append(ReadTask(fn, meta))
+                out.append(ReadTask(fn, meta))
         return out
 
 
@@ -227,6 +251,7 @@ class MoonrayTable:
             out.append({
                 "version": v, "parent": m["parent"],
                 "commit_lsn": m["commit_lsn"], "job_id": m["job_id"],
+                "committed_at": m.get("committed_at"),
                 "num_fragments": len(m["fragments"]),
                 "rows": sum(f["rows"] - f["dv_count"] for f in m["fragments"]),
                 "stats": m.get("stats", {}),
@@ -337,10 +362,13 @@ class MoonrayTable:
         # (keyindex.stage_entry_runs) — the index build is then one tiny
         # raw task per partition, not a Ray Data entry shuffle chained
         # behind the payload write pipeline
+        from moonray.fragments import rg_rows_of
+
         writer = FragmentWriter(self.root, job_id, m["key_col"], m["zone_cols"],
                                 data_cols=list(self.schema().names),
                                 index_partitions=(m["index"]["num_partitions"]
-                                                  if m["key_col"] else None))
+                                                  if m["key_col"] else None),
+                                row_group_rows=rg_rows_of(rpf))
         src = with_identity_key(ds, m)
         src.map_batches(as_fn(writer), batch_format="pyarrow",
                         batch_size=rpf).count()  # drive the write pipeline
@@ -621,20 +649,38 @@ class MoonrayTable:
         return name
 
     # ---------------- read path ----------------
+    def version_as_of(self, ts: float) -> int:
+        """Timestamp time travel (Iceberg snapshot-as-of-timestamp
+        analogue): the latest retained version whose commit wall-clock
+        is ≤ ``ts`` (epoch seconds). Versions predating the
+        committed_at field count as arbitrarily old."""
+        best = None
+        for v in self.versions():
+            at = self.manifest(v).get("committed_at")
+            if at is None or at <= ts:
+                best = v
+        if best is None:
+            raise ValueError(f"no version committed at or before {ts}")
+        return best
+
     def scan(self, version: int | None = None, *, columns=None,
              predicate_ranges: dict | None = None, with_internal: bool = False,
-             concurrency=None):
+             concurrency=None, as_of: float | None = None):
         """Snapshot-isolated scan → lazy Dataset.
 
         - zone-map pruning: fragments whose min/max don't overlap
           ``predicate_ranges`` {col: (lo, hi)} are never read;
         - column pruning at the parquet read;
         - per-fragment DV filtering inside the read tasks (zero-copy
-          Arrow; each task loads only its own DV deltas).
+          Arrow; each task loads only its own DV deltas);
+        - ``as_of`` (epoch seconds) resolves the version by commit
+          timestamp when ``version`` is not given.
         Note: ``predicate_ranges`` prunes fragments only — callers apply
         the exact row filter downstream."""
         import ray.data as rd
 
+        if version is None and as_of is not None:
+            version = self.version_as_of(as_of)
         m = self.manifest(version)
         frags = m["fragments"]
         if predicate_ranges:
@@ -650,7 +696,17 @@ class MoonrayTable:
         read_schema = pa.schema([user_schema.field(c) for c in read_cols])
         src = FragmentDatasource(self.root, frags, read_schema,
                                  m.get("column_defaults", {}), with_internal)
-        return rd.read_datasource(src, override_num_blocks=len(frags),
+        # block target: at least ~2 tasks per CPU when row-group splits
+        # allow it, never fewer than one task per fragment — compaction
+        # can consolidate files without capping scan parallelism
+        import ray
+
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        max_tasks = sum(-(-f["rows"] // f["rg_rows"]) if f.get("rg_rows") else 1
+                        for f in frags)
+        nblocks = min(max(len(frags), 2 * cpus), max(1, max_tasks))
+        return rd.read_datasource(src, override_num_blocks=nblocks,
                                   concurrency=concurrency)
 
     def lookup(self, keys, *, columns=None, version=None) -> pa.Table:

@@ -103,3 +103,25 @@ def test_multi_step_attribution(table):
 def test_bad_range_rejected(table):
     with pytest.raises(ValueError, match="from_version"):
         table.changes(5, 1)
+
+
+def test_timestamp_time_travel(table):
+    """scan(as_of=ts) resolves the version committed at or before ts
+    (Iceberg snapshot-as-of-timestamp analogue)."""
+    import time
+
+    t = table
+    ts_pre = time.time()
+    time.sleep(0.02)
+    t.merge(rd.from_arrow(pa.table({
+        "op": pa.array(["D"] * 20, pa.string()),
+        "lsn": pa.array(range(1, 21), pa.int64()),
+        "id": pa.array(range(20), pa.int64()),
+        "val": pa.array([None] * 20, pa.string()),
+    })))
+    assert t.version_as_of(ts_pre) < t.latest_version()
+    assert t.scan(as_of=ts_pre).count() == 100
+    assert t.scan(as_of=time.time()).count() == 80
+    assert t.history()[-1]["committed_at"] is not None
+    with pytest.raises(ValueError, match="no version"):
+        t.version_as_of(0.0)

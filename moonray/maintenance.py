@@ -456,7 +456,7 @@ def _zkey_boundaries(table, m: dict, cols, ranges, salt_bits: int,
 
 def cluster(table, *, cols=None, salt_bits: int = 8,
             partition_rows: int | None = None, curve: str = "z",
-            job_id: str | None = None) -> int:
+            job_id: str | None = None, scope: str = "full") -> int:
     """Z-order clustering: range-partition the live table by the salted
     interleaved Z-key (sampled equal-frequency boundaries), then ONE
     fused shuffle — ``groupby(pid).map_groups`` sorts each partition and
@@ -464,7 +464,17 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
     through the shuffle exactly once; a naive ``ds.sort`` would move
     them through sample + map + reduce + a separate rewrite pass.
     Skew from hot phash ranges is broken by quantile cuts + the key-hash
-    salt (see zorder.py)."""
+    salt (see zorder.py).
+
+    ``scope="incremental"`` clusters only the UNCLUSTERED TAIL — the
+    fragments born since the last cluster pass (merge inserts,
+    compaction outputs) — leaving prior Z-sorted fragments untouched:
+    the LSM-flavored maintenance a 100 TB table needs, where a full
+    rewrite per round is unpayable. Scans stay correct either way
+    (zone pruning is per fragment); the tail's index entries append as
+    deltas (stale entries for replaced tail fragments are dropped by
+    the next index merge). Periodic ``scope="full"`` passes fold the
+    sorted runs together."""
     import ray
     import ray.data as rd
 
@@ -472,7 +482,16 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
     prev = mf.find_version_by_job(table.root, job_id)
     if prev is not None:
         return prev
+    if scope not in ("full", "incremental"):
+        raise ValueError(f"cluster scope must be full|incremental, got {scope!r}")
     m = table.manifest()
+    if scope == "incremental":
+        # the unclustered tail: cluster outputs carry a "z-" frag id;
+        # anything else (flush "f-", compaction "c-") needs sorting.
+        # Compaction of previously-sorted fragments deliberately loses
+        # the mark — its concat does not preserve global Z order.
+        tail = [f for f in m["fragments"] if not f["id"].startswith("z-")]
+        m = dict(m, fragments=tail)
     if not m["fragments"]:
         return m["version"]
     cols = list(cols or m["zone_cols"])
@@ -605,8 +624,14 @@ def cluster(table, *, cols=None, salt_bits: int = 8,
         "partitions": int(P),
         "new_fragments": len(new_frags),
         "rows": sum(f["rows"] for f in new_frags)}})
-    return table._commit_append(m, new_frags, deltas, m["commit_lsn"], job_id,
-                                replaced_frag_ids=replaced, replace_index=True,
+    # incremental: m["fragments"] was narrowed to the tail, so commit
+    # against the REAL parent manifest — untouched fragments survive,
+    # and the index keeps its existing files (append tail deltas only;
+    # a full pass rebuilds the index outright)
+    parent = table.manifest()
+    return table._commit_append(parent, new_frags, deltas, parent["commit_lsn"],
+                                job_id, replaced_frag_ids=replaced,
+                                replace_index=(scope == "full"),
                                 op="maintenance")
 
 

@@ -110,9 +110,15 @@ def commit_manifest(root: str, manifest: dict) -> int:
 
     from moonray.commitstore import store_for
 
+    import time
+
     version = manifest["version"]
     manifest.setdefault("format", FORMAT)
     manifest.setdefault("hash_impl", HASH_IMPL)
+    # commit wall-clock for timestamp time travel (Iceberg
+    # snapshot timestamp-ms analogue); informational — ordering
+    # guarantees come from version numbers, not clocks
+    manifest.setdefault("committed_at", time.time())
     store = store_for(root)
     payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
     store.put_if_absent(os.path.join("versions", f"v{version:08d}.json"), payload)

@@ -64,14 +64,16 @@ class MergeApply:
     views (index partition files, per-fragment DV lists, live set)."""
 
     def __init__(self, root: str, job_id: str, key_col: str, zone_cols,
-                 rows_per_fragment: int, user_cols: list[str], ctx_ref,
-                 seq_col: str | None = None):
+                 rows_per_fragment: int, schema: pa.Schema, ctx_ref,
+                 seq_col: str | None = None, defaults: dict | None = None):
         self.root = root
         self.job_id = job_id
         self.key_col = key_col
         self.zone_cols = list(zone_cols)
         self.rpf = rows_per_fragment
-        self.user_cols = user_cols
+        self.schema = schema
+        self.user_cols = list(schema.names)
+        self.defaults = defaults or {}
         self.ctx_ref = ctx_ref
         self.seq_col = seq_col
         self._ctx = None
@@ -188,7 +190,14 @@ class MergeApply:
                 # for index entries; data_cols limits the parquet to the
                 # user schema)
                 ins = win.filter(pa.compute.not_equal(win[OP_COL], pa.scalar("D")))
-                ins = ins.select(list(dict.fromkeys(self.user_cols + [self.key_col])))
+                # project onto the CURRENT table schema: change sets from
+                # a source lagging an ALTER TABLE may omit newly-added
+                # columns — fill their declared default (reference fills
+                # missing nullable fields the same way in the JSON
+                # converter, rest_ingest/json_converter.rs)
+                from moonray.fragments import normalize_to_schema
+                ins = normalize_to_schema(ins, self.schema, self.defaults,
+                                          keep_extra=(self.key_col,))
                 entries_parts = []
                 for start in range(0, len(ins), self.rpf):
                     chunk = ins.slice(start, self.rpf)
@@ -261,9 +270,9 @@ def merge_into(table, changes, *, job_id: str | None = None,
             "live": {f["id"] for f in m["fragments"]},
         })
         reducer = MergeApply(table.root, job_id, key_col, m["zone_cols"],
-                             m["rows_per_fragment"],
-                             [f for f in table.schema().names], ctx_ref,
-                             seq_col=seq_col)
+                             m["rows_per_fragment"], table.schema(), ctx_ref,
+                             seq_col=seq_col,
+                             defaults=m.get("column_defaults", {}))
         res = reduce_buckets_tasks(shuffle_out["buckets"], reducer)
         summaries = [json.loads(s) for t in res for s in t["payload"].to_pylist()]
         apply_out = {"summaries": summaries, "counters": {
@@ -306,9 +315,13 @@ def _append_only_merge(table, changes, m: dict, job_id: str) -> int:
     from moonray.fragments import FragmentWriter, collect_staged_fragment_meta
     from moonray.util import as_fn
 
+    from moonray.fragments import normalize_to_schema
+
     log = LineageLog(table.root, job_id)
     log.stage_start("append")
-    user_cols = list(table.schema().names)
+    schema = table.schema()
+    user_cols = list(schema.names)
+    defaults = m.get("column_defaults", {})
     writer = FragmentWriter(table.root, job_id, None, m["zone_cols"],
                             data_cols=user_cols)
 
@@ -319,7 +332,8 @@ def _append_only_merge(table, changes, m: dict, job_id: str) -> int:
             raise ValueError(
                 "identity='none' table is append-only: deletes/updates "
                 f"are forbidden ({bad} non-insert rows in change set)")
-        writer(b)
+        writer(normalize_to_schema(b, schema, defaults,
+                                   keep_extra=(OP_COL, LSN_COL)))
         mx = pa.compute.max(b[LSN_COL]).as_py() if len(b) else 0
         return pa.table({"rows": pa.array([len(b)], pa.int64()),
                          "max_lsn": pa.array([int(mx or 0)], pa.int64())})

@@ -125,3 +125,31 @@ def test_timestamp_time_travel(table):
     assert t.history()[-1]["committed_at"] is not None
     with pytest.raises(ValueError, match="no version"):
         t.version_as_of(0.0)
+
+
+def test_incremental_cluster_touches_only_the_tail(table):
+    """cluster(scope='incremental') sorts only fragments born since the
+    last cluster pass; prior Z-sorted fragments survive by id (the
+    LSM-style maintenance a 100 TB table needs — no full rewrite per
+    round)."""
+    t = table
+    t.cluster(cols=["id"])  # full pass: everything becomes z- fragments
+    sorted_ids = {f["id"] for f in t.manifest()["fragments"]}
+    assert all(i.startswith("z-") for i in sorted_ids)
+    t.merge(rd.from_arrow(pa.table({
+        "op": pa.array(["I"] * 10, pa.string()),
+        "lsn": pa.array(range(1, 11), pa.int64()),
+        "id": pa.array(range(1000, 1010), pa.int64()),
+        "val": pa.array([f"n{i}" for i in range(10)], pa.string()),
+    })))
+    before = {r["id"]: r["val"] for r in t.scan().take_all()}
+    t.cluster(cols=["id"], scope="incremental")
+    after_frags = {f["id"] for f in t.manifest()["fragments"]}
+    assert sorted_ids <= after_frags          # sorted set untouched
+    assert all(i.startswith("z-") for i in after_frags)  # tail now sorted
+    assert {r["id"]: r["val"] for r in t.scan().take_all()} == before
+    # lookups still resolve through the appended index deltas
+    assert t.lookup([1005]).to_pylist()[0]["val"] == "n5"
+    # nothing to do → no-op commit
+    v = t.latest_version()
+    assert t.cluster(cols=["id"], scope="incremental") == v

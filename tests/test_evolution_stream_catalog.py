@@ -46,6 +46,33 @@ def test_alter_add_column_with_default(tmp_path):
     assert rows[0]["score"] == 7.0 and rows[5]["score"] == 1.5
 
 
+def test_merge_change_set_lagging_alter_fills_default(tmp_path):
+    """A CDC source that hasn't learned about an ALTER yet sends change
+    rows WITHOUT the new column; the merge fills the declared default
+    (reference: json_converter fills missing nullable fields)."""
+    t = _mk(tmp_path / "tlag")
+    t.alter(add_columns=[("score", pa.float64(), 1.5)])
+    # change set carries the PRE-alter schema
+    t.merge(rd.from_items([
+        {"op": "U", "lsn": 10, "id": 0, "name": "upd", "age": 99},
+        {"op": "I", "lsn": 11, "id": 100, "name": "new", "age": 1},
+    ]))
+    rows = {r["id"]: r for r in _rows(t)}
+    assert rows[0]["score"] == 1.5 and rows[0]["name"] == "upd"
+    assert rows[100]["score"] == 1.5
+    # append-only tables fill too
+    t2 = MoonrayTable.create(str(tmp_path / "tnone"), key_col=None,
+                             identity="none", schema=SCHEMA,
+                             rows_per_fragment=8)
+    t2.bulk_load(rd.from_items(
+        [{"id": i, "name": f"n{i}", "age": 20 + i} for i in range(5)]))
+    t2.alter(add_columns=[("score", pa.float64(), 2.5)])
+    t2.merge(rd.from_items(
+        [{"op": "I", "lsn": 1, "id": 99, "name": "x", "age": 0}]))
+    rows2 = {r["id"]: r for r in _rows(t2)}
+    assert rows2[99]["score"] == 2.5 and rows2[0]["score"] == 2.5
+
+
 def test_alter_drop_column(tmp_path):
     t = _mk(tmp_path / "t2")
     t.alter(drop_columns=["age"])

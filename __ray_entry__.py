@@ -226,6 +226,12 @@ def _q_avro_ingest(sf_dir: str):
     return avro_ingest_agg(sf_dir)
 
 
+def _q_otel_ingest(sf_dir: str):
+    from moonray.pipelines.relational import otel_metrics_agg
+
+    return otel_metrics_agg(sf_dir)
+
+
 def _q_composite_merge(sf_dir: str):
     from moonray.pipelines.relational import merge_composite_key
 
@@ -464,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "json_props_agg": _q_json_props,
         "avro_ingest_agg": _q_avro_ingest,
+        "otel_metrics_agg": _q_otel_ingest,
         # ---- text analysis ----
         "text_stats": _q_text_stats,
         "docs_quality_filter": _q_quality_filter,
@@ -582,6 +589,13 @@ def oracle_sql() -> dict[str, str]:
         "avro_ingest_agg": """
             SELECT event_type,
                    count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY event_type
+        """,
+        "otel_metrics_agg": """
+            SELECT event_type AS name,
+                   count(*) AS n_points,
                    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_cents
             FROM events GROUP BY event_type

@@ -47,10 +47,17 @@ TRIGGER_MIN_INDEX_FILES = 16
 
 
 def maintenance_due(m: dict, *, small_bytes: int | None = None,
-                    dv_frac: float = DEFAULT_DV_FRAC) -> dict:
+                    dv_frac: float = DEFAULT_DV_FRAC,
+                    cluster_tail_frags: int | None = None) -> dict:
     """Evaluate the reference's background-maintenance triggers against
     a manifest (pure metadata — no data touched). Returns which passes
-    are due plus the pressure counters that justified them."""
+    are due plus the pressure counters that justified them.
+
+    ``cluster_tail_frags`` (opt-in): also fire an INCREMENTAL cluster
+    pass when at least that many fragments sit outside the Z-sorted set
+    (fragments born from merges/compaction since the last cluster pass)
+    — the LSM-style sort-the-tail policy layered on the reference's
+    compaction triggers. None (default) disables the trigger."""
     small_bytes = small_bytes if small_bytes is not None else DEFAULT_TARGET_BYTES // 2
     frags = m["fragments"]
     small = sum(1 for f in frags if f["bytes"] < small_bytes)
@@ -58,13 +65,18 @@ def maintenance_due(m: dict, *, small_bytes: int | None = None,
                    if f["dv_count"] / max(1, f["rows"]) >= dv_frac)
     n_parts = max(1, len(m["index"]["partitions"]))
     index_files = sum(len(v) for v in m["index"]["partitions"].values())
+    tail = sum(1 for f in frags if not f["id"].startswith("z-"))
     return {
         "compact": small >= TRIGGER_MIN_SMALL_FRAGS or dv_heavy > 0,
         "index_merge": (index_files >= TRIGGER_MIN_INDEX_FILES
                         and index_files > n_parts),
+        "cluster": (cluster_tail_frags is not None
+                    and bool(m.get("zone_cols"))
+                    and tail >= cluster_tail_frags),
         "small_fragments": small,
         "dv_heavy_fragments": dv_heavy,
         "index_files": index_files,
+        "unclustered_fragments": tail,
     }
 
 

@@ -463,6 +463,71 @@ def avro_ingest_agg(sf_dir: str):
                        Sum("sum_cents", alias_name="sum_cents")))
 
 
+def otel_metrics_agg(sf_dir: str):
+    """OTEL metrics ingest end-to-end (reference otel_to_moonlink_pb.rs
+    path): events rows → OTLP-JSON ExportMetricsServiceRequest payloads
+    (one gauge data point per event; synthesized collector stream) →
+    OtelToRows point-row decode stage → exact integer-cent aggregate per
+    metric name. The decode half is what production runs; the encode
+    half stands in for the OTLP/HTTP collector."""
+    import ray.data as rd
+
+    from moonray.sources.otel_ingest import OtelToRows
+
+    def encode(b: pa.Table) -> pa.Table:
+        import json
+
+        ts = b["ts"].cast(pa.int64()).to_pylist()          # µs since epoch
+        et = b["event_type"].to_pylist()
+        val = b["value"].to_pylist()
+        uid = b["user_id"].to_pylist()
+        points: dict[str, list] = {}
+        for t, e, v, u in zip(ts, et, val, uid):
+            points.setdefault(e, []).append({
+                "timeUnixNano": str(int(t) * 1000),
+                "asDouble": float(v),
+                "attributes": [
+                    {"key": "user_id", "value": {"intValue": str(int(u))}}],
+            })
+        req = {"resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "events"}}]},
+            "scopeMetrics": [{
+                "scope": {"name": "moonray.fixture"},
+                "metrics": [{"name": name, "unit": "1",
+                             "gauge": {"dataPoints": dps}}
+                            for name, dps in sorted(points.items())],
+            }],
+        }]}
+        return pa.table({"payload": pa.array([json.dumps(req)], pa.string())})
+
+    encode.__name__ = "otlp_encode"
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value", "user_id"])
+    rows = ds.map_batches(encode, batch_format="pyarrow").map_batches(
+        OtelToRows, batch_format="pyarrow", concurrency=(1, 8))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["value_double"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        t = pa.table({"name": b["name"],
+                      "value_cents": pa.array(cents, pa.int64())})
+        g = t.group_by("name", use_threads=False).aggregate(
+            [("value_cents", "count", pc.CountOptions(mode="all")),
+             ("value_cents", "sum")])
+        return pa.table({"name": g["name"],
+                         "n_points": g["value_cents_count"].cast(pa.int64()),
+                         "sum_cents": g["value_cents_sum"].cast(pa.int64())})
+
+    partial.__name__ = "partial_agg"
+    from ray.data.aggregate import Sum
+
+    return (rows.map_batches(partial, batch_format="pyarrow")
+            .groupby("name")
+            .aggregate(Sum("n_points", alias_name="n_points"),
+                       Sum("sum_cents", alias_name="sum_cents")))
+
+
 def hopping_window_events(sf_dir: str, window_sec: int = 3600,
                           hop_sec: int = 900):
     """Hopping (sliding) event-time windows: each event lands in

@@ -12,6 +12,9 @@ MoonrayTable, stdlib-only (ThreadingHTTPServer):
                                         (rest_api.rs:1073-1075 op set)
     POST   /upload/{t}                  {"operation": insert|upsert,
                                          "files": [parquet paths]}
+    POST   /otel/{t}                    OTLP-JSON ExportMetricsServiceRequest
+                                        → append-only point rows (metrics
+                                        endpoint analogue, otel/service.rs)
     POST   /tables/{t}/optimize         {"mode": data|index|full}
     POST   /tables/{t}/cluster          {"cols": [...], "curve": z|hilbert}
     POST   /tables/{t}/snapshot         force snapshot (flush analogue)
@@ -21,6 +24,11 @@ MoonrayTable, stdlib-only (ThreadingHTTPServer):
     GET    /tables/{t}                  describe
     GET    /tables/{t}/history          version history
     GET    /tables/{t}/scan?version=&columns=&limit=   rows as JSON (capped)
+    GET    /tables/{t}/scanplan?version=|lsn=&pin=1    union-read state:
+                                        fragment paths + DV delta paths +
+                                        schema (scan_table_begin analogue —
+                                        SQL engines read the files directly)
+    POST   /tables/{t}/scan_end         {"token": ...} release a scanplan pin
 
 One service process per warehouse = the single writer the engine
 assumes (the reference likewise funnels all writes through one
@@ -44,6 +52,10 @@ _TYPES = {
     "string": pa.string(), "int32": pa.int32(), "int64": pa.int64(),
     "float32": pa.float32(), "float64": pa.float64(),
     "binary": pa.binary(), "bool": pa.bool_(),
+    # pyarrow's own type spellings (str(pa.float64()) == "double"), so a
+    # schema echoed from GET /schema/{t} round-trips into create
+    "double": pa.float64(), "float": pa.float32(), "utf8": pa.string(),
+    "large_string": pa.large_string(), "large_binary": pa.large_binary(),
 }
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_\-]*")
 MAX_SCAN_ROWS = 10_000
@@ -160,6 +172,28 @@ class MoonrayService:
         return {"table": name, "version": v, "rows": len(rows),
                 "commit_lsn": t.manifest()["commit_lsn"]}
 
+    def otel_ingest(self, name: str, body: dict) -> dict:
+        """POST /otel/{t}: OTLP-JSON ExportMetricsServiceRequest →
+        point rows appended to an identity='none' metrics table
+        (reference: the moonlink_service OTEL endpoint,
+        otel/service.rs + otel_to_moonlink_pb.rs)."""
+        import ray.data as rd
+
+        from moonray.sources.otel_ingest import export_request_to_table
+
+        t = self._table(name)
+        rows = export_request_to_table(body)
+        if not len(rows):
+            return {"table": name, "rows": 0}
+        with self._write_lock:
+            lsn0 = t.manifest()["commit_lsn"] + 1
+            n = len(rows)
+            changes = (rows.add_column(0, "lsn", pa.array(
+                range(lsn0, lsn0 + n), pa.int64()))
+                .add_column(0, "op", pa.array(["I"] * n, pa.string())))
+            v = t.merge(rd.from_arrow(changes), job_id=body.get("job_id"))
+        return {"table": name, "version": v, "rows": n}
+
     def upload(self, name: str, body: dict) -> dict:
         import ray.data as rd
 
@@ -234,6 +268,55 @@ class MoonrayService:
         ds = t.scan(version=version, columns=columns).limit(limit)
         return {"rows": _json_rows(ds.take_all()), "truncated_at": limit}
 
+    def scan_plan(self, name: str, q: dict) -> dict:
+        """scan_table_begin analogue (src/moonlink_rpc/src/lib.rs:37 +
+        snapshot_read.rs:152-241): return the union-read STATE — the
+        snapshot's fragment parquet paths plus their deletion-vector
+        delta files and the schema — so SQL engines (DuckDB/DataFusion)
+        read the data files directly instead of proxying rows through
+        HTTP row-JSON. ``?pin=1`` pins the version against snapshot
+        expiry until POST /tables/{t}/scan_end {"token": ...} releases
+        it (the reference's ReadState pin lifecycle)."""
+        from moonray.dv import dv_paths_of
+
+        t = self._table(name)
+        token = None
+        pin = q.get("pin", ["0"])[0] in ("1", "true")
+        if "lsn" in q:
+            version, token = t.scan_begin(lsn=int(q["lsn"][0]))
+            if not pin:
+                t.scan_end(token)
+                token = None
+        else:
+            version = int(q["version"][0]) if "version" in q \
+                else t.latest_version()
+            if pin:
+                from moonray.util import new_job_id
+
+                token = f"scan-{new_job_id()}"
+                t.pin(version, token)
+        m = t.manifest(version)
+        sch = t.schema()
+        return {
+            "version": m["version"],
+            "commit_lsn": m["commit_lsn"],
+            "root": t.root,
+            "schema": [{"name": f.name, "type": str(f.type)} for f in sch],
+            "fragments": [{
+                "path": f["path"], "rows": f["rows"], "bytes": f["bytes"],
+                "dv_count": f["dv_count"], "dv_paths": dv_paths_of(f),
+                "zones": f.get("zones", {}),
+            } for f in m["fragments"]],
+            "pin_token": token,
+        }
+
+    def scan_end(self, name: str, body: dict) -> dict:
+        token = body.get("token")
+        if not token:
+            raise ServiceError(400, "scan_end needs {'token': ...}")
+        self._table(name).scan_end(token)
+        return {"released": token}
+
     def lookup(self, name: str, body: dict) -> dict:
         t = self._table(name)
         keys = [tuple(k) if isinstance(k, list) else k
@@ -293,6 +376,8 @@ def make_handler(svc: MoonrayService):
                         return svc.history(parts[1])
                     if parts[2] == "scan":
                         return svc.scan(parts[1], q)
+                    if parts[2] == "scanplan":
+                        return svc.scan_plan(parts[1], q)
                     if parts[2] == "changes":
                         return svc.changes(parts[1], q)
             elif method == "POST":
@@ -303,11 +388,13 @@ def make_handler(svc: MoonrayService):
                     return svc.ingest(parts[1], body)
                 if len(parts) == 2 and parts[0] == "upload":
                     return svc.upload(parts[1], body)
+                if len(parts) == 2 and parts[0] == "otel":
+                    return svc.otel_ingest(parts[1], body)
                 if len(parts) == 3 and parts[0] == "tables":
                     fn = {"optimize": svc.optimize, "cluster": svc.cluster,
                           "snapshot": svc.snapshot, "flush": svc.snapshot,
                           "maintain": svc.maintain, "expire": svc.expire,
-                          "lookup": svc.lookup,
+                          "lookup": svc.lookup, "scan_end": svc.scan_end,
                           }.get(parts[2])
                     if fn:
                         return fn(parts[1], body)

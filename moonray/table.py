@@ -577,6 +577,10 @@ class MoonrayTable:
         if due["index_merge"]:
             self.optimize("index")
             actions.append("index_merge")
+        if due["cluster"]:
+            # after compact, so freshly-consolidated fragments sort too
+            self.cluster(scope="incremental")
+            actions.append("cluster_incremental")
         if actions and expire_keep_last is not None:
             self.expire_snapshots(keep_last=expire_keep_last)
             actions.append(f"expire(keep_last={expire_keep_last})")

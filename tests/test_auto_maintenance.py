@@ -52,6 +52,33 @@ def test_dv_debt_triggers_compaction(tmp_path):
     assert d["deleted_rows"] == 0 and d["cardinality"] == 88
 
 
+def test_unclustered_tail_triggers_incremental_cluster(tmp_path):
+    """Opt-in cluster_tail_frags threshold: enough fragments outside the
+    Z-sorted set fire cluster(scope='incremental') — sort-the-tail
+    maintenance layered on the reference's compaction policy."""
+    t = MoonrayTable.create(str(tmp_path / "t4"), key_col="id", schema=SCHEMA,
+                            zone_cols=("age",), index_partitions=4,
+                            rows_per_fragment=8)
+    t.bulk_load(rd.from_items(
+        [{"id": i, "name": f"n{i}", "age": i % 7} for i in range(64)]))
+    t.cluster(cols=["age"])  # establish the sorted set
+    assert t.maintenance_due(cluster_tail_frags=4)["cluster"] is False
+    # merges grow an unsorted tail
+    for r in range(4):
+        t.merge(rd.from_items(
+            [{"op": "I", "lsn": 100 * (r + 1) + i, "id": 1000 + 100 * r + i,
+              "name": "x", "age": (i + r) % 7} for i in range(8)]))
+    due = t.maintenance_due(cluster_tail_frags=4)
+    assert due["cluster"] and due["unclustered_fragments"] >= 4
+    res = t.maintain_if_needed(cluster_tail_frags=4)
+    assert "cluster_incremental" in res["actions"]
+    m = t.manifest()
+    assert all(f["id"].startswith("z-") for f in m["fragments"])
+    assert t.scan().count() == 64 + 32
+    # default policy (no threshold) never fires the cluster pass
+    assert t.maintenance_due()["cluster"] is False
+
+
 def test_index_delta_pressure_triggers_index_merge(tmp_path):
     t = _mk(tmp_path / "t3", rpf=64)
     t.bulk_load(rd.from_items(

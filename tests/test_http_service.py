@@ -104,3 +104,60 @@ def test_http_roundtrip(svc):
     assert st == 200
     st, t = _call("GET", f"{svc}/tables")
     assert st == 200 and t["tables"] == {}
+
+
+def test_scanplan_union_read(svc):
+    """/scanplan hands out the union-read STATE (fragment parquet paths +
+    DV delta files) — the scan_table_begin analogue: an external SQL
+    engine reconstructs exact rows with plain pyarrow+numpy, no
+    row-JSON proxying. Pins survive snapshot expiry until scan_end."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _call("POST", f"{svc}/tables/ev2", {
+        "schema": [["id", "int64"], ["name", "string"]],
+        "key_col": "id", "rows_per_fragment": 4, "index_partitions": 2,
+    })
+    _call("POST", f"{svc}/ingest/ev2", {
+        "operation": "insert",
+        "data": [{"id": i, "name": f"n{i}"} for i in range(12)]})
+    _call("POST", f"{svc}/ingest/ev2", {
+        "operation": "delete", "data": [{"id": 3}, {"id": 7}]})
+
+    st, plan = _call("GET", f"{svc}/tables/ev2/scanplan?pin=1")
+    assert st == 200 and plan["pin_token"] and plan["fragments"]
+    assert any(f["dv_paths"] for f in plan["fragments"])  # the delete's DV
+
+    def union_read(p):
+        rows = {}
+        for f in p["fragments"]:
+            t = pq.read_table(os.path.join(p["root"], f["path"]))
+            dead = np.zeros(0, np.uint32)
+            for rel in f["dv_paths"]:
+                dead = np.union1d(dead, np.load(os.path.join(p["root"], rel)))
+            live = t.filter(pa.array(~np.isin(
+                np.asarray(t["_rowoff"].combine_chunks()), dead)))
+            rows.update({r["id"]: r["name"] for r in live.to_pylist()})
+        return rows
+
+    got = union_read(plan)
+    assert len(got) == 10 and 3 not in got and got[0] == "n0"
+
+    # move the table forward, expire old snapshots — the pinned plan
+    # must stay readable (ReadState pin lifecycle)
+    _call("POST", f"{svc}/ingest/ev2", {
+        "operation": "upsert", "data": {"id": 0, "name": "upd"}})
+    _call("POST", f"{svc}/tables/ev2/optimize", {"mode": "full"})
+    st, r = _call("POST", f"{svc}/tables/ev2/expire", {"keep_last": 1})
+    assert st == 200
+    assert union_read(plan) == got  # pinned snapshot intact
+    st, r = _call("POST", f"{svc}/tables/ev2/scan_end",
+                  {"token": plan["pin_token"]})
+    assert st == 200
+    # lsn-resolved plan of the current state sees the upsert
+    st, plan2 = _call("GET", f"{svc}/tables/ev2/scanplan")
+    assert st == 200 and plan2["pin_token"] is None
+    assert union_read(plan2)[0] == "upd"

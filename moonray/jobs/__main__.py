@@ -117,6 +117,11 @@ def main(argv=None) -> int:
     sp.add_argument("--to-version", type=int, default=None)
     sp.add_argument("--output", required=True, help="parquet output dir")
 
+    sp = sub.add_parser("export-delta")
+    tbl(sp)
+    sp.add_argument("--dest", required=True, help="Delta table directory")
+    sp.add_argument("--version", type=int, default=None)
+
     args = p.parse_args(argv)
     _ensure_ray()
     import pyarrow as pa
@@ -167,6 +172,12 @@ def main(argv=None) -> int:
     elif args.cmd == "changes":
         t.changes(args.from_version, args.to_version).write_parquet(args.output)
         print(json.dumps({"output": args.output}))
+        return 0
+    elif args.cmd == "export-delta":
+        from moonray.sinks.delta import export_delta
+
+        dv = export_delta(t, args.dest, version=args.version)
+        print(json.dumps({"delta_version": dv, "dest": args.dest}))
         return 0
     print(json.dumps({"version": v, **t.describe()}))
     return 0

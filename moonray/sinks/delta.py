@@ -1,0 +1,190 @@
+"""Delta Lake sink: export a snapshot as a Delta-protocol table.
+
+Re-expresses the reference's secondary Delta syncer
+(src/moonlink/src/storage/table/deltalake/deltalake_table_syncer.rs —
+per-snapshot Add/Remove action commits with parquet stats, flush LSN in
+the commit metadata; table creation in .../utils.rs) without the
+deltalake crate: we write the open Delta transaction-log protocol
+directly (protocol v1: minReader 1 / minWriter 2 — plain parquet +
+JSON actions, no column mapping / DV features), which any Delta reader
+(Spark, delta-rs, DuckDB delta) consumes.
+
+Incremental: each export diffs the snapshot against the files recorded
+in the existing ``_delta_log`` and commits only Add/Remove actions —
+the syncer's import/remove split. Deletion vectors are APPLIED during
+export (a fragment whose DV changed re-exports under a new name):
+Delta readers never see moonray's DV sidecars. Fragment rewrites run as
+parallel Ray tasks, one per fragment, payload never touching the
+driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+
+from moonray.fragments import NBYTES, ROWOFF
+
+_SPARK_TYPES = {
+    "string": "string", "large_string": "string", "utf8": "string",
+    "int64": "long", "int32": "integer", "int16": "short", "int8": "byte",
+    "float": "float", "double": "double", "bool": "boolean",
+    "binary": "binary", "large_binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _spark_type(t: pa.DataType):
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return {"type": "array", "elementType": _spark_type(t.value_type),
+                "containsNull": True}
+    if pa.types.is_struct(t):
+        return {"type": "struct", "fields": [
+            {"name": f.name, "type": _spark_type(f.type), "nullable": True,
+             "metadata": {}} for f in t]}
+    try:
+        return _SPARK_TYPES[str(t)]
+    except KeyError:
+        raise ValueError(f"no Delta mapping for Arrow type {t}") from None
+
+
+def _schema_string(schema: pa.Schema) -> str:
+    return json.dumps({"type": "struct", "fields": [
+        {"name": f.name, "type": _spark_type(f.type), "nullable": True,
+         "metadata": {}} for f in schema]})
+
+
+def _log_path(dest: str, v: int) -> str:
+    return os.path.join(dest, "_delta_log", f"{v:020d}.json")
+
+
+def _read_log_state(dest: str) -> tuple[int, dict[str, dict]]:
+    """Replay the existing _delta_log → (next log version,
+    {data path: its add-action tags})."""
+    log_dir = os.path.join(dest, "_delta_log")
+    active: dict[str, dict] = {}
+    v = 0
+    while os.path.exists(_log_path(dest, v)):
+        with open(_log_path(dest, v)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    active[a["add"]["path"]] = a["add"].get("tags", {})
+                elif "remove" in a:
+                    active.pop(a["remove"]["path"], None)
+        v += 1
+    return v, active
+
+
+def _export_name(frag: dict) -> str:
+    """Deterministic per (fragment, DV state): a changed DV re-exports
+    under a new name, an unchanged fragment dedupes against the log."""
+    import hashlib
+
+    dv_state = hashlib.sha256(
+        json.dumps(sorted(frag.get("dv") or [])).encode()).hexdigest()[:12]
+    return f"part-{frag['id']}-{dv_state}.parquet"
+
+
+def export_delta(table, dest: str, *, version: int | None = None) -> int:
+    """Export the snapshot at ``version`` (default: latest) into the
+    Delta table at ``dest``; returns the committed Delta log version.
+    Repeated exports are incremental and idempotent (no new log entry
+    when nothing changed)."""
+    import ray
+
+    m = table.manifest(version)
+    os.makedirs(os.path.join(dest, "_delta_log"), exist_ok=True)
+    next_v, active = _read_log_state(dest)
+
+    live = {f["id"]: f for f in m["fragments"] if f["dv_count"] < f["rows"]}
+    wanted = {_export_name(f): f for f in live.values()}
+    to_add = [f for name, f in wanted.items() if name not in active]
+    to_remove = sorted(set(active) - set(wanted))
+    if next_v > 0 and not to_add and not to_remove:
+        return next_v - 1  # unchanged snapshot → no empty commit
+
+    root, schema = table.root, table.schema()
+    defaults = m.get("column_defaults", {})
+
+    @ray.remote
+    def export_frag(frag: dict) -> dict:
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from moonray.dv import load_dv_union
+        from moonray.filecache import data_path
+        from moonray.fragments import normalize_to_schema
+
+        t = pq.read_table(data_path(root, frag["path"]))
+        dead = load_dv_union(root, frag.get("dv") or [])
+        if len(dead):
+            t = t.filter(pc.invert(pc.is_in(
+                t[ROWOFF], value_set=pa.array(dead, t[ROWOFF].type))))
+        t = normalize_to_schema(
+            t.drop_columns([c for c in (ROWOFF, NBYTES)
+                            if c in t.column_names]),
+            schema, defaults)
+        name = _export_name(frag)
+        tmp = os.path.join(dest, f".{name}.{uuid.uuid4().hex}.tmp")
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(dest, name))
+        return {"path": name, "size": os.path.getsize(os.path.join(dest, name)),
+                "numRecords": t.num_rows, "frag": frag["id"]}
+
+    added = ray.get([export_frag.remote(f) for f in to_add])
+
+    import time
+
+    now_ms = int(time.time() * 1000)
+    actions = []
+    if next_v == 0:
+        actions.append({"protocol": {"minReaderVersion": 1,
+                                     "minWriterVersion": 2}})
+        actions.append({"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(schema),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": now_ms,
+        }})
+    for a in added:
+        actions.append({"add": {
+            "path": a["path"], "size": a["size"], "partitionValues": {},
+            "modificationTime": now_ms, "dataChange": True,
+            "stats": json.dumps({"numRecords": a["numRecords"]}),
+            "tags": {"moonray_frag": a["frag"],
+                     "moonray_version": str(m["version"])},
+        }})
+    for p in to_remove:
+        actions.append({"remove": {
+            "path": p, "deletionTimestamp": now_ms, "dataChange": True}})
+    # flush LSN rides the commit like the reference's
+    # MOONCAKE_TABLE_FLUSH_LSN table property
+    actions.append({"commitInfo": {
+        "timestamp": now_ms, "operation": "WRITE",
+        "operationParameters": {"mode": "Append"},
+        "moonrayCommitLsn": m["commit_lsn"],
+        "moonrayVersion": m["version"],
+    }})
+    tmp = _log_path(dest, next_v) + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    os.replace(tmp, _log_path(dest, next_v))
+    return next_v
+
+
+def read_delta_paths(dest: str) -> list[str]:
+    """The active data files of the Delta table (log replay) — what a
+    Delta reader would scan."""
+    _, active = _read_log_state(dest)
+    return [os.path.join(dest, p) for p in sorted(active)]

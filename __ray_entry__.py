@@ -256,6 +256,49 @@ def _q_stream_xact(sf_dir: str):
     return stream_xact_scan(sf_dir)
 
 
+def _synth_pii(b):
+    """Deterministic PII injection mirrored exactly by the oracle SQL
+    concat (same integer formatting both sides)."""
+    import pyarrow as pa
+
+    txt = [f"{t} contact user{i}@ex{i % 7}.org or +1 555 010 "
+           f"{1000 + i % 9000} ip 10.{i % 256}.0.{i % 100}"
+           for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist())]
+    return pa.table({"doc_id": b["doc_id"],
+                     "text": pa.array(txt, pa.string())})
+
+
+_PII_TEXT_SQL = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' "
+                 "|| CAST(doc_id % 7 AS VARCHAR) || '.org or +1 555 010 ' "
+                 "|| CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ip 10.' "
+                 "|| CAST(doc_id % 256 AS VARCHAR) || '.0.' "
+                 "|| CAST(doc_id % 100 AS VARCHAR)")
+
+
+def _q_redact_pii(sf_dir: str):
+    from moonray.functions.text import redact_pii
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _synth_pii, batch_format="pyarrow")
+    return redact_pii(ds)
+
+
+def _q_line_dedup(sf_dir: str):
+    import pyarrow as pa
+
+    from moonray.functions.dedup import line_dedup
+
+    def to_lines(b):
+        txt = [t.replace(" a ", "\n") for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pa.array(txt, pa.string())})
+
+    to_lines.__name__ = "split_on_a"
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        to_lines, batch_format="pyarrow")
+    return line_dedup(ds)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from moonray.functions.dedup import ngram_jaccard_pairs
 
@@ -477,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_stats": _q_lang_stats,
         "vocab_top_tokens": _q_vocab,
         "stratified_sample_mix": _q_stratified,
+        "redact_pii": _q_redact_pii,
+        "line_dedup_boilerplate": _q_line_dedup,
         # ---- dedup ----
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_prefix": _q_dedup_prefix,
@@ -497,8 +542,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from moonray.functions.dedup import line_dedup_oracle_sql
     from moonray.functions.sample import stratified_sample_oracle_sql
-    from moonray.functions.text import quality_filter_oracle_sql, text_stats_oracle_sql
+    from moonray.functions.text import (quality_filter_oracle_sql,
+                                        redact_pii_oracle_sql,
+                                        text_stats_oracle_sql)
 
     return {
         "merge_upsert": _MERGE_SQL,
@@ -619,6 +667,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": text_stats_oracle_sql(),
         "docs_quality_filter": quality_filter_oracle_sql(),
+        "redact_pii": redact_pii_oracle_sql(text_expr=_PII_TEXT_SQL),
+        "line_dedup_boilerplate": line_dedup_oracle_sql(
+            text_expr="replace(text, ' a ', chr(10))"),
         "docs_lang_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -885,3 +885,91 @@ def embedding_near_dups_lsh(ds, *, id_col: str = "vec_id",
 
     return _verify_pairs(cand, payloads, pa.list_(pa.float64()), cosine_verdict,
                          n_candidate_ids=len(ray.get(ids_ref)))
+
+
+# ---- corpus-wide line/paragraph dedup (boilerplate removal) ----
+
+def line_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               sep: str = "\n", num_buckets: int | None = None):
+    """Remove DUPLICATE LINES across the whole corpus, keeping each
+    distinct line only at its first occurrence (min (id, position)) —
+    the boilerplate/paragraph scrub (headers, footers, nav chrome)
+    corpus pipelines run before training. Returns (id, text) with each
+    doc's surviving lines rejoined in order; docs whose every line was
+    seen earlier elsewhere disappear.
+
+    Scale shape: two thin shuffles of line-level text, never the whole
+    doc corpus to one place —
+      1. explode docs → (bucket=hash(line)%B, line, id, ord);
+         groupby(bucket).map_groups picks each line's winner
+         (vectorized first-row-after-sort) and filters in place;
+      2. groupby(id).map_groups reassembles surviving lines in order.
+    Bucket count ∝ cluster (util.default_buckets)."""
+    import pyarrow.compute as pc
+
+    B = num_buckets or default_buckets()
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids_out, ords, lines = [], [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            for j, line in enumerate(t.split(sep)):
+                ids_out.append(i)
+                ords.append(j + 1)          # 1-based like SQL ordinality
+                lines.append(line)
+        t = pa.table({id_col: pa.array(ids_out),
+                      "ord": pa.array(ords, pa.int64()),
+                      "line": pa.array(lines, pa.string())})
+        bucket = (hash_key_array(t["line"]) % np.uint64(B)).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket))
+
+    explode.__name__ = "explode_lines"
+
+    def keep_winners(g: pa.Table) -> pa.Table:
+        # winner per distinct line = first row of (line, id, ord) sort
+        s = g.sort_by([("line", "ascending"), (id_col, "ascending"),
+                       ("ord", "ascending")])
+        n = len(s)
+        if n == 0:
+            return s.drop_columns(["bucket"])
+        ln = s["line"]
+        first = np.ones(n, dtype=bool)
+        first[1:] = ~np.asarray(pc.equal(ln.slice(0, n - 1), ln.slice(1)))
+        return s.filter(pa.array(first)).drop_columns(["bucket"])
+
+    keep_winners.__name__ = "keep_first_occurrence"
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        s = g.sort_by([("ord", "ascending")])
+        return pa.table({
+            id_col: s[id_col].slice(0, 1),
+            text_col: pa.array([sep.join(s["line"].to_pylist())], pa.string()),
+        })
+
+    reassemble.__name__ = "reassemble_doc"
+
+    lines = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+    kept = lines.groupby("bucket").map_groups(
+        keep_winners, batch_format="pyarrow")
+    return kept.groupby(id_col).map_groups(reassemble, batch_format="pyarrow")
+
+
+def line_dedup_oracle_sql(text_expr: str = "text", sep_sql: str = "chr(10)") -> str:
+    """DuckDB equivalent of line_dedup over ``text_expr``."""
+    return f"""
+        WITH docs AS (SELECT doc_id, {text_expr} AS t FROM documents),
+        exploded AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(l))) AS ord,
+                 unnest(l) AS line
+          FROM (SELECT doc_id, string_split(t, {sep_sql}) AS l FROM docs)
+        ),
+        keep AS (
+          SELECT doc_id, ord, line FROM exploded
+          QUALIFY row_number() OVER (PARTITION BY line
+                                     ORDER BY doc_id, ord) = 1
+        )
+        SELECT doc_id,
+               string_agg(line, {sep_sql} ORDER BY ord) AS text
+        FROM keep GROUP BY doc_id
+    """

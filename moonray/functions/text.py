@@ -215,3 +215,81 @@ def vocab_top_tokens(ds, *, text_col: str = "text", k: int = 1000):
 
     rename.__name__ = "rename_vocab_cols"
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+# ---- PII redaction (training-data scrubbing) ----
+# Patterns are deliberately RE2-compatible (no lookaround/backrefs) and
+# digit-classes explicit ([0-9], not \d) so the DuckDB oracle
+# (regexp_replace ... 'g') and Python `re` agree byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+[0-9]{1,2} [0-9]{3} [0-9]{3} [0-9]{4}", "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+]
+
+
+class RedactPII:
+    """Actor-pool stage: scrub emails / phone numbers / IPv4 addresses
+    from a text column, counting replacements per kind. Patterns
+    compile once per actor (__init__), applied in PII_PATTERNS order —
+    email first so an address's host part is never half-eaten by the
+    IP rule. Output: id, redacted text, one int64 count per kind."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        import re as _re2
+
+        self.id_col, self.text_col = id_col, text_col
+        self.pats = [(name, _re2.compile(pat), repl)
+                     for name, pat, repl in PII_PATTERNS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        counts: dict[str, list[int]] = {n: [] for n, _, _ in self.pats}
+        out_text = []
+        for t in batch[self.text_col].to_pylist():
+            for name, rx, repl in self.pats:
+                t, n = rx.subn(repl, t)
+                counts[name].append(n)
+            out_text.append(t)
+        cols = {self.id_col: ids,
+                self.text_col: pa.array(out_text, pa.string())}
+        for name, _, _ in self.pats:
+            cols[f"n_{name}"] = pa.array(counts[name], pa.int64())
+        return pa.table(cols)
+
+
+def redact_pii(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               concurrency=(1, 8)):
+    """Distributed PII scrub: stateless per-batch actor pool, no
+    shuffle — the scrubbing stage every released text corpus runs
+    before training. SQL-parity oracle: chained DuckDB regexp_replace
+    with the same PII_PATTERNS."""
+    return ds.map_batches(RedactPII, fn_constructor_kwargs={
+        "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+def redact_pii_oracle_sql(text_expr: str = "text") -> str:
+    """DuckDB equivalent of redact_pii over ``text_expr`` (chained
+    regexp_replace, counts via regexp_extract_all BEFORE each
+    replacement, exactly the engine's sequential semantics)."""
+    e_pat, p_pat, i_pat = (p for _, p, _ in PII_PATTERNS)
+    return f"""
+        WITH base AS (SELECT doc_id, {text_expr} AS t0 FROM documents),
+        s1 AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(t0, '{e_pat}')) AS BIGINT)
+                          AS n_email,
+                      regexp_replace(t0, '{e_pat}', '[EMAIL]', 'g') AS t1
+               FROM base),
+        s2 AS (SELECT doc_id, n_email,
+                      CAST(len(regexp_extract_all(t1, '{p_pat}')) AS BIGINT)
+                          AS n_phone,
+                      regexp_replace(t1, '{p_pat}', '[PHONE]', 'g') AS t2
+               FROM s1)
+        SELECT doc_id,
+               regexp_replace(t2, '{i_pat}', '[IP]', 'g') AS text,
+               n_email,
+               n_phone,
+               CAST(len(regexp_extract_all(t2, '{i_pat}')) AS BIGINT) AS n_ipv4
+        FROM s2
+    """

@@ -15,6 +15,8 @@ MoonrayTable, stdlib-only (ThreadingHTTPServer):
     POST   /otel/{t}                    OTLP-JSON ExportMetricsServiceRequest
                                         → append-only point rows (metrics
                                         endpoint analogue, otel/service.rs)
+    POST   /kafka/{t}/schema            register Avro schema (creates table)
+    POST   /kafka/{t}/ingest            {"records": [base64 Avro datums]}
     POST   /tables/{t}/optimize         {"mode": data|index|full}
     POST   /tables/{t}/cluster          {"cols": [...], "curve": z|hilbert}
     POST   /tables/{t}/snapshot         force snapshot (flush analogue)
@@ -93,6 +95,7 @@ class MoonrayService:
 
         self.catalog = MoonrayCatalog(warehouse)
         self._write_lock = threading.Lock()  # single-writer per service
+        self._kafka_schemas: dict[str, object] = {}  # table → Avro schema
 
     # ---------------- helpers ----------------
     def _table(self, name: str):
@@ -171,6 +174,61 @@ class MoonrayService:
             v = t.merge(changes, job_id=body.get("job_id"))
         return {"table": name, "version": v, "rows": len(rows),
                 "commit_lsn": t.manifest()["commit_lsn"]}
+
+    def kafka_schema(self, name: str, body: dict) -> dict:
+        """POST /kafka/{t}/schema: register the topic's Avro schema and
+        create the backing table from it (reference route set,
+        rest_api.rs:407-423 + avro_converter.rs). Identity comes from
+        ``key_field`` (default: append-only stream)."""
+        from moonray.sources.avro_ingest import (avro_to_arrow_schema,
+                                                 parse_avro_schema)
+
+        src = body.get("avro_schema")
+        if not src:
+            raise ServiceError(400, "kafka schema needs {'avro_schema': ...}")
+        try:
+            avro = parse_avro_schema(src if isinstance(src, str)
+                                     else json.dumps(src))
+            schema = avro_to_arrow_schema(avro)
+        except Exception as ex:
+            raise ServiceError(400, f"bad avro schema: {ex}") from None
+        key = body.get("key_field")
+        kw = {k: body[k] for k in ("index_partitions", "rows_per_fragment")
+              if k in body}
+        with self._write_lock:
+            self._kafka_schemas[name] = avro
+            if name not in self.catalog.list_tables():
+                self.catalog.create_table(
+                    name, schema=schema, key_col=key,
+                    identity="keys" if key else "none", **kw)
+        return {"table": name,
+                "schema": [[f.name, str(f.type)] for f in schema]}
+
+    def kafka_ingest(self, name: str, body: dict) -> dict:
+        """POST /kafka/{t}/ingest: base64 Avro binary datums (the Kafka
+        record values) decoded with the registered schema and merged as
+        inserts — the avro_converter.rs consume path."""
+        import base64
+
+        import ray.data as rd
+
+        from moonray.sources.avro_ingest import decode_avro
+
+        avro = self._kafka_schemas.get(name)
+        if avro is None:
+            raise ServiceError(409, f"no avro schema registered for {name!r} "
+                                    "(POST /kafka/{t}/schema first)")
+        datums = body.get("records") or []
+        if not datums:
+            raise ServiceError(400, "ingest needs {'records': [base64 ...]}")
+        t = self._table(name)
+        rows = [decode_avro(avro, base64.b64decode(d)) for d in datums]
+        with self._write_lock:
+            lsn0 = t.manifest()["commit_lsn"] + 1
+            for i, r in enumerate(rows):
+                r["op"], r["lsn"] = "I", lsn0 + i
+            v = t.merge(rd.from_items(rows), job_id=body.get("job_id"))
+        return {"table": name, "version": v, "rows": len(rows)}
 
     def otel_ingest(self, name: str, body: dict) -> dict:
         """POST /otel/{t}: OTLP-JSON ExportMetricsServiceRequest →
@@ -390,6 +448,11 @@ def make_handler(svc: MoonrayService):
                     return svc.upload(parts[1], body)
                 if len(parts) == 2 and parts[0] == "otel":
                     return svc.otel_ingest(parts[1], body)
+                if len(parts) == 3 and parts[0] == "kafka":
+                    if parts[2] == "schema":
+                        return svc.kafka_schema(parts[1], body)
+                    if parts[2] == "ingest":
+                        return svc.kafka_ingest(parts[1], body)
                 if len(parts) == 3 and parts[0] == "tables":
                     fn = {"optimize": svc.optimize, "cluster": svc.cluster,
                           "snapshot": svc.snapshot, "flush": svc.snapshot,

@@ -161,3 +161,35 @@ def test_scanplan_union_read(svc):
     st, plan2 = _call("GET", f"{svc}/tables/ev2/scanplan")
     assert st == 200 and plan2["pin_token"] is None
     assert union_read(plan2)[0] == "upd"
+
+
+def test_kafka_avro_routes(svc):
+    """Kafka-shaped ingest: register an Avro schema (creates the table),
+    push base64 Avro datums, read back (reference /kafka/{t} routes +
+    avro_converter.rs)."""
+    import base64
+
+    from moonray.sources.avro_ingest import encode_avro, parse_avro_schema
+
+    schema_json = ('{"type":"record","name":"click","fields":['
+                   '{"name":"id","type":"long"},'
+                   '{"name":"page","type":"string"},'
+                   '{"name":"ms","type":"double"}]}')
+    st, r = _call("POST", f"{svc}/kafka/clicks/schema", {
+        "avro_schema": schema_json, "key_field": "id",
+        "rows_per_fragment": 8, "index_partitions": 2})
+    assert st == 200 and ["id", "int64"] in r["schema"]
+
+    schema = parse_avro_schema(schema_json)
+    recs = [base64.b64encode(encode_avro(
+        schema, {"id": i, "page": f"/p{i % 3}", "ms": float(i)})).decode()
+        for i in range(7)]
+    st, r = _call("POST", f"{svc}/kafka/clicks/ingest", {"records": recs})
+    assert st == 200 and r["rows"] == 7
+    st, sc = _call("GET", f"{svc}/tables/clicks/scan?limit=100")
+    assert st == 200
+    rows = {r["id"]: r for r in sc["rows"]}
+    assert len(rows) == 7 and rows[4]["page"] == "/p1" and rows[4]["ms"] == 4.0
+    # ingest without a registered schema → 409
+    st, _ = _call("POST", f"{svc}/kafka/unknown/ingest", {"records": recs})
+    assert st == 409

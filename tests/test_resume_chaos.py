@@ -166,3 +166,87 @@ def test_cluster_killed_mid_rewrite_resumes(tmp_path):
     assert _scan_dict(t) == expected  # deterministic: same result as ref
     for p, old in mtimes.items():
         assert os.path.getmtime(os.path.join(stage_dir, p)) == old
+
+
+def test_chaos_randomized_op_sequence(tmp_path):
+    """Randomized seeded chaos (the reference's chaos_test.rs pattern:
+    random event sequences against invariants, seed printed for repro —
+    override with MOONRAY_CHAOS_SEED). Ops drawn: merges, streaming-xact
+    delete commit/abort, every maintenance pass (incl. incremental
+    cluster and the auto trigger), pins, snapshot expiry. Invariants
+    after every op: scan == brute-force oracle, cardinality consistent,
+    commit LSN monotone, pinned snapshots immutable."""
+    import random
+
+    seed = int(os.environ.get("MOONRAY_CHAOS_SEED", "20260817"))
+    rng = random.Random(seed)
+    print(f"[chaos] seed={seed}")
+
+    t = _mk(tmp_path / "rchaos")
+    state = {r["image_id"]: r
+             for r in _arrow(make_images_dataset(N_BASE, seed=42)).to_pylist()}
+    lsn0 = 1_000_000
+    last_lsn = 0
+    pins: list[tuple[int, str, dict]] = []
+
+    def snapshot_of(st):
+        return {k: (v["caption"], v["phash"]) for k, v in st.items()}
+
+    OPS = ["merge", "merge", "merge", "stream_delete", "stream_abort",
+           "compact", "index_merge", "cluster_incr", "cluster_full",
+           "maintain", "pin", "expire"]
+    for step in range(14):
+        op = rng.choice(OPS)
+        if op == "merge":
+            n = rng.randint(20, 60)
+            s = rng.randint(0, 1 << 20)
+            ch = make_changes_dataset(n, N_BASE, seed=s, lsn0=lsn0)
+            base_tbl = pa.Table.from_pylist(
+                sorted(state.values(), key=lambda r: r["image_id"]),
+                schema=IMAGE_SCHEMA)
+            state = oracle_apply(base_tbl, _arrow(
+                make_changes_dataset(n, N_BASE, seed=s, lsn0=lsn0)))
+            t.merge(ch, job_id=f"chaos-{step}")
+            lsn0 += 1_000_000
+        elif op in ("stream_delete", "stream_abort"):
+            import ray.data as rd
+
+            from moonray.stream import StreamTransaction
+
+            victims = rng.sample(sorted(state), k=min(5, len(state)))
+            xact = StreamTransaction(t, xid=f"x{step}")
+            xact.delete(rd.from_items([{"image_id": k} for k in victims]))
+            if op == "stream_abort":
+                xact.abort()          # nothing changes
+            else:
+                xact.commit(lsn=lsn0)
+                for k in victims:
+                    state.pop(k, None)
+                lsn0 += 1_000_000
+        elif op == "compact":
+            t.optimize("data", target_bytes=1 << 30, min_group=2)
+        elif op == "index_merge":
+            t.optimize("index")
+        elif op == "cluster_incr":
+            t.cluster(scope="incremental")
+        elif op == "cluster_full":
+            t.cluster()
+        elif op == "maintain":
+            t.maintain_if_needed(cluster_tail_frags=8)
+        elif op == "pin":
+            v, tok = t.scan_begin()
+            pins.append((v, tok, snapshot_of(state)))
+        elif op == "expire":
+            t.expire_snapshots(keep_last=2)
+
+        m = t.manifest()
+        assert m["commit_lsn"] >= last_lsn, (step, op)  # LSN monotone
+        last_lsn = m["commit_lsn"]
+        got = _scan_dict(t)
+        assert snapshot_of(got) == snapshot_of(state), (step, op, seed)
+        assert t.describe()["cardinality"] == len(state), (step, op, seed)
+
+    # every pinned snapshot still reads exactly as recorded
+    for v, tok, snap in pins:
+        assert snapshot_of(_scan_dict(t, version=v)) == snap, (v, seed)
+        t.scan_end(tok)

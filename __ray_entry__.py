@@ -311,9 +311,34 @@ def _q_knn_ivf(sf_dir: str):
     from moonray.functions.knn import knn_cosine_ivf
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qrows = [r for r in ds.take_all() if r["vec_id"] < 5]
-    queries = [(r["vec_id"], np.asarray(r["embedding"])) for r in qrows]
-    return knn_cosine_ivf(ds, queries, k=10)
+    return knn_cosine_ivf(ds, _knn_queries(sf_dir), k=10)
+
+
+def _q_phash_near_dups(sf_dir: str):
+    """Image near-dup pairs over a corpus where every 10th image has a
+    re-encoded variant (2 phash bits flipped) — byte-band LSH + hamming
+    verify; exact vs the pytest brute-force oracle."""
+    import pyarrow as pa
+
+    from moonray.fixtures import make_images_dataset
+    from moonray.functions.multimodal import phash_near_dups
+
+    def variants(b: pa.Table) -> pa.Table:
+        keep = [i for i, x in enumerate(b["image_id"].to_pylist())
+                if int(x.rsplit("-", 1)[-1]) % 10 == 0]
+        v = b.take(pa.array(keep, pa.int64()))
+        ph = v["phash"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "image_id": pa.array([f"{x}-v2" for x in v["image_id"].to_pylist()],
+                                 pa.string()),
+            "phash": pa.array(ph ^ np.int64((1 << 3) | (1 << 40)), pa.int64()),
+        })
+
+    variants.__name__ = "reencoded_variants"
+    base = make_images_dataset(400, seed=42).select_columns(
+        ["image_id", "phash"])
+    corpus = base.union(base.map_batches(variants, batch_format="pyarrow"))
+    return phash_near_dups(corpus, max_hamming=4).sort(["a", "b"])
 
 
 def _q_images_downsample(sf_dir: str):
@@ -379,15 +404,24 @@ def _q_lang_stats(sf_dir: str):
                        Sum("n_chars", alias_name="sum_chars")))
 
 
+def _knn_queries(sf_dir: str):
+    """The 5 probe vectors via a pushdown point-read (row-group pruning
+    + column projection) — never a whole-table take_all on the driver."""
+    import pyarrow.dataset as pds
+
+    t = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pds.field("vec_id") < 5, columns=["vec_id", "embedding"])
+    return [(i, np.asarray(v))
+            for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())]
+
+
 def _q_knn(sf_dir: str):
     import ray.data as rd
 
     from moonray.functions.knn import knn_cosine
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qrows = [r for r in ds.take_all() if r["vec_id"] < 5]
-    queries = [(r["vec_id"], np.asarray(r["embedding"])) for r in qrows]
-    return knn_cosine(ds, queries, k=10)
+    return knn_cosine(ds, _knn_queries(sf_dir), k=10)
 
 
 def _q_near_dups(sf_dir: str):
@@ -537,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- multimodal ----
         "images_decode_stats": _q_images_decode,
         "images_downsample2x": _q_images_downsample,
+        "phash_near_dup_pairs": _q_phash_near_dups,
         "audio_features": _q_audio_features,
     }
 

@@ -199,11 +199,13 @@ def run_full_bench() -> dict:
     timed("minhash_lsh_dedup", lambda: minhash_lsh_dedup(docs(), jaccard_threshold=0.8))
 
     def _knn():
-        import numpy as np
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from __ray_entry__ import _knn_queries
 
         ds = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-        qrows = [r for r in ds.take_all() if r["vec_id"] < 5]
-        return knn_cosine(ds, [(r["vec_id"], np.asarray(r["embedding"])) for r in qrows], k=10)
+        return knn_cosine(ds, _knn_queries(SF_DIR), k=10)
 
     timed("knn_cosine_top10", _knn)
 

@@ -229,3 +229,97 @@ def audio_features(ds, *, audio_col: str = "audio", concurrency=(1, 8),
     return ds.map_batches(AudioFeatures, fn_constructor_args=(audio_col,),
                           batch_format="pyarrow", concurrency=concurrency,
                           batch_size=batch_size)
+
+
+# ---- perceptual-hash near-duplicate detection ----
+
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise hamming distances between two uint64 vectors → (|a|,|b|)
+    uint16 matrix, vectorized (XOR outer + byte-LUT popcount)."""
+    x = np.bitwise_xor(a[:, None], b[None, :])
+    return _POP_LUT[x.view(np.uint8).reshape(len(a), len(b), 8)].sum(
+        axis=2, dtype=np.uint16)
+
+
+def phash_near_dups(ds, *, id_col: str = "image_id",
+                    phash_col: str = "phash", max_hamming: int = 6,
+                    block: int = 2048):
+    """Image near-duplicate pairs by perceptual hash: all (a, b) with
+    hamming(phash_a, phash_b) ≤ max_hamming — the pHash dedup every
+    image-corpus pipeline runs (re-encodes, recompressions, light
+    crops hash within a few bits).
+
+    EXACT for max_hamming ≤ 7 by pigeonhole: the 64-bit hash splits
+    into 8 byte-bands; ≤7 differing bits leave at least one band
+    identical, so banding misses nothing (the byte-band analogue of
+    SimHash LSH; same shape as MinHashBands). Scale: only thin
+    (band, bucket, id, phash) rows shuffle — 32 bytes/row × 8 bands,
+    never pixels; in-bucket verification is a chunked vectorized XOR
+    popcount; pair dedup across bands is a tiny pair-key shuffle."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("byte-band LSH is exact only for max_hamming ≤ 7")
+    import pyarrow.compute as pc
+
+    def band(b: pa.Table) -> pa.Table:
+        ph = b[phash_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ph.view(np.uint64)
+        n = len(u)
+        parts = []
+        for t in range(8):
+            byte = ((u >> np.uint64(8 * t)) & np.uint64(0xFF)).astype(np.int64)
+            parts.append(pa.table({
+                "band": pa.array(np.full(n, t, np.int64)),
+                "bucket": pa.array(byte),
+                "id": b[id_col],
+                "ph": pa.array(ph, pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    band.__name__ = "phash_bands"
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "hamming": pa.array([], pa.int64())})
+        n = len(g)
+        if n < 2:
+            return empty
+        s = g.sort_by([("id", "ascending")])
+        ids = s["id"].to_pylist()
+        ph = s["ph"].to_numpy(zero_copy_only=False).view(np.uint64)
+        outs = []
+        for i0 in range(0, n, block):
+            ai = ph[i0:i0 + block]
+            for j0 in range(i0, n, block):
+                bj = ph[j0:j0 + block]
+                d = _hamming_block(ai, bj)
+                ii, jj = np.nonzero(d <= max_hamming)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj        # ordered pairs, no self-pairs
+                if keep.any():
+                    gi, gj = gi[keep], gj[keep]
+                    outs.append(pa.table({
+                        "a": pa.array([ids[x] for x in gi], pa.string()),
+                        "b": pa.array([ids[x] for x in gj], pa.string()),
+                        "hamming": pa.array(
+                            d[ii[keep], jj[keep]].astype(np.int64)),
+                    }))
+        return pa.concat_tables(outs) if outs else empty
+
+    bucket_pairs.__name__ = "phash_bucket_pairs"
+
+    def first_per_pair(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    first_per_pair.__name__ = "dedupe_pair"
+
+    cand = (ds.select_columns([id_col, phash_col])
+            .map_batches(band, batch_format="pyarrow")
+            .groupby(["band", "bucket"])
+            .map_groups(bucket_pairs, batch_format="pyarrow"))
+    # a pair found in k bands appears k times — keep one
+    return (cand.groupby(["a", "b"])
+            .map_groups(first_per_pair, batch_format="pyarrow"))

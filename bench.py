@@ -138,8 +138,13 @@ def image_table_job(num_cpus: int, n_images: int = N_IMAGES,
         return pa.table({"nbytes": [b.nbytes], "nrows": [len(b)],
                          "n_ok": [n_ok], "pix": [pix]})
 
+    # batch_size=None → block-native batches: an explicit row-count
+    # rebatch (e.g. 256) re-slices and copies the wide binary payload
+    # inside every task — measured 3.4s vs 1.2s for the bare read at
+    # 48k images / 8 cpus. Blocks are already bounded (row-group-split
+    # ReadTasks), so memory stays flat.
     stats = t.scan().map_batches(
-        verify_batch, batch_format="pyarrow", batch_size=256,
+        verify_batch, batch_format="pyarrow", batch_size=None,
     ).sum(["nbytes", "nrows", "n_ok", "pix"])
     scanned_bytes, scanned_rows = stats["sum(nbytes)"], stats["sum(nrows)"]
     if stats["sum(n_ok)"] != scanned_rows:

@@ -134,12 +134,16 @@ def sample_frames(ds, *, stride: int = 2, concurrency=(1, 8),
                           batch_size=batch_size)
 
 
-def decode_stats(ds, *, concurrency=(1, 8), batch_size: int = 64):
+def decode_stats(ds, *, concurrency=(1, 8), batch_size: int | None = None):
+    """batch_size=None → block-native batches: an explicit row-count
+    rebatch re-slices and copies the wide binary payload inside every
+    task (measured ~3x the bare read cost); blocks are already bounded
+    by the upstream reader, so memory stays flat."""
     return ds.map_batches(DecodeStats, batch_format="pyarrow",
                           concurrency=concurrency, batch_size=batch_size)
 
 
-def downsample2x(ds, *, concurrency=(1, 8), batch_size: int = 64):
+def downsample2x(ds, *, concurrency=(1, 8), batch_size: int | None = None):
     return ds.map_batches(Downsample2x, batch_format="pyarrow",
                           concurrency=concurrency, batch_size=batch_size)
 

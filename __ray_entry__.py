@@ -299,6 +299,12 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds)
 
 
+def _q_pack(sf_dir: str):
+    from moonray.functions.pack import pack_sequences
+
+    return pack_sequences(_docs(sf_dir))
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from moonray.functions.dedup import ngram_jaccard_pairs
 
@@ -556,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_mix": _q_stratified,
         "redact_pii": _q_redact_pii,
         "line_dedup_boilerplate": _q_line_dedup,
+        "pack_training_sequences": _q_pack,
         # ---- dedup ----
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_prefix": _q_dedup_prefix,
@@ -578,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from moonray.functions.dedup import line_dedup_oracle_sql
+    from moonray.functions.pack import pack_sequences_oracle_sql
     from moonray.functions.sample import stratified_sample_oracle_sql
     from moonray.functions.text import (quality_filter_oracle_sql,
                                         redact_pii_oracle_sql,
@@ -703,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": text_stats_oracle_sql(),
         "docs_quality_filter": quality_filter_oracle_sql(),
         "redact_pii": redact_pii_oracle_sql(text_expr=_PII_TEXT_SQL),
+        "pack_training_sequences": pack_sequences_oracle_sql(),
         "line_dedup_boilerplate": line_dedup_oracle_sql(
             text_expr="replace(text, ' a ', chr(10))"),
         "docs_lang_stats": """

@@ -9,6 +9,13 @@ directly (protocol v1: minReader 1 / minWriter 2 — plain parquet +
 JSON actions, no column mapping / DV features), which any Delta reader
 (Spark, delta-rs, DuckDB delta) consumes.
 
+``dest`` must be a local or shared-mount path (source fragments may
+live on a remote root — reads go through the worker file cache); an
+object-store dest would swap the two ``os.replace`` publishes for
+``commitstore.put`` blind PUTs (data files are content-named) plus a
+conditional PUT of the next log entry, exactly the manifest commit
+recipe in commitstore.py.
+
 Incremental: each export diffs the snapshot against the files recorded
 in the existing ``_delta_log`` and commits only Add/Remove actions —
 the syncer's import/remove split. Deletion vectors are APPLIED during

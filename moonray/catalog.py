@@ -93,6 +93,23 @@ class MoonrayCatalog:
         self._save(reg)
         return t
 
+    def set_table_meta(self, name: str, key: str, value) -> None:
+        """Attach a JSON-serializable metadata entry to a registered
+        table (e.g. a Kafka topic's Avro schema) — the analogue of the
+        reference's per-table MoonlinkTableConfig persisted in the
+        metadata store (base_metadata_store.rs:15-68)."""
+        reg = self._registry()
+        if name not in reg["tables"]:
+            raise KeyError(f"no such table {name!r}")
+        reg["tables"][name].setdefault("meta", {})[key] = value
+        self._save(reg)
+
+    def get_table_meta(self, name: str, key: str, default=None):
+        entry = self._registry()["tables"].get(name)
+        if entry is None:
+            raise KeyError(f"no such table {name!r}")
+        return entry.get("meta", {}).get(key, default)
+
     def table_exists(self, name: str) -> bool:
         return name in self._registry()["tables"]
 

@@ -315,15 +315,30 @@ def phash_near_dups(ds, *, id_col: str = "image_id",
 
     bucket_pairs.__name__ = "phash_bucket_pairs"
 
-    def first_per_pair(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    def uniq_pairs(b: pa.Table) -> pa.Table:
+        # a pair found in k bands appears ≤8 times with the SAME
+        # hamming — vectorized first-occurrence after one sort, in one
+        # block (verified near-dup pairs are tiny next to the corpus;
+        # a groupby here would invoke Python once per pair, the cost
+        # dedup._verify_pairs_broadcast.uniq_block already avoids)
+        if len(b) == 0:
+            return b
+        s = b.sort_by([("a", "ascending"), ("b", "ascending")])
+        n = len(s)
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            import pyarrow.compute as pc
 
-    first_per_pair.__name__ = "dedupe_pair"
+            same[1:] = (np.asarray(pc.equal(s["a"].slice(0, n - 1),
+                                            s["a"].slice(1)))
+                        & np.asarray(pc.equal(s["b"].slice(0, n - 1),
+                                              s["b"].slice(1))))
+        return s.filter(pa.array(~same))
+
+    uniq_pairs.__name__ = "uniq_pairs"
 
     cand = (ds.select_columns([id_col, phash_col])
             .map_batches(band, batch_format="pyarrow")
             .groupby(["band", "bucket"])
             .map_groups(bucket_pairs, batch_format="pyarrow"))
-    # a pair found in k bands appears k times — keep one
-    return (cand.groupby(["a", "b"])
-            .map_groups(first_per_pair, batch_format="pyarrow"))
+    return cand.repartition(1).map_batches(uniq_pairs, batch_format="pyarrow")

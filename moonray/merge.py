@@ -55,6 +55,19 @@ from moonray.util import atomic_write_json, hash_key_array, read_json
 OP_COL, LSN_COL = "op", "lsn"
 
 
+def _require_cols(t: pa.Table, schema: pa.Schema, defaults: dict) -> None:
+    """Schema-lag guard: a change set may omit only columns with a
+    declared ALTER default; any other missing column is a producer bug
+    and must fail, not silently null-fill."""
+    missing = [f.name for f in schema
+               if f.name not in t.column_names and f.name not in defaults]
+    if missing:
+        raise KeyError(
+            f"change set is missing required columns {missing} "
+            "(only ALTER-added columns with a declared default may be "
+            "omitted)")
+
+
 class MergeApply:
     """Reduce task for one key partition: dedup → probe → DV deltas →
     insert fragments → index delta. The per-partition analogue of the
@@ -192,10 +205,14 @@ class MergeApply:
                 ins = win.filter(pa.compute.not_equal(win[OP_COL], pa.scalar("D")))
                 # project onto the CURRENT table schema: change sets from
                 # a source lagging an ALTER TABLE may omit newly-added
-                # columns — fill their declared default (reference fills
+                # columns — fill their DECLARED default (reference fills
                 # missing nullable fields the same way in the JSON
-                # converter, rest_ingest/json_converter.rs)
+                # converter, rest_ingest/json_converter.rs). Columns
+                # missing WITHOUT a declared default still fail loudly:
+                # silently null-filling a typo'd core column would
+                # corrupt data.
                 from moonray.fragments import normalize_to_schema
+                _require_cols(ins, self.schema, self.defaults)
                 ins = normalize_to_schema(ins, self.schema, self.defaults,
                                           keep_extra=(self.key_col,))
                 entries_parts = []
@@ -332,6 +349,7 @@ def _append_only_merge(table, changes, m: dict, job_id: str) -> int:
             raise ValueError(
                 "identity='none' table is append-only: deletes/updates "
                 f"are forbidden ({bad} non-insert rows in change set)")
+        _require_cols(b, schema, defaults)
         writer(normalize_to_schema(b, schema, defaults,
                                    keep_extra=(OP_COL, LSN_COL)))
         mx = pa.compute.max(b[LSN_COL]).as_py() if len(b) else 0

@@ -195,12 +195,21 @@ class MoonrayService:
         key = body.get("key_field")
         kw = {k: body[k] for k in ("index_partitions", "rows_per_fragment")
               if k in body}
+        src_json = src if isinstance(src, str) else json.dumps(src)
         with self._write_lock:
-            self._kafka_schemas[name] = avro
-            if name not in self.catalog.list_tables():
+            if name in self.catalog.list_tables():
+                # re-registration must agree with the persisted table
+                if not self._table(name).schema().equals(schema):
+                    raise ServiceError(
+                        409, f"avro schema for {name!r} does not match "
+                             "the existing table schema")
+            else:
                 self.catalog.create_table(
                     name, schema=schema, key_col=key,
                     identity="keys" if key else "none", **kw)
+            # persisted with the table — survives service restarts
+            self.catalog.set_table_meta(name, "kafka_avro_schema", src_json)
+            self._kafka_schemas[name] = avro
         return {"table": name,
                 "schema": [[f.name, str(f.type)] for f in schema]}
 
@@ -212,9 +221,16 @@ class MoonrayService:
 
         import ray.data as rd
 
-        from moonray.sources.avro_ingest import decode_avro
+        from moonray.sources.avro_ingest import decode_avro, parse_avro_schema
 
         avro = self._kafka_schemas.get(name)
+        if avro is None:  # service restarted — reload from the catalog
+            try:
+                src = self.catalog.get_table_meta(name, "kafka_avro_schema")
+            except KeyError:
+                src = None
+            if src:
+                avro = self._kafka_schemas[name] = parse_avro_schema(src)
         if avro is None:
             raise ServiceError(409, f"no avro schema registered for {name!r} "
                                     "(POST /kafka/{t}/schema first)")
@@ -354,7 +370,9 @@ class MoonrayService:
                 token = f"scan-{new_job_id()}"
                 t.pin(version, token)
         m = t.manifest(version)
-        sch = t.schema()
+        # the PINNED version's schema, not the latest — a plan held
+        # across an ALTER must describe the files it actually lists
+        sch = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
         return {
             "version": m["version"],
             "commit_lsn": m["commit_lsn"],

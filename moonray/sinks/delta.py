@@ -72,12 +72,12 @@ def _log_path(dest: str, v: int) -> str:
     return os.path.join(dest, "_delta_log", f"{v:020d}.json")
 
 
-def _read_log_state(dest: str) -> tuple[int, dict[str, dict]]:
+def _read_log_state(dest: str) -> tuple[int, dict[str, dict], str | None]:
     """Replay the existing _delta_log → (next log version,
-    {data path: its add-action tags})."""
-    log_dir = os.path.join(dest, "_delta_log")
+    {data path: its add-action tags}, last logged schemaString)."""
     active: dict[str, dict] = {}
     v = 0
+    schema_str = None
     while os.path.exists(_log_path(dest, v)):
         with open(_log_path(dest, v)) as f:
             for line in f:
@@ -86,18 +86,23 @@ def _read_log_state(dest: str) -> tuple[int, dict[str, dict]]:
                     active[a["add"]["path"]] = a["add"].get("tags", {})
                 elif "remove" in a:
                     active.pop(a["remove"]["path"], None)
+                elif "metaData" in a:
+                    schema_str = a["metaData"]["schemaString"]
         v += 1
-    return v, active
+    return v, active, schema_str
 
 
-def _export_name(frag: dict) -> str:
-    """Deterministic per (fragment, DV state): a changed DV re-exports
-    under a new name, an unchanged fragment dedupes against the log."""
+def _export_name(frag: dict, schema_str: str) -> str:
+    """Deterministic per (fragment, DV state, table schema): a changed
+    DV or an ALTER TABLE re-exports under a new name (normalize fills
+    the new columns), an unchanged fragment dedupes against the log."""
     import hashlib
 
-    dv_state = hashlib.sha256(
-        json.dumps(sorted(frag.get("dv") or [])).encode()).hexdigest()[:12]
-    return f"part-{frag['id']}-{dv_state}.parquet"
+    from moonray.dv import dv_paths_of
+
+    state = hashlib.sha256(json.dumps(
+        [sorted(dv_paths_of(frag)), schema_str]).encode()).hexdigest()[:12]
+    return f"part-{frag['id']}-{state}.parquet"
 
 
 def export_delta(table, dest: str, *, version: int | None = None) -> int:
@@ -109,17 +114,23 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
 
     m = table.manifest(version)
     os.makedirs(os.path.join(dest, "_delta_log"), exist_ok=True)
-    next_v, active = _read_log_state(dest)
+    next_v, active, logged_schema = _read_log_state(dest)
+
+    # the SNAPSHOT's schema (not the latest) — a pinned-version export
+    # must ship the shape that version actually had
+    schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
+    schema_str = _schema_string(schema)
+    defaults = m.get("column_defaults", {})
 
     live = {f["id"]: f for f in m["fragments"] if f["dv_count"] < f["rows"]}
-    wanted = {_export_name(f): f for f in live.values()}
+    wanted = {_export_name(f, schema_str): f for f in live.values()}
     to_add = [f for name, f in wanted.items() if name not in active]
     to_remove = sorted(set(active) - set(wanted))
-    if next_v > 0 and not to_add and not to_remove:
+    schema_changed = logged_schema is not None and logged_schema != schema_str
+    if next_v > 0 and not to_add and not to_remove and not schema_changed:
         return next_v - 1  # unchanged snapshot → no empty commit
 
-    root, schema = table.root, table.schema()
-    defaults = m.get("column_defaults", {})
+    root = table.root
 
     @ray.remote
     def export_frag(frag: dict) -> dict:
@@ -131,8 +142,10 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
         from moonray.filecache import data_path
         from moonray.fragments import normalize_to_schema
 
+        from moonray.dv import dv_paths_of
+
         t = pq.read_table(data_path(root, frag["path"]))
-        dead = load_dv_union(root, frag.get("dv") or [])
+        dead = load_dv_union(root, dv_paths_of(frag))
         if len(dead):
             t = t.filter(pc.invert(pc.is_in(
                 t[ROWOFF], value_set=pa.array(dead, t[ROWOFF].type))))
@@ -140,7 +153,7 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
             t.drop_columns([c for c in (ROWOFF, NBYTES)
                             if c in t.column_names]),
             schema, defaults)
-        name = _export_name(frag)
+        name = _export_name(frag, schema_str)
         tmp = os.path.join(dest, f".{name}.{uuid.uuid4().hex}.tmp")
         pq.write_table(t, tmp, compression="zstd")
         os.replace(tmp, os.path.join(dest, name))
@@ -156,10 +169,14 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
     if next_v == 0:
         actions.append({"protocol": {"minReaderVersion": 1,
                                      "minWriterVersion": 2}})
+    if next_v == 0 or schema_changed:
+        # ALTER TABLE → re-emit metaData (Delta metadata-update action);
+        # every pre-ALTER file also re-exports (schema is part of the
+        # export name), so log schema and parquet schemas always agree
         actions.append({"metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": _schema_string(schema),
+            "schemaString": schema_str,
             "partitionColumns": [],
             "configuration": {},
             "createdTime": now_ms,
@@ -193,5 +210,5 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
 def read_delta_paths(dest: str) -> list[str]:
     """The active data files of the Delta table (log replay) — what a
     Delta reader would scan."""
-    _, active = _read_log_state(dest)
+    _, active, _ = _read_log_state(dest)
     return [os.path.join(dest, p) for p in sorted(active)]

@@ -167,15 +167,18 @@ class OtelToRows:
 
 
 def otel_changes(ds, *, lsn0: int = 1):
-    """OTLP payload Dataset → append-only change Dataset (op='I', dense
-    LSNs) ready for MoonrayTable.merge on an identity='none' table —
-    metrics streams are append-only in the reference too."""
+    """OTLP payload Dataset → append-only change Dataset (op='I') ready
+    for MoonrayTable.merge on an identity='none' table — metrics
+    streams are append-only in the reference too. The WHOLE ingest
+    commits as one transaction at ``lsn0`` (a per-row dense numbering
+    would need a global ordered scan; distributed batches would repeat
+    the range and corrupt read-at-LSN semantics)."""
 
     def tag(batch: pa.Table) -> pa.Table:
         t = OtelToRows()(batch)
         n = len(t)
         ops = pa.array(["I"] * n, pa.string())
-        lsns = pa.array(range(lsn0, lsn0 + n), pa.int64())
+        lsns = pa.array([lsn0] * n, pa.int64())
         return t.add_column(0, "lsn", lsns).add_column(0, "op", ops)
 
     return ds.map_batches(tag, batch_format="pyarrow")

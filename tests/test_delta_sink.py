@@ -95,3 +95,36 @@ def test_delta_export_pinned_version(tmp_path):
     dest = str(tmp_path / "delta2")
     export_delta(t, dest, version=v_pre)
     assert len(_delta_rows(dest)) == 40  # pre-merge snapshot exported
+
+
+def test_delta_export_follows_alter_table(tmp_path):
+    """ALTER TABLE between exports re-emits metaData AND re-exports
+    every pre-ALTER file (schema participates in the export name), so
+    the Delta log schema and the parquet file schemas always agree."""
+    t = _mk(tmp_path / "tbl3")
+    dest = str(tmp_path / "delta3")
+    export_delta(t, dest)
+
+    t.alter(add_columns=[("tag", pa.string(), "dflt")])
+    t.merge(rd.from_items([{"op": "I", "lsn": 1, "id": 100,
+                            "name": "new", "score": 1.0, "tag": "T"}]))
+    v1 = export_delta(t, dest)
+    log1 = [json.loads(x) for x in open(
+        os.path.join(dest, "_delta_log", f"{v1:020d}.json"))]
+    metas = [a["metaData"] for a in log1 if "metaData" in a]
+    assert len(metas) == 1  # schema change re-emitted
+    fields = {f["name"] for f in json.loads(metas[0]["schemaString"])["fields"]}
+    assert "tag" in fields
+    # every active parquet file now carries the new column
+    import pyarrow.parquet as pq
+
+    for p in read_delta_paths(dest):
+        assert "tag" in pq.read_schema(p).names
+    rows = _delta_rows(dest)
+    assert len(rows) == 41
+
+    # pinned PRE-alter export into a fresh dest ships the OLD shape
+    dest2 = str(tmp_path / "delta4")
+    export_delta(t, dest2, version=1)  # v1 = the bulk load commit
+    for p in read_delta_paths(dest2):
+        assert "tag" not in pq.read_schema(p).names

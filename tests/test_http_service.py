@@ -193,3 +193,38 @@ def test_kafka_avro_routes(svc):
     # ingest without a registered schema → 409
     st, _ = _call("POST", f"{svc}/kafka/unknown/ingest", {"records": recs})
     assert st == 409
+
+
+def test_kafka_schema_survives_service_restart(tmp_path):
+    """The Avro schema persists in the catalog registry — a restarted
+    service (new process over the same warehouse) keeps ingesting."""
+    import base64
+
+    from moonray.service import MoonrayService
+    from moonray.sources.avro_ingest import encode_avro, parse_avro_schema
+
+    wh = str(tmp_path / "wh")
+    schema_json = ('{"type":"record","name":"r","fields":['
+                   '{"name":"id","type":"long"},'
+                   '{"name":"v","type":"double"}]}')
+    svc1 = MoonrayService(wh)
+    svc1.kafka_schema("m1", {"avro_schema": schema_json, "key_field": "id",
+                             "rows_per_fragment": 8, "index_partitions": 2})
+    schema = parse_avro_schema(schema_json)
+    recs = [base64.b64encode(encode_avro(schema, {"id": i, "v": float(i)})
+                             ).decode() for i in range(3)]
+    svc1.kafka_ingest("m1", {"records": recs})
+
+    svc2 = MoonrayService(wh)  # fresh process analogue
+    svc2.kafka_ingest("m1", {"records": [base64.b64encode(
+        encode_avro(schema, {"id": 99, "v": 9.9})).decode()]})
+    assert svc2._table("m1").scan().count() == 4
+    # re-registering a MISMATCHED schema is rejected
+    import pytest
+
+    from moonray.service import ServiceError
+
+    bad = ('{"type":"record","name":"r","fields":['
+           '{"name":"id","type":"string"}]}')
+    with pytest.raises(ServiceError, match="does not match"):
+        svc2.kafka_schema("m1", {"avro_schema": bad})

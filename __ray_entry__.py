@@ -524,6 +524,30 @@ def _q_images_decode(sf_dir: str):
                               "phash_recomputed"])
 
 
+def _q_broadcast_join(sf_dir: str):
+    from moonray.pipelines.joins import broadcast_region_enrich
+
+    return broadcast_region_enrich(sf_dir)
+
+
+def _q_equi_join(sf_dir: str):
+    from moonray.pipelines.joins import order_lineitem_revenue
+
+    return order_lineitem_revenue(sf_dir)
+
+
+def _q_asof_join(sf_dir: str):
+    from moonray.pipelines.joins import asof_purchase_last_click
+
+    return asof_purchase_last_click(sf_dir)
+
+
+def _q_band_join(sf_dir: str):
+    from moonray.pipelines.joins import events_band_pairs
+
+    return events_band_pairs(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: MERGE INTO + full maintenance over sf0.001."""
     from moonray.pipelines.relational import merge_customer
@@ -551,6 +575,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_events": _q_tumbling,
         "hopping_window_events": _q_hopping,
         "sessionize_events": _q_sessionize,
+        # ---- distributed joins ----
+        "broadcast_region_enrich": _q_broadcast_join,
+        "order_lineitem_revenue": _q_equi_join,
+        "asof_purchase_last_click": _q_asof_join,
+        "events_band_pairs": _q_band_join,
         "json_props_agg": _q_json_props,
         "avro_ingest_agg": _q_avro_ingest,
         "otel_metrics_agg": _q_otel_ingest,
@@ -636,6 +665,41 @@ def oracle_sql() -> dict[str, str]:
         "alter_schema_evolution": _ALTER_SQL,
         "stream_xact_commit": _STREAM_XACT_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "broadcast_region_enrich": """
+            SELECT r_name, count(*) AS n_cust,
+                   CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "order_lineitem_revenue": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   count(*) AS n_items
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "asof_purchase_last_click": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts, c.ts AS prior_ts
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "events_band_pairs": """
+            SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
+                   a.user_id,
+                   date_diff('microsecond', a.ts, b.ts) AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        """,
         "stratified_sample_mix": stratified_sample_oracle_sql(
             "lang", _MIX, "doc_id"),
         "vocab_top_tokens": """

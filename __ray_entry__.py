@@ -524,6 +524,40 @@ def _q_images_decode(sf_dir: str):
                               "phash_recomputed"])
 
 
+def _events(sf_dir: str, cols):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(cols))
+
+
+def _q_distinct_exact(sf_dir: str):
+    from moonray.functions.sketch import distinct_count_exact
+
+    return distinct_count_exact(_events(sf_dir, ["user_id"]), "user_id")
+
+
+def _q_distinct_hll(sf_dir: str):
+    from moonray.functions.sketch import distinct_count_hll
+
+    return distinct_count_hll(_events(sf_dir, ["user_id"]), "user_id")
+
+
+def _q_quantiles(sf_dir: str):
+    from moonray.functions.sketch import quantiles_cents_exact
+
+    return quantiles_cents_exact(_events(sf_dir, ["value"]), "value")
+
+
+def _q_topk_per_lang(sf_dir: str):
+    import ray.data as rd
+
+    from moonray.functions.topk import top_k_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return top_k_per_group(ds, group="lang", by="n_chars", tie="doc_id", k=5)
+
+
 def _q_broadcast_join(sf_dir: str):
     from moonray.pipelines.joins import broadcast_region_enrich
 
@@ -583,6 +617,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_agg": _q_json_props,
         "avro_ingest_agg": _q_avro_ingest,
         "otel_metrics_agg": _q_otel_ingest,
+        # ---- corpus statistics / sketches ----
+        "distinct_users_exact": _q_distinct_exact,
+        "distinct_users_hll": _q_distinct_hll,
+        "events_value_quantiles": _q_quantiles,
+        "docs_top5_longest_per_lang": _q_topk_per_lang,
         # ---- text analysis ----
         "text_stats": _q_text_stats,
         "docs_quality_filter": _q_quality_filter,
@@ -665,6 +704,27 @@ def oracle_sql() -> dict[str, str]:
         "alter_schema_evolution": _ALTER_SQL,
         "stream_xact_commit": _STREAM_XACT_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "distinct_users_exact": """
+            SELECT count(DISTINCT user_id) AS n_user_id FROM events
+        """,
+        "events_value_quantiles": """
+            SELECT '0.5' AS q, CAST(percentile_disc(0.5) WITHIN GROUP (
+                ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS value_cents FROM events
+            UNION ALL
+            SELECT '0.9', CAST(percentile_disc(0.9) WITHIN GROUP (
+                ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) FROM events
+            UNION ALL
+            SELECT '0.99', CAST(percentile_disc(0.99) WITHIN GROUP (
+                ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) FROM events
+        """,
+        "docs_top5_longest_per_lang": """
+            SELECT doc_id, lang, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
+        """,
         "broadcast_region_enrich": """
             SELECT r_name, count(*) AS n_cust,
                    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))

@@ -241,8 +241,12 @@ def run_full_bench() -> dict:
     }
 
 
-SCALING_N_IMAGES = int(os.environ.get("BENCH_SCALING_IMAGES", "16000"))
-SCALING_N_CHANGES = int(os.environ.get("BENCH_SCALING_CHANGES", "10000"))
+# 48k/30k is the round-2 protocol size (BASELINE.md): at 16k, fixed
+# per-pipeline driver cost caps apparent efficiency near 0.78 regardless
+# of engine code; the larger input is the faithful stand-in for
+# cluster-sized data where parallel work dominates fixed cost.
+SCALING_N_IMAGES = int(os.environ.get("BENCH_SCALING_IMAGES", "48000"))
+SCALING_N_CHANGES = int(os.environ.get("BENCH_SCALING_CHANGES", "30000"))
 SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
 
 

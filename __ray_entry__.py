@@ -548,6 +548,47 @@ def _q_quantiles(sf_dir: str):
     return quantiles_cents_exact(_events(sf_dir, ["value"]), "value")
 
 
+def _q_predicate_delete(sf_dir: str):
+    """DELETE WHERE end-to-end: bulk load customer, predicate-delete the
+    sub-1000 acctbal rows (zone-pruned scan of only the key + predicate
+    columns → MERGE delete path), scan the survivors."""
+    import pyarrow.compute as pc
+
+    from moonray.pipelines.relational import build_customer_table
+
+    t = build_customer_table(sf_dir)
+    t.delete_where(lambda b: pc.less(b["c_acctbal"], 1000.0), lsn=1,
+                   columns=("c_acctbal",),
+                   predicate_ranges={"c_acctbal": (-1e12, 1000.0)})
+    return t.scan()
+
+
+def _q_view_sync(sf_dir: str):
+    """Materialized-view maintenance: dst tracks customer-with-CDC
+    through the changelog with an insert filter (c_nationkey < 13) —
+    full first sync, then an incremental one after a second MERGE."""
+    import pyarrow.compute as pc
+
+    from moonray.pipelines.relational import (_changes_dataset,
+                                              build_customer_table)
+    from moonray.sync import sync_incremental
+    from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
+
+    src = build_customer_table(sf_dir)
+
+    def in_view(b):
+        return pc.less(b["c_nationkey"], 13)
+
+    dst = MoonrayTable.create(scratch_root("moonray-view-"),
+                              key_col="c_custkey", schema=src.schema(),
+                              rows_per_fragment=256, index_partitions=8)
+    sync_incremental(src, dst, insert_filter=in_view)
+    src.merge(_changes_dataset(sf_dir))
+    sync_incremental(src, dst, insert_filter=in_view)
+    return dst.scan()
+
+
 def _q_topk_per_lang(sf_dir: str):
     import ray.data as rd
 
@@ -603,6 +644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_merge_maintenance": _q_images_flagship,
         "merge_composite_key": _q_composite_merge,
         "append_only_ingest": _q_append_only,
+        "predicate_delete_scan": _q_predicate_delete,
+        "incremental_view_sync": _q_view_sync,
         "alter_schema_evolution": _q_alter,
         "stream_xact_commit": _q_stream_xact,
         # ---- streaming-shaped ----
@@ -698,6 +741,11 @@ def oracle_sql() -> dict[str, str]:
         ) merged
         WHERE c_custkey BETWEEN 1 AND 300
            OR c_custkey BETWEEN 10000001 AND 10000300
+        """,
+        "predicate_delete_scan": _CUSTOMER_SQL
+        + " WHERE NOT (c_acctbal < 1000.0)",
+        "incremental_view_sync": "SELECT * FROM (" + _MERGE_SQL + """
+        ) synced WHERE c_nationkey < 13
         """,
         "merge_composite_key": _COMPOSITE_MERGE_SQL,
         "append_only_ingest": _APPEND_ONLY_SQL,

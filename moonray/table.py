@@ -522,6 +522,50 @@ class MoonrayTable:
 
         return merge_into(self, changes, job_id=job_id, seq_col=seq_col)
 
+    def delete_where(self, predicate, *, lsn: int, columns=(),
+                     predicate_ranges=None, job_id: str | None = None) -> int:
+        """DELETE ... WHERE — predicate deletes. Zone-pruned scan of ONLY
+        the key + predicate columns (``columns``), vectorized
+        ``predicate(batch) -> bool mask`` per batch, and the matching
+        keys re-enter the normal MERGE delete path (index probe → DV
+        deltas) — batch-atomic visibility, last-writer-wins and
+        idempotent resume hold unchanged. The reference has no row
+        rewrite either: deletes are key-addressed events
+        (moonlink_sink.rs:277-345); this operator derives the keys from
+        a predicate instead of a CDC stream. Payload columns never move:
+        the scan projects the thin columns and the merge ships only
+        (op, lsn, key) rows."""
+        self._assert_writable("delete_where")
+        from moonray.identity import key_cols_of
+
+        m = self.manifest()
+        kcols = key_cols_of(m)
+        if not kcols:
+            raise ValueError("identity='none' tables are append-only; "
+                             "delete_where is not allowed")
+        schema = self.schema()
+        need = sorted(set(kcols) | set(columns))
+
+        def to_deletes(b: pa.Table) -> pa.Table:
+            mask = predicate(b)
+            if not isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                import numpy as np
+
+                mask = pa.array(np.asarray(mask, dtype=bool))
+            hit = b.filter(mask)
+            n = len(hit)
+            cols = {"op": pa.array(["D"] * n, pa.string()),
+                    "lsn": pa.array([lsn] * n, pa.int64())}
+            for f in schema:
+                cols[f.name] = (hit[f.name] if f.name in hit.column_names
+                                else pa.nulls(n, f.type))
+            return pa.table(cols)
+
+        to_deletes.__name__ = "predicate_deletes"
+        ds = self.scan(columns=need, predicate_ranges=predicate_ranges)
+        return self.merge(ds.map_batches(to_deletes, batch_format="pyarrow"),
+                          job_id=job_id)
+
     def stream_begin(self, xid: str):
         """Open a streaming transaction (multi-batch xact staged outside
         the table; commit folds atomically, abort discards — reference:

@@ -45,8 +45,14 @@ def distinct_count_exact(ds, col: str, out_col: str | None = None):
     out_col = out_col or f"n_{col}"
 
     def uniq(b: pa.Table) -> pa.Table:
-        v = np.unique(b[col].to_numpy(zero_copy_only=False))
-        return pa.table({col: pa.array(v, b.schema.field(col).type)})
+        # Arrow-native dedup: keeps the column type exact (a numpy
+        # detour coerces nullable int64 → float64, crashing on nulls and
+        # collapsing distinct keys above 2^53). Nulls drop, matching
+        # SQL COUNT(DISTINCT).
+        import pyarrow.compute as pc
+
+        v = pc.unique(b[col].combine_chunks().drop_null())
+        return pa.table({col: v})
 
     uniq.__name__ = "partial_unique"
     import ray.data as rd
@@ -58,18 +64,18 @@ def distinct_count_exact(ds, col: str, out_col: str | None = None):
     return rd.from_arrow(pa.table({out_col: pa.array([n], pa.int64())}))
 
 
-_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
-
-
-def _hll_registers(vals: np.ndarray, p: int) -> np.ndarray:
-    """One HLL partial over int64 values: register index = top p hash
-    bits, rank = leading-zero run of the remaining (64-p)-bit field + 1
-    (Flajolet et al. 2007). p ≥ 11 keeps the remainder under 2^53, so
-    the float64 log2 is EXACT — no lossy 64-bit float trick. The fold is
-    a sort + one ``np.maximum.reduceat`` pass, all vectorized."""
-    assert p >= 11, "p >= 11 keeps the remainder field float64-exact"
+def _hll_registers(vals: np.ndarray, p: int,
+                   prehashed: bool = False) -> np.ndarray:
+    """One HLL partial: register index = top p hash bits, rank =
+    leading-zero run of the remaining (64-p)-bit field + 1 (Flajolet et
+    al. 2007). p ≥ 11 keeps the remainder under 2^53, so the float64
+    log2 is EXACT — no lossy 64-bit float trick. The fold is a sort +
+    one ``np.maximum.reduceat`` pass, all vectorized. ``prehashed``:
+    vals are already uniform uint64 hashes (hash_key_array output)."""
+    if p < 11:
+        raise ValueError("p >= 11 keeps the remainder field float64-exact")
     m = 1 << p
-    h = splitmix64(vals.astype(np.uint64))
+    h = vals if prehashed else splitmix64(vals.astype(np.uint64))
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = (h & np.uint64((1 << (64 - p)) - 1)).astype(np.int64)
     rank = np.full(len(w), 64 - p + 1, dtype=np.uint8)
@@ -87,7 +93,7 @@ def _hll_registers(vals: np.ndarray, p: int) -> np.ndarray:
 
 def _hll_estimate(regs: np.ndarray) -> float:
     m = len(regs)
-    alpha = _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+    alpha = 0.7213 / (1 + 1.079 / m)  # large-m constant; p >= 11 enforced
     est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
     zeros = int(np.count_nonzero(regs == 0))
     if est <= 2.5 * m and zeros:
@@ -103,8 +109,12 @@ def distinct_count_hll(ds, col: str, p: int = 12, out_col: str | None = None):
     out_col = out_col or f"n_{col}_approx"
 
     def partial(b: pa.Table) -> pa.Table:
-        v = b[col].to_numpy(zero_copy_only=False)
-        regs = _hll_registers(v, p)
+        # hash_key_array handles any key type (int fast path, string via
+        # polars/blake2b) and a null-free Arrow slice keeps ints exact
+        from moonray.util import hash_key_array
+
+        h = hash_key_array(b[col].combine_chunks().drop_null())
+        regs = _hll_registers(h, p, prehashed=True)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     partial.__name__ = "hll_partial"
@@ -179,8 +189,10 @@ def quantiles_sampled(ds, col: str, key_col: str,
     keep_all = rate >= 1.0
 
     def sample(b: pa.Table) -> pa.Table:
-        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = np.ones(len(k), bool) if keep_all else splitmix64(k) < thr
+        from moonray.util import hash_key_array
+
+        keep = (np.ones(len(b), bool) if keep_all
+                else hash_key_array(b[key_col]) < thr)
         return pa.table({col: pa.array(
             b[col].to_numpy(zero_copy_only=False)[keep])})
 

@@ -24,8 +24,12 @@ def _topk_table(t: pa.Table, group: str, by: str, tie: str, k: int) -> pa.Table:
     g = t[group].to_numpy(zero_copy_only=False)
     v = t[by].to_numpy(zero_copy_only=False)
     u = t[tie].to_numpy(zero_copy_only=False)
+    # descending 'by' via dense-rank inversion — unary negation would
+    # silently wrap unsigned dtypes (0 ranks top) and reject strings
+    _, inv = np.unique(v, return_inverse=True)
+    desc = inv.max() - inv
     # lexsort keys, last is primary: group asc, value desc, tie asc
-    order = np.lexsort((u, -v, g))
+    order = np.lexsort((u, desc, g))
     g_s = g[order]
     new_grp = np.r_[True, g_s[1:] != g_s[:-1]]
     seg_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(g_s)), 0))

@@ -209,8 +209,11 @@ def _codes_and_width(uid_all: np.ndarray, ts_all: np.ndarray,
     _, codes = np.unique(uid_all, return_inverse=True)
     ts_off = ts_all - ts_all.min() if len(ts_all) else ts_all
     width = np.int64(int(ts_off.max()) + margin + 2) if len(ts_off) else np.int64(1)
-    assert int(codes.max(initial=0) + 1) * int(width) < (1 << 63), \
-        "composite (user, ts) key overflow"
+    if int(codes.max(initial=0) + 1) * int(width) >= (1 << 63):
+        # hard error (not assert: -O must not strip it — silent int64
+        # wraparound would corrupt join results)
+        raise ValueError("composite (user, ts) key overflow: shrink the "
+                         "bucket (raise `buckets`) or the ts range")
     return codes.astype(np.int64), width, ts_off.astype(np.int64)
 
 
@@ -224,14 +227,18 @@ def asof_purchase_last_click(sf_dir: str, buckets: int | None = None):
     buckets = buckets or default_buckets()
 
     def tag(b: pa.Table) -> pa.Table:
-        et = b["event_type"].to_numpy(zero_copy_only=False)
-        keep = (et == "purchase") | (et == "click")
-        b = b.filter(pa.array(keep))
-        et = et[keep]
+        import pyarrow.compute as pc
+
+        # Arrow kernels, not numpy object-dtype string compares (those
+        # materialize one Python str per row in the hottest stage)
+        b = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["purchase", "click"])))
+        is_click = pc.equal(b["event_type"], "click").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
         uid = b["user_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "_bkt": pa.array(_bucket_of(uid, buckets)),
-            "_side": pa.array((et == "click").astype(np.int8)),
+            "_side": pa.array(is_click.astype(np.int8)),
             "event_id": b["event_id"],
             "user_id": b["user_id"],
             "ts_us": b["ts"].cast(pa.int64()),

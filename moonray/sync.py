@@ -44,7 +44,9 @@ def last_synced_version(dst, state_key: str = "default") -> int:
 
     try:
         return int(store_for(dst.root).read_pointer(_pointer_name(state_key)))
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
+        # first sync only — a transient read error must PROPAGATE, not
+        # silently reset the pointer to 0 and replay the whole changelog
         return 0
 
 
@@ -64,8 +66,10 @@ def sync_incremental(src, dst, *, insert_filter=None,
     schema = src.schema()
 
     def to_ops(b: pa.Table) -> pa.Table:
-        is_ins = np.asarray(
-            b["change_type"].to_numpy(zero_copy_only=False)) == "insert"
+        import pyarrow.compute as pc
+
+        is_ins = pc.equal(b["change_type"], "insert").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
         keep = np.ones(len(b), dtype=bool)
         if insert_filter is not None and is_ins.any():
             mask = insert_filter(b)

@@ -534,7 +534,14 @@ class MoonrayTable:
         (moonlink_sink.rs:277-345); this operator derives the keys from
         a predicate instead of a CDC stream. Payload columns never move:
         the scan projects the thin columns and the merge ships only
-        (op, lsn, key) rows."""
+        (op, lsn, key) rows.
+
+        INVARIANT: ``predicate_ranges`` is a pruning hint and MUST cover
+        (be a superset of) the predicate's true region — a fragment
+        whose zone map misses the range is never scanned, so matching
+        rows inside it would silently survive the delete. Omit it when
+        unsure; it only saves I/O, never changes semantics when
+        consistent."""
         self._assert_writable("delete_where")
         from moonray.identity import key_cols_of
 

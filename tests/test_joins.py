@@ -12,10 +12,13 @@ import pyarrow.parquet as pq
 SF = "/root/testdata/sf0.001"
 
 
-def _df(ds) -> pd.DataFrame:
-    df = ds.to_pandas()
+def _df_like(df: pd.DataFrame) -> pd.DataFrame:
     return df[sorted(df.columns)].sort_values(
         by=sorted(df.columns), ignore_index=True)
+
+
+def _df(ds) -> pd.DataFrame:
+    return _df_like(ds.to_pandas())
 
 
 def test_broadcast_region_enrich_matches_pandas_oracle():
@@ -32,12 +35,6 @@ def test_broadcast_region_enrich_matches_pandas_oracle():
             .reset_index())
     got = _df(broadcast_region_enrich(SF))
     pd.testing.assert_frame_equal(got, _df_like(want))
-
-
-def _df_like(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].sort_values(
-        by=sorted(df.columns), ignore_index=True)
-    return df
 
 
 def test_order_lineitem_revenue_matches_pandas_oracle():
@@ -103,7 +100,6 @@ def test_asof_tie_and_no_match_semantics():
     import pyarrow as pa
     import ray.data as rd
 
-    from moonray.pipelines.joins import asof_purchase_last_click  # noqa: F401 (same module path)
     from moonray.pipelines import joins
 
     t = pa.table({

@@ -88,3 +88,31 @@ def test_quantiles_sampled_rank_error_bound():
     for q in (0.5, 0.9, 0.99):
         want = vals[int(np.ceil(q * n)) - 1]
         assert exact[f"{q:g}"] == want
+
+
+def test_distinct_exact_nullable_and_large_keys():
+    """Regression: numpy float64 detour crashed on nulls and collapsed
+    keys above 2^53; Arrow-native dedup must count exactly and drop
+    nulls like SQL COUNT(DISTINCT)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moonray.functions.sketch import distinct_count_exact
+
+    big = (1 << 53)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([big, big + 1, None, 7, 7], pa.int64())}))
+    got = distinct_count_exact(ds, "k").take_all()[0]["n_k"]
+    assert got == 3
+
+
+def test_hll_string_keys():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moonray.functions.sketch import distinct_count_hll
+
+    ds = rd.from_arrow(pa.table({
+        "s": pa.array([f"key-{i % 37}" for i in range(500)], pa.string())}))
+    got = distinct_count_hll(ds, "s").take_all()[0]["n_s_approx"]
+    assert abs(got - 37) <= 2

@@ -59,3 +59,20 @@ def test_topk_groups_smaller_than_k():
                   "id": pa.array([1, 2, 3], pa.int64())})
     out = _topk_table(t, "g", "v", "id", 5).to_pandas()
     assert len(out) == 3  # everything survives when |group| < k
+
+
+def test_topk_unsigned_and_string_by_columns():
+    """Regression: unary-negation descending sort corrupted unsigned
+    'by' columns (0 wrapped to the top) and rejected strings."""
+    from moonray.functions.topk import _topk_table
+
+    t = pa.table({"g": pa.array([1, 1, 1], pa.int64()),
+                  "v": pa.array([0, 5, 3], pa.uint64()),
+                  "id": pa.array([1, 2, 3], pa.int64())})
+    out = _topk_table(t, "g", "v", "id", 2).to_pandas()
+    assert sorted(out.v.tolist()) == [3, 5]
+    s = pa.table({"g": pa.array([1, 1, 1], pa.int64()),
+                  "v": pa.array(["a", "c", "b"], pa.string()),
+                  "id": pa.array([1, 2, 3], pa.int64())})
+    out = _topk_table(s, "g", "v", "id", 2).to_pandas()
+    assert sorted(out.v.tolist()) == ["b", "c"]

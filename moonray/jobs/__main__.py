@@ -122,6 +122,21 @@ def main(argv=None) -> int:
     sp.add_argument("--dest", required=True, help="Delta table directory")
     sp.add_argument("--version", type=int, default=None)
 
+    sp = sub.add_parser("delete-range")
+    tbl(sp)
+    sp.add_argument("--ranges-json", required=True,
+                    help='{"col": [lo, hi], ...} — delete rows where every '
+                         "col is inside its closed range (conjunction); the "
+                         "same ranges drive zone-map pruning, so hint and "
+                         "predicate can never disagree")
+    sp.add_argument("--lsn", type=int, required=True)
+    sp.add_argument("--job-id", default=None)
+
+    sp = sub.add_parser("sync")
+    tbl(sp)
+    sp.add_argument("--into", required=True, help="destination table root")
+    sp.add_argument("--state-key", default="default")
+
     args = p.parse_args(argv)
     _ensure_ray()
     import pyarrow as pa
@@ -178,6 +193,29 @@ def main(argv=None) -> int:
 
         dv = export_delta(t, args.dest, version=args.version)
         print(json.dumps({"delta_version": dv, "dest": args.dest}))
+        return 0
+    elif args.cmd == "delete-range":
+        import pyarrow.compute as pc
+
+        ranges = {c: (float(lo), float(hi))
+                  for c, (lo, hi) in json.loads(args.ranges_json).items()}
+
+        def pred(b, ranges=ranges):
+            mask = None
+            for c, (lo, hi) in ranges.items():
+                m = pc.and_(pc.greater_equal(b[c], lo),
+                            pc.less_equal(b[c], hi))
+                mask = m if mask is None else pc.and_(mask, m)
+            return mask
+
+        v = t.delete_where(pred, lsn=args.lsn, columns=tuple(ranges),
+                           predicate_ranges=ranges, job_id=args.job_id)
+    elif args.cmd == "sync":
+        from moonray.sync import sync_incremental
+
+        v = sync_incremental(t, MoonrayTable.open(args.into),
+                             state_key=args.state_key)
+        print(json.dumps({"dst_version": v, "into": args.into}))
         return 0
     print(json.dumps({"version": v, **t.describe()}))
     return 0

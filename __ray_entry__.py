@@ -515,6 +515,16 @@ def _q_audio_features(sf_dir: str):
                               "rms", "zcr", "spectral_centroid_hz"])
 
 
+def _q_video_frames(sf_dir: str):
+    """Video frame sampling (flat-map shape: one clip row → many frame
+    rows; stub MRV1 demuxer per contract, real actor-pool plumbing)."""
+    from moonray.fixtures import make_video_dataset
+    from moonray.functions.multimodal import sample_frames
+
+    ds = sample_frames(make_video_dataset(100, seed=42), stride=2)
+    return ds.select_columns(["video_id", "frame_idx", "w", "h"])
+
+
 def _q_images_decode(sf_dir: str):
     from moonray.fixtures import make_images_dataset
     from moonray.functions.multimodal import decode_stats
@@ -691,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_downsample2x": _q_images_downsample,
         "phash_near_dup_pairs": _q_phash_near_dups,
         "audio_features": _q_audio_features,
+        "video_frame_sample": _q_video_frames,
     }
 
 

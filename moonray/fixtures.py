@@ -215,3 +215,36 @@ def make_audio_dataset(n: int, *, seed: int = 42, sample_rate: int = 8000):
                          "f0_hz": pa.array(out_f0, pa.float64())})
 
     return rd.range(n).map_batches(gen, batch_format="pyarrow")
+
+
+def make_video_dataset(n: int, *, seed: int = 42, n_frames: int = 8,
+                       w: int = 64, h: int = 32):
+    """Deterministic synthetic videos: ``n_frames`` seeded-noise RGB
+    frames per clip in the MRV1 stand-in container
+    (multimodal.encode_video — real mp4 demux is stubbed per the task
+    contract; the Ray-side plumbing is real). Distributed synthesis like
+    make_images_dataset."""
+    import ray.data as rd
+
+    from moonray.functions.multimodal import encode_video
+
+    def gen(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        out_id, out_vid, out_nf = [], [], []
+        for i in batch["id"].to_pylist():
+            rng = np.random.default_rng(seed * 7_368_787 + i)
+            frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                      for _ in range(n_frames)]
+            out_id.append(f"vid-{i:08d}")
+            out_vid.append(encode_video(frames, "png"))
+            out_nf.append(n_frames)
+        return pa.table({"video_id": pa.array(out_id, pa.string()),
+                         "video": pa.array(out_vid, pa.binary()),
+                         "n_frames": pa.array(out_nf, pa.int32())})
+
+    gen.__name__ = "gen_videos"
+    # small batches: wide binary rows (task-brief multimodal guidance)
+    return rd.range(n).map_batches(gen, batch_format="pyarrow",
+                                   batch_size=64)

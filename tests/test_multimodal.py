@@ -89,3 +89,22 @@ def test_wav_roundtrip_and_audio_features():
 
     with pytest.raises(NotImplementedError):
         decode_wav(b"ID3\x03...mp3 data...")
+
+
+def test_make_video_dataset_frame_sampling_e2e():
+    from moonray.fixtures import make_video_dataset
+    from moonray.functions.multimodal import sample_frames
+
+    out = pa.concat_tables([b for b in sample_frames(
+        make_video_dataset(6, seed=7, n_frames=8), stride=2).iter_batches(
+            batch_format="pyarrow", batch_size=256)])
+    # 6 clips x frames {0,2,4,6}
+    assert len(out) == 24
+    assert sorted(set(out["frame_idx"].to_pylist())) == [0, 2, 4, 6]
+    assert set(out["w"].to_pylist()) == {64} and set(out["h"].to_pylist()) == {32}
+    # determinism: same seed → byte-identical first frame
+    a = pa.concat_tables([b for b in sample_frames(
+        make_video_dataset(1, seed=7, n_frames=8), stride=2).iter_batches(
+            batch_format="pyarrow", batch_size=256)])
+    assert a["bytes"][0].as_py() == out.filter(
+        pa.compute.equal(out["video_id"], "vid-00000000"))["bytes"][0].as_py()

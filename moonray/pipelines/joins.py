@@ -217,6 +217,43 @@ def _codes_and_width(uid_all: np.ndarray, ts_all: np.ndarray,
     return codes.astype(np.int64), width, ts_off.astype(np.int64)
 
 
+def asof_bucket_kernel(group: pa.Table) -> pa.Table:
+    """One bucket's as-of resolution (pure kernel — property-tested
+    against a row-loop oracle in tests/test_joins_property.py). Input
+    columns: _side (0=left/probe, 1=right/reference), event_id,
+    user_id, ts_us."""
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "ts": pa.array([], pa.timestamp("us")),
+                      "prior_ts": pa.array([], pa.timestamp("us"))})
+    if len(group) == 0:
+        return empty
+    side = group["_side"].to_numpy(zero_copy_only=False)
+    uid = group["user_id"].to_numpy(zero_copy_only=False)
+    ts = group["ts_us"].to_numpy(zero_copy_only=False)
+    eid = group["event_id"].to_numpy(zero_copy_only=False)
+    codes, width, ts_off = _codes_and_width(uid, ts)
+    comp = codes * width + ts_off
+    is_c = side == 1
+    comp_c, code_c, ts_c = comp[is_c], codes[is_c], ts[is_c]
+    if len(comp_c) == 0:
+        return empty
+    order = np.argsort(comp_c, kind="stable")
+    comp_c, code_c, ts_c = comp_c[order], code_c[order], ts_c[order]
+    is_p = ~is_c
+    # rightmost reference row with comp ≤ probe comp == latest ts ≤ ts_p
+    pos = np.searchsorted(comp_c, comp[is_p], side="right") - 1
+    valid = pos >= 0
+    valid[valid] &= code_c[pos[valid]] == codes[is_p][valid]
+    out_sel = np.flatnonzero(is_p)[valid]
+    return pa.table({
+        "event_id": pa.array(eid[out_sel], pa.int64()),
+        "user_id": pa.array(uid[out_sel], pa.int64()),
+        "ts": pa.array(ts[out_sel], pa.timestamp("us")),
+        "prior_ts": pa.array(ts_c[pos[valid]], pa.timestamp("us")),
+    })
+
+
 def asof_purchase_last_click(sf_dir: str, buckets: int | None = None):
     """For each 'purchase' event, the latest 'click' by the same user at
     or before the purchase (inner as-of). One pass over events emits
@@ -244,43 +281,11 @@ def asof_purchase_last_click(sf_dir: str, buckets: int | None = None):
             "ts_us": b["ts"].cast(pa.int64()),
         })
 
-    def asof_bucket(group: pa.Table) -> pa.Table:
-        empty = pa.table({"event_id": pa.array([], pa.int64()),
-                          "user_id": pa.array([], pa.int64()),
-                          "ts": pa.array([], pa.timestamp("us")),
-                          "prior_ts": pa.array([], pa.timestamp("us"))})
-        if len(group) == 0:
-            return empty
-        side = group["_side"].to_numpy(zero_copy_only=False)
-        uid = group["user_id"].to_numpy(zero_copy_only=False)
-        ts = group["ts_us"].to_numpy(zero_copy_only=False)
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
-        codes, width, ts_off = _codes_and_width(uid, ts)
-        comp = codes * width + ts_off
-        is_c = side == 1
-        comp_c, code_c, ts_c = comp[is_c], codes[is_c], ts[is_c]
-        if len(comp_c) == 0:
-            return empty
-        order = np.argsort(comp_c, kind="stable")
-        comp_c, code_c, ts_c = comp_c[order], code_c[order], ts_c[order]
-        is_p = ~is_c
-        # rightmost click with comp ≤ purchase comp == latest ts ≤ ts_p
-        pos = np.searchsorted(comp_c, comp[is_p], side="right") - 1
-        valid = pos >= 0
-        valid[valid] &= code_c[pos[valid]] == codes[is_p][valid]
-        out_sel = np.flatnonzero(is_p)[valid]
-        return pa.table({
-            "event_id": pa.array(eid[out_sel], pa.int64()),
-            "user_id": pa.array(uid[out_sel], pa.int64()),
-            "ts": pa.array(ts[out_sel], pa.timestamp("us")),
-            "prior_ts": pa.array(ts_c[pos[valid]], pa.timestamp("us")),
-        })
-
-    asof_bucket.__name__ = "asof_bucket"
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id", "ts", "event_type"])
     ds = ds.map_batches(tag, batch_format="pyarrow")
-    return ds.groupby("_bkt").map_groups(asof_bucket, batch_format="pyarrow")
+    return ds.groupby("_bkt").map_groups(asof_bucket_kernel,
+                                         batch_format="pyarrow")
 
 
 # -------------------------------------------------- banded interval join
@@ -309,37 +314,44 @@ def events_band_pairs(sf_dir: str, window_sec: int = 21600,
         })
 
     def pairs_bucket(group: pa.Table) -> pa.Table:
-        empty = pa.table({"a_event_id": pa.array([], pa.int64()),
-                          "b_event_id": pa.array([], pa.int64()),
-                          "user_id": pa.array([], pa.int64()),
-                          "gap_us": pa.array([], pa.int64())})
-        if len(group) == 0:
-            return empty
-        uid = group["user_id"].to_numpy(zero_copy_only=False)
-        ts = group["ts_us"].to_numpy(zero_copy_only=False)
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
-        codes, width, ts_off = _codes_and_width(uid, ts, margin=int(w_us))
-        comp = codes * width + ts_off
-        order = np.argsort(comp, kind="stable")
-        comp, ts, uid, eid = comp[order], ts[order], uid[order], eid[order]
-        lo = np.searchsorted(comp, comp, side="right")       # skip ties: b.ts > a.ts
-        hi = np.searchsorted(comp, comp + w_us, side="right")
-        counts = hi - lo
-        total = int(counts.sum())
-        if total == 0:
-            return empty
-        a_idx = np.repeat(np.arange(len(comp)), counts)
-        starts = np.cumsum(counts) - counts
-        b_idx = np.arange(total) - np.repeat(starts, counts) + np.repeat(lo, counts)
-        return pa.table({
-            "a_event_id": pa.array(eid[a_idx], pa.int64()),
-            "b_event_id": pa.array(eid[b_idx], pa.int64()),
-            "user_id": pa.array(uid[a_idx], pa.int64()),
-            "gap_us": pa.array(ts[b_idx] - ts[a_idx], pa.int64()),
-        })
+        return band_pairs_kernel(group, w_us)
 
     pairs_bucket.__name__ = "pairs_bucket"
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id", "ts"])
     ds = ds.map_batches(tag, batch_format="pyarrow")
     return ds.groupby("_bkt").map_groups(pairs_bucket, batch_format="pyarrow")
+
+
+def band_pairs_kernel(group: pa.Table, w_us: np.int64) -> pa.Table:
+    """One bucket's banded self-join (pure kernel — property-tested
+    against the quadratic oracle in tests/test_joins_property.py).
+    Input columns: event_id, user_id, ts_us."""
+    empty = pa.table({"a_event_id": pa.array([], pa.int64()),
+                      "b_event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "gap_us": pa.array([], pa.int64())})
+    if len(group) == 0:
+        return empty
+    uid = group["user_id"].to_numpy(zero_copy_only=False)
+    ts = group["ts_us"].to_numpy(zero_copy_only=False)
+    eid = group["event_id"].to_numpy(zero_copy_only=False)
+    codes, width, ts_off = _codes_and_width(uid, ts, margin=int(w_us))
+    comp = codes * width + ts_off
+    order = np.argsort(comp, kind="stable")
+    comp, ts, uid, eid = comp[order], ts[order], uid[order], eid[order]
+    lo = np.searchsorted(comp, comp, side="right")       # skip ties: b.ts > a.ts
+    hi = np.searchsorted(comp, comp + w_us, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    a_idx = np.repeat(np.arange(len(comp)), counts)
+    starts = np.cumsum(counts) - counts
+    b_idx = np.arange(total) - np.repeat(starts, counts) + np.repeat(lo, counts)
+    return pa.table({
+        "a_event_id": pa.array(eid[a_idx], pa.int64()),
+        "b_event_id": pa.array(eid[b_idx], pa.int64()),
+        "user_id": pa.array(uid[a_idx], pa.int64()),
+        "gap_us": pa.array(ts[b_idx] - ts[a_idx], pa.int64()),
+    })

@@ -108,3 +108,79 @@ def test_sync_incremental_view_tracks_source():
     # idempotent: nothing new → no-op, pointer stable
     assert sync_incremental(src, dst, insert_filter=in_view) == v
     assert last_synced_version(dst) == src.latest_version()
+
+
+def test_sync_crash_between_merge_and_pointer_converges(monkeypatch):
+    """Crash window: the sync's MERGE committed but the sync pointer
+    write died. On retry the source has ALSO advanced, so the replay
+    window (old_last, new_cur] is a superset of the already-applied
+    window — last-writer-wins over the superset must converge to the
+    same state as a clean history."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import moonray.commitstore as cs
+    from moonray.sync import sync_incremental
+    from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+
+    def mk(prefix):
+        return MoonrayTable.create(scratch_root(prefix), key_col="k",
+                                   schema=schema, rows_per_fragment=64,
+                                   index_partitions=4)
+
+    def changes(rows, lsn):
+        return rd.from_arrow(pa.table({
+            "op": pa.array([r[0] for r in rows], pa.string()),
+            "lsn": pa.array([lsn] * len(rows), pa.int64()),
+            "k": pa.array([r[1] for r in rows], pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.string()),
+        }))
+
+    src, dst = mk("mr-sync-a-"), mk("mr-sync-b-")
+    src.bulk_load(rd.from_arrow(pa.table({
+        "k": pa.array(range(20), pa.int64()),
+        "v": pa.array([f"v{i}" for i in range(20)], pa.string())})))
+    sync_incremental(src, dst)
+    src.merge(changes([("U", 3, "A3"), ("D", 4, "")], lsn=100))
+
+    class CrashOnSyncPointer:
+        """Passthrough store that dies ONLY on sync/* pointer writes —
+        the table's own versions/LATEST publish must keep working so
+        the merge half of the sync lands (that's the crash window)."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def set_pointer(self, name, value):
+            if name.startswith("sync"):
+                raise RuntimeError("injected crash before sync pointer write")
+            return self._inner.set_pointer(name, value)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    real = cs.store_for
+    monkeypatch.setattr(cs, "store_for",
+                        lambda root: (CrashOnSyncPointer(real(root))
+                                      if root == dst.root else real(root)))
+    try:
+        sync_incremental(src, dst)
+        raise AssertionError("expected injected crash")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(cs, "store_for", real)
+    assert dst.scan().count() == 19  # the merge half DID land
+
+    # source advances AGAIN before the retry → superset window replay
+    src.merge(changes([("U", 3, "B3"), ("I", 99, "new")], lsn=200))
+    sync_incremental(src, dst)
+
+    got = {r["k"]: r["v"] for r in dst.scan().take_all()}
+    want = {i: f"v{i}" for i in range(20)}
+    want[3] = "B3"
+    del want[4]
+    want[99] = "new"
+    assert got == want

@@ -599,6 +599,20 @@ def _q_view_sync(sf_dir: str):
     return dst.scan()
 
 
+def _q_distinct_by(sf_dir: str):
+    from moonray.functions.sketch import distinct_count_exact_by
+
+    return distinct_count_exact_by(
+        _events(sf_dir, ["event_type", "user_id"]), "event_type", "user_id")
+
+
+def _q_distinct_by_hll(sf_dir: str):
+    from moonray.functions.sketch import distinct_count_hll_by
+
+    return distinct_count_hll_by(
+        _events(sf_dir, ["event_type", "user_id"]), "event_type", "user_id")
+
+
 def _q_topk_per_lang(sf_dir: str):
     import ray.data as rd
 
@@ -674,6 +688,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_exact": _q_distinct_exact,
         "distinct_users_hll": _q_distinct_hll,
         "events_value_quantiles": _q_quantiles,
+        "distinct_users_by_type": _q_distinct_by,
+        "distinct_users_by_type_hll": _q_distinct_by_hll,
         "docs_top5_longest_per_lang": _q_topk_per_lang,
         # ---- text analysis ----
         "text_stats": _q_text_stats,
@@ -778,6 +794,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT '0.99', CAST(percentile_disc(0.99) WITHIN GROUP (
                 ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT))
                 AS BIGINT) FROM events
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_user_id
+            FROM events GROUP BY event_type
         """,
         "docs_top5_longest_per_lang": """
             SELECT doc_id, lang, n_chars FROM documents

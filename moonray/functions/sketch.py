@@ -214,3 +214,85 @@ def quantiles_sampled(ds, col: str, key_col: str,
             out_v.append(None)
     return rd.from_arrow(pa.table({"q": pa.array(out_q, pa.string()),
                                    "value": pa.array(out_v, pa.float64())}))
+
+
+def distinct_count_exact_by(ds, group_col: str, col: str,
+                            out_col: str | None = None):
+    """Exact per-group COUNT(DISTINCT col): per-batch (group, value)
+    pair dedup shrinks the shuffle to distinct pairs per batch, one
+    groupby dedups globally, a second tiny groupby counts per group."""
+    out_col = out_col or f"n_{col}"
+
+    def uniq_pairs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.select([group_col, col]).drop_null()
+        g = t.group_by([group_col, col], use_threads=False).aggregate([])
+        return g
+
+    uniq_pairs.__name__ = "partial_unique_pairs"
+    from ray.data.aggregate import Count
+
+    pairs = (ds.map_batches(uniq_pairs, batch_format="pyarrow")
+             .groupby([group_col, col]).aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]))
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({group_col: b[group_col],
+                         "_one": pa.array(np.ones(len(b), np.int64))})
+
+    ones.__name__ = "pair_ones"
+    from ray.data.aggregate import Sum
+
+    return (pairs.map_batches(ones, batch_format="pyarrow")
+            .groupby(group_col).aggregate(Sum("_one", alias_name=out_col)))
+
+
+def distinct_count_hll_by(ds, group_col: str, col: str, p: int = 12,
+                          out_col: str | None = None):
+    """Per-group HyperLogLog: each batch emits ONE register row per
+    group present in it (2^p bytes each); a groupby folds registers by
+    elementwise max inside map_groups. Constant memory per group at any
+    row count — the grouped-cardinality sketch for wide key domains
+    where exact per-group dedup would shuffle too many pairs."""
+    out_col = out_col or f"n_{col}_approx"
+
+    def partial(b: pa.Table) -> pa.Table:
+        from moonray.util import hash_key_array
+
+        t = b.select([group_col, col]).drop_null()
+        if len(t) == 0:
+            return pa.table({group_col: pa.array([], b.schema.field(group_col).type),
+                             "regs": pa.array([], pa.binary())})
+        keys = t[group_col].combine_chunks()
+        h = hash_key_array(t[col])
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(keys)
+        keys_np = keys.take(order)
+        h = h[order.to_numpy(zero_copy_only=False)]
+        grp = keys_np.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])
+        ends = np.r_[starts[1:], len(grp)]
+        out_k, out_r = [], []
+        for s, e in zip(starts, ends):
+            out_k.append(grp[s])
+            out_r.append(_hll_registers(h[s:e], p, prehashed=True).tobytes())
+        return pa.table({group_col: pa.array(out_k, b.schema.field(group_col).type),
+                         "regs": pa.array(out_r, pa.binary())})
+
+    partial.__name__ = "hll_partial_by"
+
+    def fold(grp: pa.Table) -> pa.Table:
+        m = 1 << p
+        regs = np.zeros(m, dtype=np.uint8)
+        for blob in grp["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+        return pa.table({
+            group_col: grp[group_col].slice(0, 1),
+            out_col: pa.array([int(round(_hll_estimate(regs)))], pa.int64()),
+        })
+
+    fold.__name__ = "hll_fold"
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).map_groups(fold, batch_format="pyarrow"))

@@ -116,3 +116,27 @@ def test_hll_string_keys():
         "s": pa.array([f"key-{i % 37}" for i in range(500)], pa.string())}))
     got = distinct_count_hll(ds, "s").take_all()[0]["n_s_approx"]
     assert abs(got - 37) <= 2
+
+
+def test_distinct_by_group_exact_and_hll():
+    import ray.data as rd
+
+    from moonray.functions.sketch import (distinct_count_exact_by,
+                                          distinct_count_hll_by)
+
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "user_id"])
+    got = {r["event_type"]: r["n_user_id"]
+           for r in distinct_count_exact_by(ds, "event_type",
+                                            "user_id").take_all()}
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    want = df.groupby("event_type").user_id.nunique().to_dict()
+    assert got == want
+
+    approx = {r["event_type"]: r["n_user_id_approx"]
+              for r in distinct_count_hll_by(ds, "event_type",
+                                             "user_id").take_all()}
+    assert set(approx) == set(want)
+    for k, n in want.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), k

@@ -226,9 +226,12 @@ def distinct_count_exact_by(ds, group_col: str, col: str,
     def uniq_pairs(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        t = b.select([group_col, col]).drop_null()
-        g = t.group_by([group_col, col], use_threads=False).aggregate([])
-        return g
+        # null VALUES drop (SQL count(DISTINCT) ignores them) but null
+        # GROUP KEYS survive as their own group. Known divergence from
+        # SQL GROUP BY: a group whose values are ALL null disappears
+        # instead of reporting 0 (a join-style count).
+        t = b.select([group_col, col]).filter(pc.is_valid(b[col]))
+        return t.group_by([group_col, col], use_threads=False).aggregate([])
 
     uniq_pairs.__name__ = "partial_unique_pairs"
     from ray.data.aggregate import Count
@@ -236,16 +239,7 @@ def distinct_count_exact_by(ds, group_col: str, col: str,
     pairs = (ds.map_batches(uniq_pairs, batch_format="pyarrow")
              .groupby([group_col, col]).aggregate(Count(alias_name="_c"))
              .drop_columns(["_c"]))
-
-    def ones(b: pa.Table) -> pa.Table:
-        return pa.table({group_col: b[group_col],
-                         "_one": pa.array(np.ones(len(b), np.int64))})
-
-    ones.__name__ = "pair_ones"
-    from ray.data.aggregate import Sum
-
-    return (pairs.map_batches(ones, batch_format="pyarrow")
-            .groupby(group_col).aggregate(Sum("_one", alias_name=out_col)))
+    return pairs.groupby(group_col).aggregate(Count(alias_name=out_col))
 
 
 def distinct_count_hll_by(ds, group_col: str, col: str, p: int = 12,
@@ -258,9 +252,12 @@ def distinct_count_hll_by(ds, group_col: str, col: str, p: int = 12,
     out_col = out_col or f"n_{col}_approx"
 
     def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         from moonray.util import hash_key_array
 
-        t = b.select([group_col, col]).drop_null()
+        # null values drop; null group keys survive (see uniq_pairs)
+        t = b.select([group_col, col]).filter(pc.is_valid(b[col]))
         if len(t) == 0:
             return pa.table({group_col: pa.array([], b.schema.field(group_col).type),
                              "regs": pa.array([], pa.binary())})

@@ -197,8 +197,14 @@ def main(argv=None) -> int:
     elif args.cmd == "delete-range":
         import pyarrow.compute as pc
 
-        ranges = {c: (float(lo), float(hi))
+        # keep json's native int/float types: float() coercion would
+        # round int64 bounds near 2^53 (silent wrong-row deletes) and
+        # make Arrow raise on int64 values float64 can't hold
+        ranges = {c: (lo, hi)
                   for c, (lo, hi) in json.loads(args.ranges_json).items()}
+        if not ranges:
+            raise SystemExit("delete-range: empty --ranges-json would be "
+                             "an unconditional full-table delete; refuse")
 
         def pred(b, ranges=ranges):
             mask = None

@@ -50,3 +50,31 @@ def test_cli_delete_range_and_sync(tmp_path, capsys):
     out = _run(capsys, "lookup", "--table", src,
                "--keys-json", "[100, 150, 900]")
     assert [r["k"] for r in out] == [900]
+
+
+def test_cli_delete_range_int64_exact_and_empty_refused(tmp_path, capsys):
+    import pytest
+
+    src = str(tmp_path / "big")
+    _run(capsys, "create", "--table", src, "--key", "k",
+         "--schema-json", '[["k","int64"],["v","int64"]]',
+         "--rows-per-fragment", "64")
+    big = 1 << 53  # beyond float64's exact-integer range
+    inp = str(tmp_path / "big.parquet")
+    pq.write_table(pa.table({"k": pa.array([big, big + 1, big + 2], pa.int64()),
+                             "v": pa.array([big, big + 1, big + 2], pa.int64())}),
+                   inp)
+    _run(capsys, "load", "--table", src, "--input", inp, "--job-id", "l")
+    # bounds [2^53+1, 2^53+1]: float() coercion would round to 2^53 and
+    # delete the WRONG row; native ints must delete exactly one row
+    out = _run(capsys, "delete-range", "--table", src,
+               "--ranges-json", json.dumps({"v": [big + 1, big + 1]}),
+               "--lsn", "9")
+    assert out["deleted_rows"] == 1
+    rows = _run(capsys, "lookup", "--table", src,
+                "--keys-json", json.dumps([big, big + 1, big + 2]))
+    assert sorted(r["k"] for r in rows) == [big, big + 2]
+
+    with pytest.raises(SystemExit, match="full-table delete"):
+        _run(capsys, "delete-range", "--table", src,
+             "--ranges-json", "{}", "--lsn", "10")

@@ -599,6 +599,20 @@ def _q_view_sync(sf_dir: str):
     return dst.scan()
 
 
+def _q_export_shards(sf_dir: str):
+    """Resumable partitioned-parquet export round trip: write 8 shard
+    dirs (done-markers; modulo mode for SQL parity), summary read back
+    from the files on disk."""
+    import ray.data as rd
+
+    from moonray.functions.shards import export_training_shards
+    from moonray.util import scratch_root
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return export_training_shards(docs, scratch_root("moonray-shards-"),
+                                  8, "doc_id", mode="modulo")
+
+
 def _q_distinct_by(sf_dir: str):
     from moonray.functions.sketch import distinct_count_exact_by
 
@@ -700,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "line_dedup_boilerplate": _q_line_dedup,
         "pack_training_sequences": _q_pack,
+        "export_training_shards": _q_export_shards,
         # ---- dedup ----
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_prefix": _q_dedup_prefix,
@@ -915,6 +930,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_filter": quality_filter_oracle_sql(),
         "redact_pii": redact_pii_oracle_sql(text_expr=_PII_TEXT_SQL),
         "pack_training_sequences": pack_sequences_oracle_sql(),
+        "export_training_shards": """
+            SELECT doc_id % 8 AS shard, count(*) AS n_rows
+            FROM documents GROUP BY 1
+        """,
         "line_dedup_boilerplate": line_dedup_oracle_sql(
             text_expr="replace(text, ' a ', chr(10))"),
         "docs_lang_stats": """

@@ -1,0 +1,75 @@
+"""Resumable shard export: determinism, resume-skips-finished, summary
+parity vs pandas."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_export_matches_pandas_and_is_deterministic(tmp_path):
+    from moonray.functions.shards import export_training_shards
+
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    s1 = {r["shard"]: r["n_rows"]
+          for r in export_training_shards(_docs(), out1, 8, "doc_id",
+                                          mode="modulo").take_all()}
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    want = (df.doc_id % 8).value_counts().to_dict()
+    assert s1 == want
+
+    export_training_shards(_docs(), out2, 8, "doc_id", mode="modulo")
+    for s in range(8):
+        a = open(os.path.join(out1, f"shard={s:05d}", "part.parquet"), "rb").read()
+        b = open(os.path.join(out2, f"shard={s:05d}", "part.parquet"), "rb").read()
+        assert a == b, f"shard {s} not byte-stable"
+
+
+def test_resume_skips_finished_shards(tmp_path):
+    """Simulate a killed export: finished shards keep their _DONE
+    markers, the in-flight shard has a partial file and NO marker, one
+    shard is entirely missing. Resume must rewrite exactly the
+    unfinished ones and leave finished files byte-untouched."""
+    import shutil
+
+    import moonray.functions.shards as sh
+
+    out = str(tmp_path / "x")
+    sh.export_training_shards(_docs(), out, 8, "doc_id", mode="modulo")
+
+    # craft the crash state: shard 3 partial (no marker, torn file),
+    # shard 5 never started
+    os.remove(os.path.join(out, "shard=00003", sh._DONE))
+    with open(os.path.join(out, "shard=00003", "part.parquet"), "wb") as f:
+        f.write(b"torn")
+    shutil.rmtree(os.path.join(out, "shard=00005"))
+
+    done_before = sh.finished_shards(out)
+    assert done_before == set(range(8)) - {3, 5}
+    mtimes = {s: os.path.getmtime(os.path.join(out, f"shard={s:05d}",
+                                               "part.parquet"))
+              for s in done_before}
+
+    summary = {r["shard"]: r["n_rows"]
+               for r in sh.export_training_shards(_docs(), out, 8, "doc_id",
+                                                  mode="modulo").take_all()}
+    assert set(summary) == set(range(8))
+    for s, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f"shard={s:05d}",
+                                             "part.parquet")) == m, s
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert summary == (df.doc_id % 8).value_counts().to_dict()
+    # the rewritten shard is readable and sorted (full overwrite, no
+    # append-to-torn-file)
+    t3 = pq.read_table(os.path.join(out, "shard=00003", "part.parquet"))
+    ids = t3["doc_id"].to_pylist()
+    assert ids == sorted(ids) and all(i % 8 == 3 for i in ids)

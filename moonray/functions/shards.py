@@ -8,15 +8,23 @@ merge.py); this exposes the same contract for training-data exports
 consumed OUTSIDE the engine (a dataloader reading shard directories).
 
 Determinism: shard = key % n (``mode="modulo"``, SQL-reproducible) or
-splitmix64(key) % n (``mode="hash"``, balanced under skewed key spaces);
-rows inside a shard sort by key, so a re-export is byte-stable and a
-dataloader's epoch order is a pure function of (corpus, n_shards, mode).
+hash_key_array(key) % n (``mode="hash"``, balanced under skewed key
+spaces, works for string keys); rows inside a shard sort by ALL columns
+(key first), so a re-export is byte-stable even with duplicate keys and
+a dataloader's epoch order is a pure function of (corpus, n_shards,
+mode). Null keys raise — a NaN-routed shard id would silently misfile
+rows.
 
-Resume: each shard directory gets a ``_DONE`` marker only after its
-parquet file is fully written and fsynced. A re-run lists markers FIRST
-and filters finished shards out of the shuffle — a killed export redoes
-only incomplete shards (their partial files are overwritten in place,
-never appended)."""
+Resume: ``_export.json`` records (n_shards, mode, key_col) and is
+validated on re-run (an export resumed with different parameters would
+silently drop rows into already-"done" shards otherwise). Each shard
+directory gets a ``_DONE`` marker only after its parquet file is fully
+written, fsynced and renamed into place (power-loss safe, not just
+kill-safe); empty shards still get a file + marker so "complete" is
+distinguishable from "not started" and resume never re-shuffles a
+finished export. A re-run lists markers FIRST and filters finished
+shards out of the shuffle — a killed export redoes only incomplete
+shards (partial files are overwritten in place, never appended)."""
 
 from __future__ import annotations
 
@@ -25,9 +33,10 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from moonray.util import splitmix64
+from moonray.util import atomic_write_json, fsync_dir, fsync_file, hash_key_array
 
 _DONE = "_DONE"
+_MANIFEST = "_export.json"
 
 
 def _shard_dir(out_dir: str, shard: int) -> str:
@@ -45,6 +54,38 @@ def finished_shards(out_dir: str) -> set[int]:
     return out
 
 
+def _check_manifest(out_dir: str, params: dict) -> None:
+    from moonray.util import read_json
+
+    path = os.path.join(out_dir, _MANIFEST)
+    if os.path.exists(path):
+        prev = read_json(path)
+        if prev != params:
+            raise ValueError(
+                f"out_dir was written with {prev}, resume requested "
+                f"{params} — mixing shard layouts silently drops rows; "
+                "use a fresh directory or matching parameters")
+    else:
+        atomic_write_json(path, params, durable=True)
+
+
+def _write_one(out_dir: str, shard: int, t: pa.Table) -> None:
+    import pyarrow.parquet as pq
+
+    d = _shard_dir(out_dir, shard)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "part.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp, compression="zstd")
+    fsync_file(tmp)               # data durable BEFORE it becomes visible
+    os.replace(tmp, path)
+    with open(os.path.join(d, _DONE), "w") as f:
+        f.write(str(len(t)))
+        f.flush()
+        os.fsync(f.fileno())
+    fsync_dir(d)
+
+
 def export_training_shards(ds, out_dir: str, n_shards: int, key_col: str,
                            mode: str = "hash") -> "object":
     """Export ``ds`` to ``out_dir/shard=K/part.parquet`` (+ _DONE
@@ -58,51 +99,58 @@ def export_training_shards(ds, out_dir: str, n_shards: int, key_col: str,
     if mode not in ("hash", "modulo"):
         raise ValueError("mode must be 'hash' or 'modulo'")
     os.makedirs(out_dir, exist_ok=True)
+    _check_manifest(out_dir, {"n_shards": n_shards, "mode": mode,
+                              "key_col": key_col})
     done = finished_shards(out_dir)
+    if len(done) == n_shards:
+        pass  # fully complete — skip the shuffle entirely
+    else:
+        schema = ds.schema().base_schema  # arrow schema for empty shards
 
-    def assign(b: pa.Table) -> pa.Table:
-        k = b[key_col].to_numpy(zero_copy_only=False)
-        if mode == "hash":
-            shard = (splitmix64(k.astype(np.uint64))
-                     % np.uint64(n_shards)).astype(np.int64)
-        else:
-            shard = (k % n_shards).astype(np.int64)
-        t = b.append_column("_shard", pa.array(shard))
-        if done:
-            t = t.filter(pa.array(~np.isin(shard, list(done))))
-        return t
+        def assign(b: pa.Table) -> pa.Table:
+            col = b[key_col]
+            if col.null_count:
+                raise ValueError(
+                    f"null {key_col!r} values cannot be sharded "
+                    "deterministically; filter or fill them first")
+            if mode == "hash":
+                shard = (hash_key_array(col)
+                         % np.uint64(n_shards)).astype(np.int64)
+            else:
+                k = col.to_numpy(zero_copy_only=False)
+                shard = (k % n_shards).astype(np.int64)
+            t = b.append_column("_shard", pa.array(shard))
+            if done:
+                t = t.filter(pa.array(~np.isin(shard, list(done))))
+            return t
 
-    assign.__name__ = "assign_shard"
+        assign.__name__ = "assign_shard"
 
-    def write_shard(grp: pa.Table) -> pa.Table:
-        if len(grp) == 0:
-            return pa.table({"shard": pa.array([], pa.int64())})
-        shard = int(grp["_shard"][0].as_py())
-        t = grp.drop_columns(["_shard"]).sort_by(key_col)
-        d = _shard_dir(out_dir, shard)
-        os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, "part.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(t, tmp, compression="zstd")
-        os.replace(tmp, path)
-        # marker only after the data file is durably in place
-        with open(os.path.join(d, _DONE), "w") as f:
-            f.write(str(len(t)))
-            f.flush()
-            os.fsync(f.fileno())
-        return pa.table({"shard": pa.array([shard], pa.int64())})
+        def write_shard(grp: pa.Table) -> pa.Table:
+            if len(grp) == 0:
+                return pa.table({"shard": pa.array([], pa.int64())})
+            shard = int(grp["_shard"][0].as_py())
+            t = grp.drop_columns(["_shard"])
+            # total order: key first, then every other column — byte-
+            # stable even when key_col has duplicates (groupby arrival
+            # order is not deterministic)
+            sort_keys = [(key_col, "ascending")] + [
+                (c, "ascending") for c in t.column_names if c != key_col]
+            _write_one(out_dir, shard, t.sort_by(sort_keys))
+            return pa.table({"shard": pa.array([shard], pa.int64())})
 
-    write_shard.__name__ = "write_shard"
-    # drive the export; the returned shard ids are discarded — the
-    # summary below re-reads the directory so finished-earlier shards
-    # are included too
-    (ds.map_batches(assign, batch_format="pyarrow")
-       .groupby("_shard").map_groups(write_shard, batch_format="pyarrow")
-       .materialize())
+        write_shard.__name__ = "write_shard"
+        (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby("_shard").map_groups(write_shard, batch_format="pyarrow")
+           .materialize())
+        # assigned-but-empty shards: write an empty file + marker so the
+        # export has exactly n_shards complete directories and resume
+        # can tell "empty" from "not started"
+        for s in sorted(set(range(n_shards)) - finished_shards(out_dir)):
+            _write_one(out_dir, s, schema.empty_table())
 
-    items = sorted(finished_shards(out_dir))
     summaries = []
-    for s in items:
+    for s in sorted(finished_shards(out_dir)):
         md = pq.read_metadata(os.path.join(_shard_dir(out_dir, s),
                                            "part.parquet"))
         summaries.append({"shard": s, "n_rows": md.num_rows})

@@ -73,3 +73,40 @@ def test_resume_skips_finished_shards(tmp_path):
     t3 = pq.read_table(os.path.join(out, "shard=00003", "part.parquet"))
     ids = t3["doc_id"].to_pylist()
     assert ids == sorted(ids) and all(i % 8 == 3 for i in ids)
+
+
+def test_param_mismatch_refused_and_empty_shards_complete(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    import moonray.functions.shards as sh
+
+    out = str(tmp_path / "p")
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c"], pa.string()),
+        "v": pa.array([1, 2, 3], pa.int64())}))
+    # string keys exercise the hash_key_array path; 16 shards >> 3 keys
+    # exercises empty-shard completion
+    s = {r["shard"]: r["n_rows"]
+         for r in sh.export_training_shards(ds, out, 16, "k").take_all()}
+    assert set(s) == set(range(16)) and sum(s.values()) == 3
+    with pytest.raises(ValueError, match="mixing shard layouts"):
+        sh.export_training_shards(ds, out, 8, "k")
+    # fully-complete resume is a no-op that still returns the summary
+    again = {r["shard"]: r["n_rows"]
+             for r in sh.export_training_shards(ds, out, 16, "k").take_all()}
+    assert again == s
+
+
+def test_null_keys_rejected(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    import moonray.functions.shards as sh
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 3], pa.int64()),
+        "v": pa.array([1, 2, 3], pa.int64())}))
+    with pytest.raises(Exception, match="null 'k'"):
+        sh.export_training_shards(ds, str(tmp_path / "n"), 4, "k",
+                                  mode="modulo").take_all()

@@ -33,7 +33,8 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from moonray.util import atomic_write_json, fsync_dir, fsync_file, hash_key_array
+from moonray.util import (atomic_write_json, fsync_dir, fsync_file,
+                          hash_key_array, splitmix64)
 
 _DONE = "_DONE"
 _MANIFEST = "_export.json"
@@ -87,12 +88,19 @@ def _write_one(out_dir: str, shard: int, t: pa.Table) -> None:
 
 
 def export_training_shards(ds, out_dir: str, n_shards: int, key_col: str,
-                           mode: str = "hash") -> "object":
+                           mode: str = "hash",
+                           shuffle_seed: int | None = None) -> "object":
     """Export ``ds`` to ``out_dir/shard=K/part.parquet`` (+ _DONE
     markers), skipping shards already complete from a previous run.
     Returns a Dataset of per-shard summaries (shard, n_rows) — read from
     the FILES on disk, so the summary also verifies completed shards a
-    resumed run never touched."""
+    resumed run never touched.
+
+    ``shuffle_seed``: rows inside each shard order by
+    splitmix64(hash(key) ^ seed) instead of key order — a randomized
+    training order that is still a pure function of (corpus, n_shards,
+    seed), so a re-export (and a resumed one) is byte-identical and a
+    new epoch is just a new seed."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -100,7 +108,8 @@ def export_training_shards(ds, out_dir: str, n_shards: int, key_col: str,
         raise ValueError("mode must be 'hash' or 'modulo'")
     os.makedirs(out_dir, exist_ok=True)
     _check_manifest(out_dir, {"n_shards": n_shards, "mode": mode,
-                              "key_col": key_col})
+                              "key_col": key_col,
+                              "shuffle_seed": shuffle_seed})
     done = finished_shards(out_dir)
     if len(done) == n_shards:
         pass  # fully complete — skip the shuffle entirely
@@ -131,12 +140,20 @@ def export_training_shards(ds, out_dir: str, n_shards: int, key_col: str,
                 return pa.table({"shard": pa.array([], pa.int64())})
             shard = int(grp["_shard"][0].as_py())
             t = grp.drop_columns(["_shard"])
-            # total order: key first, then every other column — byte-
-            # stable even when key_col has duplicates (groupby arrival
-            # order is not deterministic)
-            sort_keys = [(key_col, "ascending")] + [
-                (c, "ascending") for c in t.column_names if c != key_col]
-            _write_one(out_dir, shard, t.sort_by(sort_keys))
+            if shuffle_seed is not None:
+                rk = splitmix64(hash_key_array(t[key_col])
+                                ^ np.uint64(shuffle_seed & ((1 << 64) - 1)))
+                t = t.append_column("_rk", pa.array(rk.astype(np.int64)))
+            # total order: (shuffle rank or key) first, then every other
+            # column — byte-stable even when key_col has duplicates
+            # (groupby arrival order is not deterministic)
+            first = "_rk" if shuffle_seed is not None else key_col
+            sort_keys = [(first, "ascending")] + [
+                (c, "ascending") for c in t.column_names if c != first]
+            t = t.sort_by(sort_keys)
+            if shuffle_seed is not None:
+                t = t.drop_columns(["_rk"])
+            _write_one(out_dir, shard, t)
             return pa.table({"shard": pa.array([shard], pa.int64())})
 
         write_shard.__name__ = "write_shard"

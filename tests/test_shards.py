@@ -110,3 +110,29 @@ def test_null_keys_rejected(tmp_path):
     with pytest.raises(Exception, match="null 'k'"):
         sh.export_training_shards(ds, str(tmp_path / "n"), 4, "k",
                                   mode="modulo").take_all()
+
+
+def test_shuffled_export_is_seeded_permutation(tmp_path):
+    import moonray.functions.shards as sh
+
+    o1, o2, o3 = (str(tmp_path / x) for x in "abc")
+    sh.export_training_shards(_docs(), o1, 4, "doc_id", mode="modulo")
+    sh.export_training_shards(_docs(), o2, 4, "doc_id", mode="modulo",
+                              shuffle_seed=7)
+    sh.export_training_shards(_docs(), o3, 4, "doc_id", mode="modulo",
+                              shuffle_seed=7)
+    for s in range(4):
+        p = f"shard={s:05d}/part.parquet"
+        plain = pq.read_table(os.path.join(o1, p))["doc_id"].to_pylist()
+        shuf = pq.read_table(os.path.join(o2, p))["doc_id"].to_pylist()
+        again = pq.read_table(os.path.join(o3, p))["doc_id"].to_pylist()
+        assert sorted(shuf) == plain          # same rows, key order differs
+        assert shuf != plain                  # actually shuffled
+        assert shuf == again                  # seeded → reproducible
+    # a different seed is a different permutation; mismatched resume is
+    # refused (seed is part of the layout manifest)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixing shard layouts"):
+        sh.export_training_shards(_docs(), o2, 4, "doc_id", mode="modulo",
+                                  shuffle_seed=8)

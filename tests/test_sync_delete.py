@@ -184,3 +184,30 @@ def test_sync_crash_between_merge_and_pointer_converges(monkeypatch):
     del want[4]
     want[99] = "new"
     assert got == want
+
+
+def test_delete_where_composite_key():
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
+
+    schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ])
+    t = MoonrayTable.create(scratch_root("mr-ck-del-"),
+                            key_cols=["c_nationkey", "c_custkey"],
+                            schema=schema, rows_per_fragment=256,
+                            index_partitions=8)
+    t.bulk_load(rd.read_parquet(f"{SF}/customer.parquet"))
+    t.delete_where(lambda b: pc.greater(b["c_acctbal"], 5000.0), lsn=1,
+                   columns=("c_acctbal",))
+    got = _scan_df(t)
+    df = _cust_df()
+    want = df[~(df.c_acctbal > 5000.0)]
+    want = want[sorted(want.columns)].sort_values(
+        by=sorted(want.columns), ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)

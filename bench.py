@@ -292,21 +292,26 @@ def run_scaling() -> dict:
 
     PAIRED trials: each trial runs the hi leg then the lo leg
     back-to-back in fresh processes and computes THAT pair's
-    efficiency; the best pair is reported. This VM's co-tenant load
+    efficiency; the MEDIAN pair is the headline (best pair is a
+    disclosed secondary figure). This VM's co-tenant load
     drifts on multi-minute timescales (identical code measured
     0.55–0.77 across a session) — an all-lo-then-all-hi protocol
     systematically penalizes whichever leg runs later, while pairing
     cancels slow drift for both legs equally. Every pair lands in
     BENCH_SCALING_HISTORY.jsonl."""
     lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8").split(","))
-    best = None
+    pairs = []
     for _trial in range(SCALING_TRIALS):
         res_hi = _run_worker(hi)
         res_lo = _run_worker(lo)
         pair_eff = (res_hi["rows_per_s"] / res_lo["rows_per_s"]) / (hi / lo)
-        if best is None or pair_eff > best[0]:
-            best = (pair_eff, res_lo, res_hi)
-    eff, res_lo, res_hi = best
+        pairs.append((pair_eff, res_lo, res_hi))
+    # headline = MEDIAN pair (max over noisy trials selects on the
+    # reported metric itself and biases up); best pair is disclosed as
+    # a secondary figure and every pair lands in the history file.
+    pairs.sort(key=lambda p: p[0])
+    eff, res_lo, res_hi = pairs[len(pairs) // 2]
+    best_eff = pairs[-1][0]
     results = {lo: res_lo, hi: res_hi}
     thr_lo, thr_hi = res_lo["rows_per_s"], res_hi["rows_per_s"]
     out = {
@@ -328,6 +333,9 @@ def run_scaling() -> dict:
                               "merge_s", "maintenance_s", "scan_s")
                              if k in results[hi]}},
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_stat": "median_pair",
+        "best_pair_efficiency": round(best_eff, 3),
+        "all_pair_efficiencies": [round(p[0], 3) for p in pairs],
     }
     _record_scaling(out)
     return out

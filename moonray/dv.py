@@ -62,15 +62,19 @@ def dv_paths_of(frag_meta: dict) -> list[str]:
 
 
 def load_dv_union(root: str, rel_paths: list[str]) -> np.ndarray:
-    """Union of DV delta files (deltas are disjoint → concat, sort);
-    remote roots read through the worker-local file cache."""
+    """Union of DV delta files. Merge writes disjoint deltas, but
+    callers downstream (lookup's ``setdiff1d(assume_unique=True)``,
+    ``apply_dv_mask``) must not silently corrupt if a future path ever
+    violates that invariant — so dedup here (np.unique = sort + dedup,
+    same cost class as the old sort). Remote roots read through the
+    worker-local file cache."""
     from moonray.filecache import data_path
 
     if not rel_paths:
         return empty_dv()
     parts = [load_dv(data_path(root, p)) for p in rel_paths]
     out = np.concatenate(parts) if len(parts) > 1 else parts[0]
-    return np.sort(out.astype(np.uint32))
+    return np.unique(out.astype(np.uint32))
 
 
 def apply_dv_mask(row_offsets: np.ndarray, dv: np.ndarray) -> np.ndarray:

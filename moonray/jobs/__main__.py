@@ -195,8 +195,6 @@ def main(argv=None) -> int:
         print(json.dumps({"delta_version": dv, "dest": args.dest}))
         return 0
     elif args.cmd == "delete-range":
-        import pyarrow.compute as pc
-
         # keep json's native int/float types: float() coercion would
         # round int64 bounds near 2^53 (silent wrong-row deletes) and
         # make Arrow raise on int64 values float64 can't hold
@@ -205,17 +203,7 @@ def main(argv=None) -> int:
         if not ranges:
             raise SystemExit("delete-range: empty --ranges-json would be "
                              "an unconditional full-table delete; refuse")
-
-        def pred(b, ranges=ranges):
-            mask = None
-            for c, (lo, hi) in ranges.items():
-                m = pc.and_(pc.greater_equal(b[c], lo),
-                            pc.less_equal(b[c], hi))
-                mask = m if mask is None else pc.and_(mask, m)
-            return mask
-
-        v = t.delete_where(pred, lsn=args.lsn, columns=tuple(ranges),
-                           predicate_ranges=ranges, job_id=args.job_id)
+        v = t.delete_range(ranges, lsn=args.lsn, job_id=args.job_id)
     elif args.cmd == "sync":
         from moonray.sync import sync_incremental
 

@@ -64,7 +64,8 @@ def init_table_dirs(root: str) -> None:
         # object stores have no directories; the scratch plane
         # (storage.scratch_for) creates its own dirs lazily
         return
-    for d in ("versions", "fragments", "dv", "index", "pins", "lineage", "staging"):
+    for d in ("versions", "fragments", "dv", "index", "pins", "floors",
+              "lineage", "staging"):
         os.makedirs(os.path.join(root, d), exist_ok=True)
 
 
@@ -151,6 +152,32 @@ def pinned_versions(root: str) -> set[int]:
     return {int(store.read(rel)) for rel in store.list("pins")}
 
 
+def set_floor(root: str, version: int, token: str) -> None:
+    """Changelog floor: a CDC consumer (incremental view sync, changes()
+    tailer) at offset V needs the manifest RANGE (V, head] intact, not
+    one version — expiry keeps every version ≥ the smallest floor. The
+    Iceberg analogue is 'don't expire snapshots newer than the oldest
+    incremental consumer'. Advanced each sync round; monotonic per
+    token (a stale re-set never lowers an advanced floor)."""
+    store = _store(root)
+    rel = os.path.join("floors", token)
+    try:
+        if int(store.read(rel)) >= version:
+            return
+    except FileNotFoundError:
+        pass
+    store.set_pointer(rel, str(version))
+
+
+def clear_floor(root: str, token: str) -> None:
+    _store(root).delete(os.path.join("floors", token))
+
+
+def floor_versions(root: str) -> set[int]:
+    store = _store(root)
+    return {int(store.read(rel)) for rel in store.list("floors")}
+
+
 def referenced_files(manifest: dict) -> set[str]:
     from moonray.dv import dv_paths_of
 
@@ -178,6 +205,10 @@ def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
     versions = list_versions(root)
     cur = latest_version(root)
     keep = set(versions[-keep_last:]) | {cur} | set(keep_versions) | pinned_versions(root)
+    floors = floor_versions(root)
+    if floors:
+        lo = min(floors)
+        keep |= {v for v in versions if v >= lo}
     keep = {v for v in keep if v in versions}
     retained_refs: set[str] = set()
     for v in keep:

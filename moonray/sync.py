@@ -50,17 +50,35 @@ def last_synced_version(dst, state_key: str = "default") -> int:
         return 0
 
 
+def _src_floor_token(dst, state_key: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256(f"{dst.root}|{state_key}".encode()).hexdigest()[:16]
+    return f"sync-{h}"
+
+
 def sync_incremental(src, dst, *, insert_filter=None,
                      state_key: str = "default") -> int:
     """Apply the source commits in (last_synced, src.latest] to ``dst``
     and advance the sync pointer. Returns dst's new version (or its
     current one when already up to date). ``insert_filter(batch) ->
     bool mask`` selects which INSERT rows belong to the view; deletes
-    always flow."""
+    always flow.
+
+    Expiry safety: each round advances a changelog FLOOR on the source
+    (manifest.set_floor) so a routine ``expire_snapshots`` on src keeps
+    the manifests this consumer still needs — without it, expiry would
+    permanently break the incremental path. A source expired BEFORE the
+    first sync (or with the floor manually cleared) surfaces as a
+    'resync required' error instead of a FileNotFoundError."""
+    from moonray import manifest as mf
     from moonray.commitstore import store_for
 
     last = last_synced_version(dst, state_key)
     cur = src.latest_version()
+    # floor before reading: expiry running concurrently must not drop
+    # the (last, cur] manifests out from under the changelog scan
+    mf.set_floor(src.root, last, _src_floor_token(dst, state_key))
     if cur <= last:
         return dst.latest_version()
     schema = src.schema()
@@ -88,8 +106,17 @@ def sync_incremental(src, dst, *, insert_filter=None,
         return pa.table(cols)
 
     to_ops.__name__ = "changelog_to_ops"
-    ops = src.changes(last, cur).map_batches(to_ops, batch_format="pyarrow")
-    v = dst.merge(ops, seq_col=_SEQ,
-                  job_id=f"sync-{state_key}-{last}-{cur}")
+    try:
+        ops = src.changes(last, cur).map_batches(to_ops,
+                                                 batch_format="pyarrow")
+        v = dst.merge(ops, seq_col=_SEQ,
+                      job_id=f"sync-{state_key}-{last}-{cur}")
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"incremental sync (state_key={state_key!r}) needs source "
+            f"manifests ({last}, {cur}] but at least one is expired: {e}. "
+            "Resync required: rebuild dst from a full scan, then reset "
+            "the sync pointer to the scanned version.") from e
     store_for(dst.root).set_pointer(_pointer_name(state_key), str(cur))
+    mf.set_floor(src.root, cur, _src_floor_token(dst, state_key))
     return v

@@ -573,6 +573,32 @@ class MoonrayTable:
         return self.merge(ds.map_batches(to_deletes, batch_format="pyarrow"),
                           job_id=job_id)
 
+    def delete_range(self, ranges: dict, *, lsn: int,
+                     job_id: str | None = None) -> int:
+        """DELETE rows inside closed per-column ranges — the safe
+        primary form of ``delete_where``: the predicate AND the zone
+        pruning hint derive from the same ``{col: (lo, hi)}`` spec, so
+        they cannot disagree (a hand-passed hint narrower than the
+        predicate silently leaves rows undeleted). The jobs CLI
+        ``delete-range`` is a thin wrapper over this."""
+        import pyarrow.compute as pc
+
+        if not ranges:
+            raise ValueError("empty ranges would be an unconditional "
+                             "full-table delete; refuse")
+        ranges = {c: (lo, hi) for c, (lo, hi) in ranges.items()}
+
+        def pred(b, ranges=ranges):
+            mask = None
+            for c, (lo, hi) in ranges.items():
+                m = pc.and_(pc.greater_equal(b[c], lo),
+                            pc.less_equal(b[c], hi))
+                mask = m if mask is None else pc.and_(mask, m)
+            return mask
+
+        return self.delete_where(pred, lsn=lsn, columns=tuple(ranges),
+                                 predicate_ranges=ranges, job_id=job_id)
+
     def stream_begin(self, xid: str):
         """Open a streaming transaction (multi-batch xact staged outside
         the table; commit folds atomically, abort discards — reference:
@@ -708,12 +734,23 @@ class MoonrayTable:
         """Timestamp time travel (Iceberg snapshot-as-of-timestamp
         analogue): the latest retained version whose commit wall-clock
         is ≤ ``ts`` (epoch seconds). Versions predating the
-        committed_at field count as arbitrarily old."""
-        best = None
+        committed_at field count as arbitrarily old — but only BEFORE
+        the first timestamped version: after one, the scan stops at the
+        first version whose committed_at exceeds ts OR is missing
+        (mixed-version writers; commit order bounds its real time from
+        below but not above), so an early ts can never resolve to a
+        newer version."""
+        best, seen_ts = None, False
         for v in self.versions():
             at = self.manifest(v).get("committed_at")
-            if at is None or at <= ts:
-                best = v
+            if at is None:
+                if seen_ts:
+                    break
+            elif at > ts:
+                break
+            else:
+                seen_ts = True
+            best = v
         if best is None:
             raise ValueError(f"no version committed at or before {ts}")
         return best

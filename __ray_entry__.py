@@ -250,6 +250,12 @@ def _q_alter(sf_dir: str):
     return alter_evolution_scan(sf_dir)
 
 
+def _q_iceberg_export(sf_dir: str):
+    from moonray.pipelines.relational import iceberg_export_scan
+
+    return iceberg_export_scan(sf_dir)
+
+
 def _q_stream_xact(sf_dir: str):
     from moonray.pipelines.relational import stream_xact_scan
 
@@ -686,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_view_sync": _q_view_sync,
         "alter_schema_evolution": _q_alter,
         "stream_xact_commit": _q_stream_xact,
+        "iceberg_export_scan": _q_iceberg_export,
         # ---- streaming-shaped ----
         "tumbling_window_events": _q_tumbling,
         "hopping_window_events": _q_hopping,
@@ -749,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_then_compact": _MERGE_SQL,
         "merge_then_cluster": _MERGE_SQL,
         "merge_full_maintenance_expire": _MERGE_SQL,
+        "iceberg_export_scan": _MERGE_SQL,
         "snapshot_isolation_pre_merge": _CUSTOMER_SQL,
         "zone_pruned_scan": _CUSTOMER_SQL
         + " WHERE c_acctbal >= 1000.0 AND c_acctbal <= 5000.0",

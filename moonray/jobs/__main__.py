@@ -122,6 +122,11 @@ def main(argv=None) -> int:
     sp.add_argument("--dest", required=True, help="Delta table directory")
     sp.add_argument("--version", type=int, default=None)
 
+    sp = sub.add_parser("export-iceberg")
+    tbl(sp)
+    sp.add_argument("--dest", required=True, help="Iceberg table directory")
+    sp.add_argument("--version", type=int, default=None)
+
     sp = sub.add_parser("delete-range")
     tbl(sp)
     sp.add_argument("--ranges-json", required=True,
@@ -193,6 +198,13 @@ def main(argv=None) -> int:
 
         dv = export_delta(t, args.dest, version=args.version)
         print(json.dumps({"delta_version": dv, "dest": args.dest}))
+        return 0
+    elif args.cmd == "export-iceberg":
+        from moonray.sinks.iceberg import export_iceberg
+
+        iv = export_iceberg(t, args.dest, version=args.version)
+        print(json.dumps({"iceberg_metadata_version": iv,
+                          "dest": args.dest}))
         return 0
     elif args.cmd == "delete-range":
         # keep json's native int/float types: float() coercion would

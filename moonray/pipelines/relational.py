@@ -570,3 +570,21 @@ def hopping_window_events(sf_dir: str, window_sec: int = 3600,
             .groupby(["user_id", "win"])
             .aggregate(Sum("n_events", alias_name="n_events"),
                        Sum("sum_cents", alias_name="sum_cents")))
+
+
+def iceberg_export_scan(sf_dir: str):
+    """bulk load customer → MERGE orders-derived CDC → export to an
+    Iceberg v3 table (incremental: once pre-merge, once post-merge so
+    the second commit ships only new files + DV puffin blobs) → replay
+    the ICEBERG state independently (read_iceberg_table). The driver's
+    DuckDB oracle is the same MERGE SQL, so value-equality proves the
+    exported metadata/manifests/DVs reconstruct the table exactly."""
+    from moonray.sinks.iceberg import export_iceberg, read_iceberg_table
+    from moonray.util import scratch_root
+
+    t = build_customer_table(sf_dir)
+    dest = scratch_root("moonray-ice-")
+    export_iceberg(t, dest)
+    t.merge(_changes_dataset(sf_dir))
+    export_iceberg(t, dest)
+    return read_iceberg_table(dest)

@@ -1,0 +1,229 @@
+"""Puffin files + Iceberg v3 deletion-vector blobs (pure Python/numpy).
+
+Implements the three public formats the reference's Iceberg syncer
+emits for deletion vectors (reference:
+src/moonlink/src/storage/table/iceberg/deletion_vector.rs:80-145 —
+``| len | magic 0xD1D33964 | roaring bitmap | crc32c |`` inside a
+puffin file), from their public specs only:
+
+- Puffin file format (Iceberg spec "Puffin file format"): ``PFA1``
+  header magic, concatenated blobs, footer = magic + JSON payload +
+  u32-LE payload size + u32 flags + magic.
+- ``deletion-vector-v1`` blob: u32 big-endian length of (magic +
+  vector), magic bytes ``D1 D3 39 64``, the vector as a portable
+  64-bit roaring bitmap, u32 big-endian CRC-32C over (magic + vector).
+- Portable roaring (RoaringFormatSpec): 64-bit = u64-LE bucket count
+  then per bucket u32-LE high key + 32-bit portable bitmap; 32-bit =
+  cookie 12346 (no run containers) + container count, descriptive
+  header (u16 key, u16 cardinality-1), offset header, then sorted-u16
+  array containers (card ≤ 4096) or 8 KiB bitset containers.
+
+Everything round-trips: ``read_*`` validates magics and CRCs, so the
+pytest replay checker exercises the same bytes an external Iceberg v3
+reader would parse.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+
+PUFFIN_MAGIC = b"PFA1"
+DV_MAGIC = bytes((0xD1, 0xD3, 0x39, 0x64))
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_BITSET_THRESHOLD = 4096
+
+
+# ------------------------------------------------------------- crc32c
+
+def _crc32c_table() -> np.ndarray:
+    poly = 0x82F63B78  # Castagnoli, reflected
+    tbl = np.empty(256, dtype=np.uint64)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ poly if c & 1 else c >> 1
+        tbl[i] = c
+    return tbl
+
+
+_CRC_TBL = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    """Table-driven CRC-32C. DV blobs are small (KBs); the byte loop is
+    fine — not a hot path."""
+    crc = 0xFFFFFFFF
+    tbl = _CRC_TBL
+    for b in data:
+        crc = int(tbl[(crc ^ b) & 0xFF]) ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# ----------------------------------------------- portable roaring
+
+def _serialize_roaring32(vals: np.ndarray) -> bytes:
+    """``vals``: sorted unique uint32 → portable 32-bit roaring bytes."""
+    hi = (vals >> 16).astype(np.uint16)
+    lo = (vals & 0xFFFF).astype(np.uint16)
+    keys, starts = np.unique(hi, return_index=True)
+    bounds = np.append(starts, len(vals))
+    n = len(keys)
+    head = struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+    desc = bytearray()
+    payloads = []
+    for i in range(n):
+        seg = lo[bounds[i]:bounds[i + 1]]
+        card = len(seg)
+        desc += struct.pack("<HH", int(keys[i]), card - 1)
+        if card <= _BITSET_THRESHOLD:
+            payloads.append(seg.astype("<u2").tobytes())
+        else:
+            bits = np.zeros(1024, dtype=np.uint64)
+            idx = seg.astype(np.uint32)
+            np.bitwise_or.at(bits, idx >> 6,
+                             np.uint64(1) << (idx & np.uint32(63)).astype(np.uint64))
+            payloads.append(bits.astype("<u8").tobytes())
+    # offset header: container start positions from the bitmap's byte 0
+    off = len(head) + len(desc) + 4 * n
+    offsets = bytearray()
+    for p in payloads:
+        offsets += struct.pack("<I", off)
+        off += len(p)
+    return head + bytes(desc) + bytes(offsets) + b"".join(payloads)
+
+
+def _deserialize_roaring32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
+    cookie, n = struct.unpack_from("<II", buf, pos)
+    if cookie != _SERIAL_COOKIE_NO_RUN:
+        raise ValueError(f"unsupported roaring cookie {cookie}")
+    base = pos
+    pos += 8
+    keys = np.empty(n, dtype=np.uint32)
+    cards = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        k, cm1 = struct.unpack_from("<HH", buf, pos)
+        keys[i], cards[i] = k, cm1 + 1
+        pos += 4
+    offsets = [struct.unpack_from("<I", buf, pos + 4 * i)[0]
+               for i in range(n)]
+    pos += 4 * n
+    parts = []
+    end = pos
+    for i in range(n):
+        p = base + offsets[i]
+        card = int(cards[i])
+        if card <= _BITSET_THRESHOLD:
+            seg = np.frombuffer(buf, dtype="<u2", count=card, offset=p
+                                ).astype(np.uint32)
+            end = max(end, p + 2 * card)
+        else:
+            bits = np.frombuffer(buf, dtype="<u8", count=1024, offset=p)
+            idx = np.flatnonzero(
+                np.unpackbits(bits.view(np.uint8), bitorder="little"))
+            seg = idx.astype(np.uint32)
+            if len(seg) != card:
+                raise ValueError("bitset cardinality mismatch")
+            end = max(end, p + 8192)
+        parts.append(seg | (np.uint32(keys[i]) << np.uint32(16)))
+    out = (np.concatenate(parts) if parts
+           else np.empty(0, dtype=np.uint32))
+    return out, end
+
+
+def serialize_roaring64(vals: np.ndarray) -> bytes:
+    """Sorted-unique uint64 positions → portable 64-bit roaring."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    hi32 = (vals >> np.uint64(32)).astype(np.uint32)
+    lo32 = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    keys, starts = np.unique(hi32, return_index=True)
+    bounds = np.append(starts, len(vals))
+    out = [struct.pack("<Q", len(keys))]
+    for i, k in enumerate(keys):
+        out.append(struct.pack("<I", int(k)))
+        out.append(_serialize_roaring32(lo32[bounds[i]:bounds[i + 1]]))
+    return b"".join(out)
+
+
+def deserialize_roaring64(buf: bytes) -> np.ndarray:
+    (nb,) = struct.unpack_from("<Q", buf, 0)
+    pos = 8
+    parts = []
+    for _ in range(nb):
+        (hi,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        lo, pos = _deserialize_roaring32(buf, pos)
+        parts.append(lo.astype(np.uint64) | (np.uint64(hi) << np.uint64(32)))
+    return (np.concatenate(parts) if parts
+            else np.empty(0, dtype=np.uint64))
+
+
+# ------------------------------------------------------ DV blob
+
+def encode_dv_blob(positions: np.ndarray) -> bytes:
+    """Deleted row positions (uint32/64, sorted unique) →
+    ``deletion-vector-v1`` blob bytes."""
+    bitmap = serialize_roaring64(np.asarray(positions, dtype=np.uint64))
+    body = DV_MAGIC + bitmap
+    return (struct.pack(">I", len(body)) + body
+            + struct.pack(">I", crc32c(body)))
+
+
+def decode_dv_blob(blob: bytes) -> np.ndarray:
+    (length,) = struct.unpack_from(">I", blob, 0)
+    body = blob[4:4 + length]
+    if body[:4] != DV_MAGIC:
+        raise ValueError("bad deletion-vector-v1 magic")
+    (crc,) = struct.unpack_from(">I", blob, 4 + length)
+    if crc != crc32c(body):
+        raise ValueError("deletion-vector-v1 CRC mismatch")
+    return deserialize_roaring64(body[4:])
+
+
+# -------------------------------------------------------- puffin
+
+def write_puffin(path: str, blobs: list[dict]) -> list[dict]:
+    """``blobs``: [{"type", "bytes", ...footer extras...}]. Writes the
+    puffin file and returns the footer blob descriptors (with offset/
+    length filled in) for the caller's manifest entries."""
+    descs = []
+    with open(path, "wb") as f:
+        f.write(PUFFIN_MAGIC)
+        off = 4
+        for b in blobs:
+            data = b["bytes"]
+            d = {k: v for k, v in b.items() if k != "bytes"}
+            d.setdefault("fields", [])
+            d["offset"] = off
+            d["length"] = len(data)
+            descs.append(d)
+            f.write(data)
+            off += len(data)
+        payload = json.dumps({"blobs": descs, "properties":
+                              {"created-by": "moonray"}}).encode()
+        f.write(PUFFIN_MAGIC)
+        f.write(payload)
+        f.write(struct.pack("<I", len(payload)))
+        f.write(struct.pack("<I", 0))  # flags: payload uncompressed
+        f.write(PUFFIN_MAGIC)
+    return descs
+
+
+def read_puffin(path: str) -> tuple[list[dict], bytes]:
+    """→ (footer blob descriptors, whole file bytes). Validates all
+    three magics and the footer framing."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != PUFFIN_MAGIC or raw[-4:] != PUFFIN_MAGIC:
+        raise ValueError("bad puffin magic")
+    (size,) = struct.unpack_from("<I", raw, len(raw) - 12)
+    (flags,) = struct.unpack_from("<I", raw, len(raw) - 8)
+    if flags & 1:
+        raise ValueError("compressed puffin footer unsupported")
+    payload = raw[len(raw) - 12 - size:len(raw) - 12]
+    if raw[len(raw) - 12 - size - 4:len(raw) - 12 - size] != PUFFIN_MAGIC:
+        raise ValueError("bad puffin footer magic")
+    return json.loads(payload.decode())["blobs"], raw

@@ -78,3 +78,23 @@ def test_cli_delete_range_int64_exact_and_empty_refused(tmp_path, capsys):
     with pytest.raises(SystemExit, match="full-table delete"):
         _run(capsys, "delete-range", "--table", src,
              "--ranges-json", "{}", "--lsn", "10")
+
+
+def test_cli_export_iceberg(tmp_path, capsys):
+    src = str(tmp_path / "src")
+    _run(capsys, "create", "--table", src, "--key", "k",
+         "--schema-json", '[["k","int64"],["bal","float64"]]',
+         "--rows-per-fragment", "64")
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({"k": pa.array(range(200), pa.int64()),
+                             "bal": pa.array(np.arange(200) * 1.5)}), inp)
+    _run(capsys, "load", "--table", src, "--input", inp, "--job-id", "l1")
+    _run(capsys, "delete-range", "--table", src,
+         "--ranges-json", '{"k": [0, 49]}', "--lsn", "5")
+    dest = str(tmp_path / "ice")
+    out = _run(capsys, "export-iceberg", "--table", src, "--dest", dest)
+    assert out["iceberg_metadata_version"] == 1
+    from moonray.sinks.iceberg import read_iceberg_table
+
+    got = read_iceberg_table(dest)
+    assert sorted(got["k"].to_pylist()) == list(range(50, 200))

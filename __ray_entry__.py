@@ -318,12 +318,30 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
+    """ANN through the PERSISTED IVF layout: one-off build (train
+    centroids, partition-by-centroid parquet under /tmp, cached per
+    sf_dir) then a search that reads only probed partitions — the
+    100 TB path where I/O, not just compute, is pruned."""
+    import hashlib
+    import os
+
     import ray.data as rd
 
-    from moonray.functions.knn import knn_cosine_ivf
+    from moonray.functions.knn import IvfIndex, build_ivf_layout
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return knn_cosine_ivf(ds, _knn_queries(sf_dir), k=10)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = f"/tmp/moonray-ivf-{tag}"
+    src = f"{sf_dir}/embeddings.parquet"
+    if not (os.path.exists(os.path.join(root, "ivf.json"))
+            and os.path.getmtime(os.path.join(root, "ivf.json"))
+            >= os.path.getmtime(src)):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        build_ivf_layout(rd.read_parquet(src), root, n_centroids=16,
+                         seed=7)
+    return IvfIndex.open(root).search(_knn_queries(sf_dir), k=10,
+                                      n_probe=4)
 
 
 def _q_phash_near_dups(sf_dir: str):

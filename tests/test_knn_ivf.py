@@ -39,3 +39,53 @@ def test_ivf_recall_vs_exact():
     # every result list is exactly k long and excludes the query itself
     for q, ids in ap.items():
         assert len(ids) == 10 and q not in ids
+
+
+def test_persisted_ivf_layout_prunes_io_and_recalls():
+    """The persisted IVF layout must (a) keep recall vs brute force and
+    (b) read bytes/files proportional to PROBED buckets, not the corpus
+    (VERDICT r2: the query-time-assignment IVF streamed 100% of the
+    corpus)."""
+    from moonray.functions.knn import IvfIndex, build_ivf_layout
+    from moonray.util import scratch_root
+
+    ds, vecs = _dataset()
+    root = scratch_root("mr-ivf-")
+    idx = build_ivf_layout(ds, root, n_centroids=16, seed=7)
+    reopened = IvfIndex.open(root)
+
+    queries = [(int(i), vecs[i]) for i in range(8)]
+    exact = knn_cosine(ds, queries, k=10)
+    approx, stats = reopened.search(queries, k=10, n_probe=4,
+                                    with_stats=True)
+
+    def to_sets(t):
+        out = {}
+        for r in t.to_pylist():
+            out.setdefault(r["qid"], set()).add(r["nid"])
+        return out
+
+    ex, ap = to_sets(exact), to_sets(approx)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    for q, ids in ap.items():
+        assert len(ids) == 10 and q not in ids
+
+    # I/O pruning: the 8 clustered query points probe ≤ 8×4 of 16
+    # buckets; with blob-clustered data the probed share of bytes must
+    # be well under the whole corpus. (Empty centroids write no dir, so
+    # buckets_total may be < n_centroids.)
+    assert 4 <= stats["buckets_total"] <= 16
+    assert stats["buckets_read"] < stats["buckets_total"]
+    assert stats["bytes_read"] < stats["bytes_total"]
+    assert stats["files_read"] < stats["files_total"]
+    # proportionality: bytes_read within 2x of the probed-bucket share
+    share = stats["buckets_read"] / stats["buckets_total"]
+    assert stats["bytes_read"] <= 2.0 * share * stats["bytes_total"]
+
+    # single focused query set probes n_probe=2 of 16 buckets → tiny read
+    one, s1 = reopened.search([(0, vecs[0])], k=5, n_probe=2,
+                              with_stats=True)
+    assert s1["buckets_read"] <= 2
+    assert s1["bytes_read"] < 0.5 * s1["bytes_total"]
+    assert len(one) == 5

@@ -884,8 +884,26 @@ class MoonrayTable:
             offs = np.setdiff1d(offs, dv, assume_unique=True)
             if not len(offs):
                 return None
-            t = _read_fragment(self.root, f["path"], [], read_schema,
-                               m.get("column_defaults", {}), True)
+            rg = f.get("rg_rows")
+            if rg:
+                # point read: ROWOFF is file-positional (0..n-1 in write
+                # order), so hit offsets map straight to row groups —
+                # read ONLY those (the reference's
+                # equals_parquet_at_offset point read,
+                # src/moonlink/src/row/moonlink_row.rs:214-248); a 10-key
+                # lookup on 512 MiB image fragments must not read GiBs.
+                groups = np.unique(offs // np.uint32(rg)).astype(np.int64)
+                runs = np.flatnonzero(np.r_[True, np.diff(groups) != 1])
+                spans = [(int(groups[s]), int(groups[e - 1]) + 1)
+                         for s, e in zip(runs, np.r_[runs[1:], len(groups)])]
+                t = pa.concat_tables([
+                    _read_fragment(self.root, f["path"], [], read_schema,
+                                   m.get("column_defaults", {}), True,
+                                   rg_span=sp)
+                    for sp in spans])
+            else:
+                t = _read_fragment(self.root, f["path"], [], read_schema,
+                                   m.get("column_defaults", {}), True)
             t = t.filter(pc.is_in(t[ROWOFF], value_set=pa.array(offs)))
             return t.select(read_cols)
 

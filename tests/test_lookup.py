@@ -95,3 +95,44 @@ def test_lookup_remote_root(merged_table):
     got = sorted(remote.lookup([0, 10, 14, 50]).to_pylist(),
                  key=lambda r: r["id"])
     assert got == want
+
+
+def test_lookup_reads_only_hit_row_groups(tmp_path, monkeypatch):
+    """A 1-key lookup on a multi-row-group fragment must read only the
+    row group holding the hit (VERDICT r2: full-fragment point reads
+    turn a 10-key lookup over image fragments into gigabytes)."""
+    import moonray.table as mt
+
+    root = str(tmp_path / "tbl")
+    schema = pa.schema([("id", pa.int64()), ("val", pa.string())])
+    # rows_per_fragment=512 → rg_rows = max(64, 512//8) = 64: one
+    # fragment, 8 row groups
+    t = MoonrayTable.create(root, key_col="id", schema=schema,
+                            index_partitions=4, rows_per_fragment=512)
+    t.bulk_load(rd.from_arrow(pa.table({
+        "id": pa.array(range(512), pa.int64()),
+        "val": pa.array([f"v{i}" for i in range(512)], pa.string()),
+    })))
+    m = t.manifest()
+    assert len(m["fragments"]) == 1
+    assert m["fragments"][0].get("rg_rows") == 64
+
+    spans: list[tuple] = []
+    real = mt._read_fragment
+
+    def spy(*args, **kwargs):
+        spans.append(kwargs.get("rg_span"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(mt, "_read_fragment", spy)
+    got = t.lookup([300])
+    assert {r["id"]: r["val"] for r in got.to_pylist()} == {300: "v300"}
+    # offset 300 lives in row group 4 → exactly one single-group span
+    assert spans == [(4, 5)]
+
+    spans.clear()
+    got = t.lookup([0, 1, 300, 511])
+    assert len(got) == 4
+    # groups {0, 4, 7} → spans (0,1), (4,5), (7,8); never a full read
+    assert None not in spans
+    assert sorted(spans) == [(0, 1), (4, 5), (7, 8)]

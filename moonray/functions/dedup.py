@@ -33,16 +33,28 @@ TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 # ---------------- exact dedup ----------------
 
 class AddContentHash:
+    """Two independent vectorized 64-bit hash lanes (≈128-bit content
+    identity — collision odds negligible at corpus scale) instead of a
+    per-row Python md5 loop; any injective-in-practice content hash
+    yields the same dedup survivors."""
+
     def __init__(self, text_col: str, prefix_len: int | None):
         self.text_col = text_col
         self.prefix_len = prefix_len
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
+        import pyarrow.compute as pc
+
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         if self.prefix_len:
-            texts = [t[: self.prefix_len] for t in texts]
-        hs = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-        return batch.append_column("_chash", pa.array(hs, pa.string()))
+            col = pc.utf8_slice_codeunits(col, 0, self.prefix_len)
+        return (batch
+                .append_column("_ch1", pa.array(hash_key_array(col),
+                                                pa.uint64()))
+                .append_column("_ch2", pa.array(hash_key_array(col, seed=1),
+                                                pa.uint64())))
 
 
 class KeepFirstPerHash:
@@ -51,9 +63,11 @@ class KeepFirstPerHash:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t = group.sort_by([(self.id_col, "ascending")])
-        hashes = np.asarray(t["_chash"].combine_chunks())
-        _, first = np.unique(hashes, return_index=True)
-        return t.take(pa.array(np.sort(first))).drop_columns(["_chash", "_bkt"])
+        key = np.stack([t["_ch1"].to_numpy(zero_copy_only=False),
+                        t["_ch2"].to_numpy(zero_copy_only=False)], axis=1)
+        _, first = np.unique(key, axis=0, return_index=True)
+        return t.take(pa.array(np.sort(first))).drop_columns(
+            ["_ch1", "_ch2", "_bkt"])
 
 
 def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -64,7 +78,7 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     buckets = buckets or default_buckets()
 
     def bucketed(b: pa.Table) -> pa.Table:
-        h = np.array([int(x[:8], 16) for x in b["_chash"].to_pylist()], dtype=np.uint64)
+        h = b["_ch1"].to_numpy(zero_copy_only=False)
         return b.append_column("_bkt", pa.array((h % np.uint64(buckets)).astype(np.int32)))
 
     withh = ds.map_batches(as_fn(AddContentHash(text_col, prefix_len), "add_chash"),
@@ -132,22 +146,51 @@ class MinHashBands:
                 out.append(np.unique(splitmix64(mixed)))
         return out
 
+    # cap the (num_perm × shingles) intermediate at ~16M u64 = 128 MiB
+    _CHUNK_ELEMS = 16_000_000
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_band, out_hash, out_id = [], [], []
-        ids = batch[self.id_col].to_pylist()
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
         shingles = self._shingle_hashes_batch(batch[self.text_col].to_pylist())
-        for sh, did in zip(shingles, ids):
-            # (num_perm, n_shingles) → min per permutation, one expression
-            sig = splitmix64(sh[None, :] ^ self.seeds[:, None]).min(axis=1)
-            for b in range(self.bands):
-                band = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                h = hashlib.md5(band.tobytes() + bytes([b])).hexdigest()[:16]
-                out_band.append(b)
-                out_hash.append(h)
-                out_id.append(did)
-        return pa.table({"band": pa.array(out_band, pa.int32()),
-                         "bhash": pa.array(out_hash, pa.string()),
-                         "id": pa.array(out_id, pa.int64())})
+        n = len(ids)
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "bhash": pa.array([], pa.uint64()),
+                             "id": pa.array([], pa.int64())})
+        lens = np.array([len(s) for s in shingles], dtype=np.int64)
+        flat = np.concatenate(shingles)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        # all docs' signatures via minimum.reduceat over doc boundaries,
+        # chunked so the (num_perm × chunk_shingles) intermediate stays
+        # bounded (every doc has ≥1 shingle, so no empty segments)
+        lo = 0
+        max_sh = max(1, self._CHUNK_ELEMS // self.num_perm)
+        while lo < n:
+            hi = lo + 1
+            while hi < n and offsets[hi + 1] - offsets[lo] <= max_sh:
+                hi += 1
+            seg = flat[offsets[lo]:offsets[hi]]
+            m = splitmix64(seg[None, :] ^ self.seeds[:, None])
+            cuts = offsets[lo:hi] - offsets[lo]
+            sigs[lo:hi] = np.minimum.reduceat(m, cuts, axis=1).T
+            lo = hi
+        # band digests: splitmix64 fold over each band's rows_per_band
+        # signature values (seeded by band index) — vectorized over
+        # (docs × bands); replaces the per-doc/per-band md5 loop. Digest
+        # collisions only ADD candidate pairs (exact verify removes
+        # them), never lose one: equal signatures hash equal.
+        sig3 = sigs.reshape(n, self.bands, self.rows_per_band)
+        acc = np.broadcast_to(
+            splitmix64(np.arange(1, self.bands + 1, dtype=np.uint64))[None, :],
+            (n, self.bands)).copy()
+        for j in range(self.rows_per_band):
+            acc = splitmix64(acc ^ sig3[:, :, j])
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "bhash": pa.array(acc.reshape(-1), pa.uint64()),
+            "id": pa.array(np.repeat(ids, self.bands), pa.int64()),
+        })
 
 
 def _jaccard(a: set, b: set) -> float:

@@ -37,25 +37,34 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def hash_key_array(arr) -> np.ndarray:
-    """uint64 hash of a key column (pa.Array / pa.ChunkedArray / np / list)."""
+def hash_key_array(arr, seed: int = 0) -> np.ndarray:
+    """uint64 hash of a key column (pa.Array / pa.ChunkedArray / np /
+    list). ``seed`` selects an independent hash lane (seed=0 is the
+    historical default and must stay byte-stable: persisted key-index
+    partitions and shuffle plans are keyed by it)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if isinstance(arr, pa.Array):
         if pa.types.is_integer(arr.type):
             vals = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
-            return splitmix64(vals)
+            h = splitmix64(vals)
+            return h if not seed else splitmix64(h ^ np.uint64(seed))
         if _HAS_POLARS:
-            return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
+            return (pl.from_arrow(arr).hash(seed=seed)
+                    .to_numpy().astype(np.uint64))
+        # blake2b zero-pads salt, so seed=0 matches the unsalted default
+        salt = int(seed).to_bytes(8, "little")
         return np.array(
-            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8,
+                                            salt=salt).digest(), "little")
              for s in arr.to_pylist()],
             dtype=np.uint64,
         )
     arr_np = np.asarray(arr)
     if np.issubdtype(arr_np.dtype, np.integer):
-        return splitmix64(arr_np.astype(np.uint64))
-    return hash_key_array(pa.array(arr_np))
+        h = splitmix64(arr_np.astype(np.uint64))
+        return h if not seed else splitmix64(h ^ np.uint64(seed))
+    return hash_key_array(pa.array(arr_np), seed=seed)
 
 
 def list_to_matrix(col, dtype=np.float64) -> np.ndarray:

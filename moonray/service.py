@@ -8,8 +8,14 @@ MoonrayTable, stdlib-only (ThreadingHTTPServer):
     DELETE /tables/{t}                  drop
     GET    /schema/{t}                  column name/type pairs
     POST   /ingest/{t}                  {"operation": insert|upsert|delete,
-                                         "data": row-object | [row-objects]}
-                                        (rest_api.rs:1073-1075 op set)
+                                         "data": row-object | [row-objects],
+                                         "request_mode": sync|async}
+                                        (rest_api.rs:1073-1075 op set;
+                                        async = durable event-WAL buffering,
+                                        rest_api.rs:60-66 + wal.rs — see
+                                        moonray/wal.py)
+    POST   /ingestpb/{t}                same, data = base64 MoonlinkRow
+                                        protobuf datum(s) (rest_api.rs:417)
     POST   /upload/{t}                  {"operation": insert|upsert,
                                          "files": [parquet paths]}
     POST   /otel/{t}                    OTLP-JSON ExportMetricsServiceRequest
@@ -90,12 +96,69 @@ class MoonrayService:
     """Route handlers over a catalog; transport-agnostic (the HTTP
     handler below and tests call these directly)."""
 
-    def __init__(self, warehouse: str):
+    def __init__(self, warehouse: str, wal_autoflush: int = 64):
         from moonray.catalog import MoonrayCatalog
 
         self.catalog = MoonrayCatalog(warehouse)
         self._write_lock = threading.Lock()  # single-writer per service
         self._kafka_schemas: dict[str, object] = {}  # table → Avro schema
+        self._wals: dict[str, object] = {}           # table → EventWal
+        self.wal_autoflush = wal_autoflush
+        self._recover_wals()
+
+    # ------------- event-level ingest WAL (see moonray/wal.py) -------
+    def _wal(self, name: str, t):
+        from moonray.wal import EventWal
+
+        w = self._wals.get(name)
+        if w is None:
+            w = self._wals[name] = EventWal(t.root)
+        return w
+
+    def _recover_wals(self) -> None:
+        """Startup recovery (reference wal.rs:670-760): fold every
+        table's surviving ack'd-but-uncommitted ingest events into a
+        merge, so a service crash between ack and commit loses no row."""
+        for name in self.catalog.list_tables():
+            try:
+                t = self._table(name)
+            except ServiceError:
+                continue
+            if len(self._wal(name, t)):
+                self._fold_wal(name, t)
+
+    def _fold_wal(self, name: str, t) -> dict:
+        """Replay all pending WAL events (file order == ack order) into
+        ONE merge job, then truncate. The job_id derives from the
+        covered seq range, so a crash between commit and truncate
+        re-folds into the SAME version (merge_into is idempotent per
+        job_id) instead of duplicating rows. Caller holds _write_lock."""
+        import numpy as np
+        import ray.data as rd
+
+        w = self._wal(name, t)
+        events = w.pending()
+        if not events:
+            return {"folded_events": 0}
+        schema = t.schema()
+        op_char = {"insert": "I", "upsert": "U", "delete": "D"}
+        ops: list = []
+        rows: list = []
+        for _seq, ev in events:
+            ops.extend([op_char[ev["operation"]]] * len(ev["rows"]))
+            rows.extend(ev["rows"])
+        lsn0 = t.manifest()["commit_lsn"] + 1
+        cols: dict = {
+            "op": pa.array(ops, pa.string()),
+            "lsn": pa.array(np.arange(lsn0, lsn0 + len(rows)), pa.int64()),
+        }
+        for f in schema:
+            cols[f.name] = pa.array([r.get(f.name) for r in rows], f.type)
+        job = f"wal-{name}-{events[0][0]:08d}-{events[-1][0]:08d}"
+        v = t.merge(rd.from_arrow(pa.table(cols)), job_id=job)
+        w.truncate_through(events[-1][0])
+        return {"folded_events": len(events), "folded_rows": len(rows),
+                "version": v}
 
     # ---------------- helpers ----------------
     def _table(self, name: str):
@@ -164,16 +227,67 @@ class MoonrayService:
         return {"schema": [[f.name, str(f.type)] for f in t.schema()]}
 
     def ingest(self, name: str, body: dict) -> dict:
+        """``request_mode`` (reference rest_api.rs:60-66): "sync" (our
+        default) merges + commits before replying; "async" appends the
+        event to the table's durable WAL (fsync-before-ack) and returns
+        immediately — it becomes visible at the next fold (autoflush
+        threshold, explicit /flush, or service-restart recovery), and a
+        crash after the ack can no longer lose it."""
         t = self._table(name)
         data = body.get("data")
         rows = data if isinstance(data, list) else [data]
         if not rows or any(not isinstance(r, dict) for r in rows):
             raise ServiceError(400, "data must be a row object or list of them")
-        changes = self._rows_to_changes(t, body.get("operation", ""), rows)
+        op = body.get("operation", "")
+        if op not in ("insert", "upsert", "delete"):
+            raise ServiceError(400, f"operation must be insert|upsert|delete, got {op!r}")
+        if body.get("request_mode", "sync") == "async":
+            with self._write_lock:
+                w = self._wal(name, t)
+                seq = w.append({"operation": op, "rows": rows})
+                out = {"table": name, "buffered": True, "wal_seq": seq,
+                       "pending_events": len(w)}
+                if len(w) >= self.wal_autoflush:
+                    out.update(self._fold_wal(name, t))
+            return out
+        changes = self._rows_to_changes(t, op, rows)
         with self._write_lock:
             v = t.merge(changes, job_id=body.get("job_id"))
         return {"table": name, "version": v, "rows": len(rows),
                 "commit_lsn": t.manifest()["commit_lsn"]}
+
+    def ingest_pb(self, name: str, body: dict) -> dict:
+        """POST /ingestpb/{t} (reference rest_api.rs:417 +
+        ingest_data_protobuf rest_api.rs:1026-1041): base64 MoonlinkRow
+        protobuf datums decoded POSITIONALLY onto the table schema, then
+        the normal ingest path (including request_mode async WAL
+        buffering)."""
+        import base64
+
+        from moonray.sources.proto_ingest import (ProtoDecodeError,
+                                                  decode_moonlink_row)
+
+        t = self._table(name)
+        data = body.get("data")
+        datums = data if isinstance(data, list) else [data]
+        if not datums or any(not isinstance(d, str) for d in datums):
+            raise ServiceError(400, "data must be a base64 protobuf datum "
+                                    "or list of them")
+        schema = t.schema()
+        rows = []
+        for d in datums:
+            try:
+                vals = decode_moonlink_row(base64.b64decode(d))
+            except (ProtoDecodeError, ValueError) as ex:
+                raise ServiceError(400, f"bad protobuf datum: {ex}") from None
+            row = {}
+            for i, f in enumerate(schema):
+                v = vals[i] if i < len(vals) else None
+                if pa.types.is_string(f.type) and isinstance(v, bytes):
+                    v = v.decode()
+                row[f.name] = v
+            rows.append(row)
+        return self.ingest(name, {**body, "data": rows})
 
     def kafka_schema(self, name: str, body: dict) -> dict:
         """POST /kafka/{t}/schema: register the topic's Avro schema and
@@ -313,8 +427,9 @@ class MoonrayService:
     def snapshot(self, name: str, body: dict) -> dict:
         t = self._table(name)
         with self._write_lock:
+            folded = self._fold_wal(name, t)  # buffered ingest first
             v = t.flush()
-        return {"table": name, "version": v}
+        return {"table": name, "version": v, **folded}
 
     def maintain(self, name: str, body: dict) -> dict:
         t = self._table(name)
@@ -462,6 +577,8 @@ def make_handler(svc: MoonrayService):
                     return svc.create_table(parts[1], body)
                 if len(parts) == 2 and parts[0] == "ingest":
                     return svc.ingest(parts[1], body)
+                if len(parts) == 2 and parts[0] == "ingestpb":
+                    return svc.ingest_pb(parts[1], body)
                 if len(parts) == 2 and parts[0] == "upload":
                     return svc.upload(parts[1], body)
                 if len(parts) == 2 and parts[0] == "otel":

@@ -228,3 +228,102 @@ def test_kafka_schema_survives_service_restart(tmp_path):
            '{"name":"id","type":"string"}]}')
     with pytest.raises(ServiceError, match="does not match"):
         svc2.kafka_schema("m1", {"avro_schema": bad})
+
+
+def test_ingestpb_route(svc):
+    """POST /ingestpb: binary MoonlinkRow protobuf datums (base64)
+    decoded positionally onto the table schema (rest_api.rs:417)."""
+    import base64
+
+    from moonray.sources.proto_ingest import encode_moonlink_row
+
+    st, _ = _call("POST", f"{svc}/tables/pb", {
+        "schema": [["id", "int64"], ["name", "string"], ["score", "float64"]],
+        "key_col": "id", "rows_per_fragment": 8, "index_partitions": 4,
+    })
+    assert st == 200
+    datums = [base64.b64encode(encode_moonlink_row(
+        [(i, "int64"), (f"n{i}".encode(), "bytes"), (float(i) / 2, "float64")]
+    )).decode() for i in range(6)]
+    st, r = _call("POST", f"{svc}/ingestpb/pb",
+                  {"operation": "insert", "data": datums})
+    assert st == 200 and r["rows"] == 6
+    st, r = _call("POST", f"{svc}/ingestpb/pb", {
+        "operation": "upsert",
+        "data": base64.b64encode(encode_moonlink_row(
+            [(2, "int64"), (b"upd", "bytes"), (9.5, "float64")])).decode()})
+    assert st == 200
+    st, s = _call("GET", f"{svc}/tables/pb/scan?limit=100")
+    rows = {r["id"]: r for r in s["rows"]}
+    assert len(rows) == 6 and rows[2]["name"] == "upd"
+    assert rows[3]["score"] == 1.5
+    # malformed datum → 400
+    st, _ = _call("POST", f"{svc}/ingestpb/pb",
+                  {"operation": "insert", "data": "!!notb64!!"})
+    assert st == 400
+
+
+def test_async_ingest_wal_buffering_and_flush(svc):
+    """request_mode=async acks without committing (rows invisible),
+    /flush folds the WAL into one merge (rows visible), WAL empty."""
+    st, _ = _call("POST", f"{svc}/tables/buf", {
+        "schema": [["id", "int64"], ["v", "string"]],
+        "key_col": "id", "rows_per_fragment": 8, "index_partitions": 4})
+    assert st == 200
+    _call("POST", f"{svc}/ingest/buf", {
+        "operation": "insert",
+        "data": [{"id": i, "v": f"a{i}"} for i in range(4)]})
+    st, r = _call("POST", f"{svc}/ingest/buf", {
+        "operation": "upsert", "request_mode": "async",
+        "data": {"id": 1, "v": "upd"}})
+    assert st == 200 and r["buffered"] and r["pending_events"] == 1
+    st, r = _call("POST", f"{svc}/ingest/buf", {
+        "operation": "delete", "request_mode": "async",
+        "data": {"id": 3}})
+    assert st == 200 and r["pending_events"] == 2
+    # not yet visible
+    st, s = _call("GET", f"{svc}/tables/buf/scan?limit=100")
+    assert {r["id"]: r["v"] for r in s["rows"]}[1] == "a1"
+    # flush folds the two events in ack order
+    st, r = _call("POST", f"{svc}/tables/buf/flush", {})
+    assert st == 200 and r["folded_events"] == 2
+    st, s = _call("GET", f"{svc}/tables/buf/scan?limit=100")
+    rows = {r["id"]: r["v"] for r in s["rows"]}
+    assert rows == {0: "a0", 1: "upd", 2: "a2"}
+
+
+def test_async_ingest_survives_service_crash(tmp_path):
+    """Kill the service after async-ingest acks but before any fold; a
+    restarted service over the same warehouse replays the WAL and the
+    state matches what a never-crashed sync ingest would produce
+    (reference recovery, wal.rs:670-760). Idempotency: a second
+    recovery fold of the same seq range must not duplicate."""
+    from moonray.service import MoonrayService
+    from moonray.wal import EventWal
+
+    wh = str(tmp_path / "wh")
+    svc1 = MoonrayService(wh)
+    import pyarrow as pa
+
+    svc1.create_table("t", {"schema": [["id", "int64"], ["v", "string"]],
+                            "key_col": "id", "rows_per_fragment": 8,
+                            "index_partitions": 4})
+    svc1.ingest("t", {"operation": "insert",
+                      "data": [{"id": i, "v": f"a{i}"} for i in range(5)]})
+    svc1.ingest("t", {"operation": "upsert", "request_mode": "async",
+                      "data": [{"id": 0, "v": "upd0"}, {"id": 9, "v": "new9"}]})
+    svc1.ingest("t", {"operation": "delete", "request_mode": "async",
+                      "data": {"id": 4}})
+    committed_before = {r["id"]: r["v"]
+                        for r in svc1._table("t").scan().take_all()}
+    assert committed_before == {i: f"a{i}" for i in range(5)}
+    del svc1  # crash: events ack'd, never folded
+
+    t_root = MoonrayService(wh)._table("t").root
+    # (recovery already ran in that constructor — assert on a fresh one)
+    svc2 = MoonrayService(wh)
+    got = {r["id"]: r["v"] for r in svc2._table("t").scan().take_all()}
+    assert got == {0: "upd0", 1: "a1", 2: "a2", 3: "a3", 9: "new9"}
+    assert len(EventWal(t_root)) == 0  # truncated after the fold
+    # fold again → no-op
+    assert svc2._fold_wal("t", svc2._table("t"))["folded_events"] == 0

@@ -5,10 +5,23 @@ in SQLite/Postgres behind ``MetadataStoreTrait { metadata_table_exists,
 get_all_table_metadata_entries, store_table_metadata,
 delete_table_metadata }``, src/moonlink_metadata_store/src/
 base_metadata_store.rs:15-68) and its file catalog
-(src/moonlink/src/storage/table/iceberg/file_catalog.rs): a
-``tables.json`` registry beside the table roots, atomically rewritten.
+(src/moonlink/src/storage/table/iceberg/file_catalog.rs).
 
-    cat = MoonrayCatalog("/warehouse")
+Two registry backends behind one MoonrayCatalog API:
+
+- ``json`` (default): a ``tables.json`` beside the table roots,
+  atomically rewritten — single-writer per warehouse (the same rule
+  tables follow), works on local AND remote (``scheme://``) roots via
+  the commit store.
+- ``sqlite``: a ``catalog.sqlite`` registry with per-operation
+  transactions (BEGIN IMMEDIATE + WAL) — the reference's
+  sqlite_metadata_store analogue for CONCURRENT multi-driver
+  registries on a shared filesystem. Local warehouses only.
+
+``backend=None`` auto-detects: an existing ``catalog.sqlite`` selects
+sqlite, otherwise json.
+
+    cat = MoonrayCatalog("/warehouse")            # or backend="sqlite"
     t = cat.create_table("imgs", key_col=..., schema=...)
     cat.list_tables() -> {"imgs": {...}}
     t = cat.open_table("imgs")
@@ -17,6 +30,7 @@ base_metadata_store.rs:15-68) and its file catalog
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -26,63 +40,167 @@ from moonray.table import MoonrayTable
 from moonray.util import atomic_write_json, read_json
 
 
+class _JsonRegistry:
+    """Whole-registry read/rewrite (single-writer; remote-capable)."""
+
+    def __init__(self, warehouse: str, remote: bool):
+        self.warehouse = warehouse
+        self.remote = remote
+
+    @property
+    def _path(self) -> str:
+        return os.path.join(self.warehouse, "tables.json")
+
+    def _load(self) -> dict:
+        if self.remote:
+            from moonray.commitstore import store_for
+
+            st = store_for(self.warehouse)
+            if st.exists("tables.json"):
+                return json.loads(st.read("tables.json"))
+            return {}
+        if os.path.exists(self._path):
+            return read_json(self._path).get("tables", {})
+        return {}
+
+    def _save(self, tables: dict) -> None:
+        if self.remote:
+            from moonray.storage import publish_bytes
+
+            publish_bytes(self.warehouse, "tables.json",
+                          json.dumps(tables, indent=1, sort_keys=True).encode())
+            return
+        atomic_write_json(self._path, {"tables": tables}, durable=True)
+
+    def entries(self) -> dict:
+        t = self._load()
+        # remote registry historically stored {"tables": {...}}
+        return t.get("tables", t) if self.remote and "tables" in t else t
+
+    def insert(self, name: str, entry: dict) -> None:
+        t = self.entries()
+        if name in t:
+            raise ValueError(f"table {name!r} already exists")
+        t[name] = entry
+        self._save(t)
+
+    def mutate(self, name: str, fn) -> None:
+        t = self.entries()
+        if name not in t:
+            raise KeyError(f"no such table {name!r}")
+        t[name] = fn(t[name])
+        self._save(t)
+
+    def delete(self, name: str) -> dict:
+        t = self.entries()
+        entry = t.pop(name, None)
+        if entry is None:
+            raise KeyError(f"no such table {name!r}")
+        self._save(t)
+        return entry
+
+
+class _SqliteRegistry:
+    """Per-operation transactional registry (concurrent multi-driver
+    safe): every call opens its own connection, takes BEGIN IMMEDIATE
+    (a real write lock), and commits — the reference's SQLite metadata
+    store shape (src/moonlink_metadata_store/src/sqlite/*)."""
+
+    FILE = "catalog.sqlite"
+
+    def __init__(self, warehouse: str):
+        self.path = os.path.join(warehouse, self.FILE)
+        with self._conn() as c:
+            c.execute("PRAGMA journal_mode=WAL")
+            c.execute("CREATE TABLE IF NOT EXISTS tables("
+                      "name TEXT PRIMARY KEY, entry TEXT NOT NULL)")
+
+    def _conn(self):
+        import sqlite3
+
+        return sqlite3.connect(self.path, timeout=30.0,
+                               isolation_level=None)
+
+    def entries(self) -> dict:
+        with self._conn() as c:
+            rows = c.execute("SELECT name, entry FROM tables").fetchall()
+        return {n: json.loads(e) for n, e in rows}
+
+    def insert(self, name: str, entry: dict) -> None:
+        import sqlite3
+
+        with self._conn() as c:
+            try:
+                c.execute("BEGIN IMMEDIATE")
+                c.execute("INSERT INTO tables(name, entry) VALUES(?, ?)",
+                          (name, json.dumps(entry, sort_keys=True)))
+                c.execute("COMMIT")
+            except sqlite3.IntegrityError:
+                c.execute("ROLLBACK")
+                raise ValueError(f"table {name!r} already exists") from None
+
+    def mutate(self, name: str, fn) -> None:
+        with self._conn() as c:
+            c.execute("BEGIN IMMEDIATE")
+            row = c.execute("SELECT entry FROM tables WHERE name=?",
+                            (name,)).fetchone()
+            if row is None:
+                c.execute("ROLLBACK")
+                raise KeyError(f"no such table {name!r}")
+            c.execute("UPDATE tables SET entry=? WHERE name=?",
+                      (json.dumps(fn(json.loads(row[0])), sort_keys=True),
+                       name))
+            c.execute("COMMIT")
+
+    def delete(self, name: str) -> dict:
+        with self._conn() as c:
+            c.execute("BEGIN IMMEDIATE")
+            row = c.execute("SELECT entry FROM tables WHERE name=?",
+                            (name,)).fetchone()
+            if row is None:
+                c.execute("ROLLBACK")
+                raise KeyError(f"no such table {name!r}")
+            c.execute("DELETE FROM tables WHERE name=?", (name,))
+            c.execute("COMMIT")
+        return json.loads(row[0])
+
+
 class MoonrayCatalog:
     """A warehouse may live on a local filesystem OR an object store
     (``scheme://`` — mock:// in tests, the documented S3 mapping in
-    production): the registry reads/writes route through the commit
-    store, table roots are ``<warehouse>/<name>`` on the same scheme,
-    and drop deletes the table's objects by prefix. One catalog writer
-    per warehouse (the same single-writer rule tables follow)."""
+    production): registry reads/writes route through the selected
+    backend, table roots are ``<warehouse>/<name>`` on the same scheme,
+    and drop deletes the table's objects by prefix. The json backend
+    assumes one catalog writer per warehouse; the sqlite backend allows
+    concurrent writers."""
 
-    def __init__(self, warehouse: str):
+    def __init__(self, warehouse: str, backend: str | None = None):
         from moonray.filecache import is_remote
 
         self.warehouse = warehouse
         self._remote = is_remote(warehouse)
         if not self._remote:
             os.makedirs(warehouse, exist_ok=True)
-
-    @property
-    def _registry_path(self) -> str:
-        return os.path.join(self.warehouse, "tables.json")
-
-    def _registry(self) -> dict:
-        if self._remote:
-            import json
-
-            from moonray.commitstore import store_for
-
-            st = store_for(self.warehouse)
-            if st.exists("tables.json"):
-                return json.loads(st.read("tables.json"))
-            return {"tables": {}}
-        if os.path.exists(self._registry_path):
-            return read_json(self._registry_path)
-        return {"tables": {}}
-
-    def _save(self, reg: dict) -> None:
-        if self._remote:
-            import json
-
-            from moonray.storage import publish_bytes
-
-            publish_bytes(self.warehouse, "tables.json",
-                          json.dumps(reg, indent=1, sort_keys=True).encode())
-            return
-        atomic_write_json(self._registry_path, reg, durable=True)
+        if backend is None:
+            backend = ("sqlite" if not self._remote and os.path.exists(
+                os.path.join(warehouse, _SqliteRegistry.FILE)) else "json")
+        if backend == "sqlite":
+            if self._remote:
+                raise ValueError("sqlite catalog backend requires a local "
+                                 "warehouse path")
+            self._reg = _SqliteRegistry(warehouse)
+        elif backend == "json":
+            self._reg = _JsonRegistry(warehouse, self._remote)
+        else:
+            raise ValueError(f"unknown catalog backend {backend!r}")
+        self.backend = backend
 
     # ---------------- operations ----------------
     def create_table(self, name: str, *, schema: pa.Schema,
                      key_col: str | None = None, key_cols=None,
                      identity: str = "keys", **table_kwargs) -> MoonrayTable:
-        reg = self._registry()
-        if name in reg["tables"]:
-            raise ValueError(f"table {name!r} already exists")
         root = os.path.join(self.warehouse, name)
-        t = MoonrayTable.create(root, key_col=key_col, key_cols=key_cols,
-                                identity=identity, schema=schema,
-                                **table_kwargs)
-        reg["tables"][name] = {
+        entry = {
             "root": root,
             "key_col": key_col,
             "key_cols": list(key_cols) if key_cols else None,
@@ -90,47 +208,51 @@ class MoonrayCatalog:
             "config": {k: v for k, v in table_kwargs.items()
                        if isinstance(v, (int, str, float, list, tuple))},
         }
-        self._save(reg)
-        return t
+        # reserve the name atomically FIRST (concurrent creators race on
+        # the registry row, not on half-written table roots)
+        self._reg.insert(name, entry)
+        try:
+            return MoonrayTable.create(root, key_col=key_col,
+                                       key_cols=key_cols, identity=identity,
+                                       schema=schema, **table_kwargs)
+        except BaseException:
+            self._reg.delete(name)
+            raise
 
     def set_table_meta(self, name: str, key: str, value) -> None:
         """Attach a JSON-serializable metadata entry to a registered
         table (e.g. a Kafka topic's Avro schema) — the analogue of the
         reference's per-table MoonlinkTableConfig persisted in the
         metadata store (base_metadata_store.rs:15-68)."""
-        reg = self._registry()
-        if name not in reg["tables"]:
-            raise KeyError(f"no such table {name!r}")
-        reg["tables"][name].setdefault("meta", {})[key] = value
-        self._save(reg)
+        def upd(entry: dict) -> dict:
+            entry.setdefault("meta", {})[key] = value
+            return entry
+
+        self._reg.mutate(name, upd)
 
     def get_table_meta(self, name: str, key: str, default=None):
-        entry = self._registry()["tables"].get(name)
+        entry = self._reg.entries().get(name)
         if entry is None:
             raise KeyError(f"no such table {name!r}")
         return entry.get("meta", {}).get(key, default)
 
     def table_exists(self, name: str) -> bool:
-        return name in self._registry()["tables"]
+        return name in self._reg.entries()
 
     def list_tables(self) -> dict:
-        return dict(self._registry()["tables"])
+        return self._reg.entries()
 
     def open_table(self, name: str) -> MoonrayTable:
-        reg = self._registry()
-        if name not in reg["tables"]:
+        entry = self._reg.entries().get(name)
+        if entry is None:
             raise KeyError(f"no such table {name!r}")
-        return MoonrayTable.open(reg["tables"][name]["root"])
+        return MoonrayTable.open(entry["root"])
 
     def drop_table(self, name: str) -> None:
         """Registry removal FIRST (the table disappears atomically),
         then best-effort data deletion — mirroring the reference's
         DropTable event ordering."""
-        reg = self._registry()
-        entry = reg["tables"].pop(name, None)
-        if entry is None:
-            raise KeyError(f"no such table {name!r}")
-        self._save(reg)
+        entry = self._reg.delete(name)
         if self._remote:
             from moonray.commitstore import store_for
             from moonray.storage import scratch_for

@@ -137,8 +137,9 @@ def test_stream_xact_abort(tmp_path):
     assert t.latest_version() == 1
 
 
-def test_catalog_registry(tmp_path):
-    cat = MoonrayCatalog(str(tmp_path / "wh"))
+@pytest.mark.parametrize("backend", ["json", "sqlite"])
+def test_catalog_registry(tmp_path, backend):
+    cat = MoonrayCatalog(str(tmp_path / "wh"), backend=backend)
     t = cat.create_table("events", key_col="id", schema=SCHEMA,
                          index_partitions=4, rows_per_fragment=8)
     t.bulk_load(rd.from_items([{"id": 1, "name": "a", "age": 1}]))
@@ -152,6 +153,49 @@ def test_catalog_registry(tmp_path):
     assert not cat.table_exists("events")
     with pytest.raises(KeyError):
         cat.open_table("events")
+
+
+def test_sqlite_catalog_concurrent_writers_and_autodetect(tmp_path):
+    """The sqlite backend is the CONCURRENT-registry path (reference
+    sqlite metadata store, base_metadata_store.rs:15-68): N threads
+    racing create_table on distinct names all land; racing the SAME
+    name yields exactly one winner; a fresh MoonrayCatalog with
+    backend=None auto-detects the sqlite registry; per-table meta
+    survives reopen."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    wh = str(tmp_path / "wh")
+    cat = MoonrayCatalog(wh, backend="sqlite")
+
+    def mk(i):
+        c = MoonrayCatalog(wh, backend="sqlite")  # own connection set
+        return c.create_table(f"t{i}", key_col="id", schema=SCHEMA,
+                              index_partitions=4, rows_per_fragment=8)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(mk, range(8)))
+    assert set(cat.list_tables()) == {f"t{i}" for i in range(8)}
+
+    def race_same(_):
+        try:
+            MoonrayCatalog(wh, backend="sqlite").create_table(
+                "dup", key_col="id", schema=SCHEMA,
+                index_partitions=4, rows_per_fragment=8)
+            return 1
+        except ValueError:
+            return 0
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        wins = sum(ex.map(race_same, range(8)))
+    assert wins == 1
+    cat.set_table_meta("t3", "topic", "clicks")
+
+    reopened = MoonrayCatalog(wh)  # backend=None → auto-detect
+    assert reopened.backend == "sqlite"
+    assert reopened.get_table_meta("t3", "topic") == "clicks"
+    assert reopened.open_table("t5").describe()["cardinality"] == 0
+    reopened.drop_table("dup")
+    assert not MoonrayCatalog(wh).table_exists("dup")
 
 
 def test_expiry_gcs_staging_and_lineage(tmp_path):

@@ -184,6 +184,12 @@ def _q_changelog(sf_dir: str):
     return changelog_scan(sf_dir)
 
 
+def _q_cdc_wire(sf_dir: str):
+    from moonray.pipelines.relational import cdc_wire_replication
+
+    return cdc_wire_replication(sf_dir)
+
+
 def _q_lookup(sf_dir: str):
     from moonray.pipelines.relational import lookup_point_reads
 
@@ -768,6 +774,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _q_simhash,
         "embedding_near_dup_pairs_lsh": _q_near_dups_lsh,
         "knn_cosine_ivf_top10": _q_knn_ivf,
+        # past the driver's 50-row window, but SQL-checkable: its merge
+        # oracle runs in scripts/check_contract.py and the connector
+        # grammar is pinned by tests/test_cdc_tail.py
+        "cdc_wire_replication": _q_cdc_wire,
     }
 
 
@@ -987,4 +997,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup_pairs": _NEAR_DUP_SQL,
         "knn_cosine_top10": _KNN_SQL,
+        "cdc_wire_replication": _MERGE_SQL,
     }

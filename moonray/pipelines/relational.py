@@ -104,6 +104,54 @@ def merge_customer(sf_dir: str, *, maintenance: str | None = None,
     return t.scan()
 
 
+def cdc_wire_replication(sf_dir: str, tx_size: int = 1000):
+    """CDC-in through the file-tailing wire connector
+    (moonray/sources/cdc_tail.py — the reference postgres_source.rs
+    event grammar over a JSONL file): the orders-derived change set is
+    written to the wire as Relation + Begin/DML/Commit transactions of
+    ``tx_size`` events, tailed back, and applied transaction-by-
+    transaction. Final state must equal the one-shot MERGE
+    (the merge_upsert SQL oracle)."""
+    import json
+
+    from moonray.sources.cdc_tail import CdcTail
+    from moonray.util import scratch_root
+
+    t = build_customer_table(sf_dir)
+    ch = pa.concat_tables(list(_changes_dataset(sf_dir).iter_batches(
+        batch_format="pyarrow", batch_size=65536))).combine_chunks()
+    ch = ch.sort_by([("lsn", "ascending")])
+    log = os.path.join(scratch_root("moonray-cdcwire-"), "wire.jsonl")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"]
+    kinds = {"I": "insert", "U": "update", "D": "delete"}
+    with open(log, "w") as f:
+        f.write(json.dumps({
+            "event": "relation", "rel_id": 1, "table": "customer",
+            "columns": [["c_custkey", "int64"], ["c_name", "string"],
+                        ["c_nationkey", "int32"], ["c_acctbal", "float64"],
+                        ["c_mktsegment", "string"]],
+            "key_cols": ["c_custkey"]}) + "\n")
+        ops = ch["op"].to_pylist()
+        lsns = ch["lsn"].to_pylist()
+        vals = [ch[c].to_pylist() for c in cols]
+        n = len(ops)
+        for s in range(0, n, tx_size):
+            e = min(s + tx_size, n)
+            xid = s // tx_size + 1
+            f.write(json.dumps({"event": "begin", "xid": xid}) + "\n")
+            for i in range(s, e):
+                f.write(json.dumps({
+                    "event": kinds[ops[i]], "rel_id": 1,
+                    "values": [v[i] for v in vals],
+                    "lsn": lsns[i]}) + "\n")
+            f.write(json.dumps({"event": "commit", "xid": xid,
+                                "end_lsn": lsns[e - 1]}) + "\n")
+    tail = CdcTail(log)
+    tail.run_until_idle({"customer": t})
+    return t.scan()
+
+
 def changelog_scan(sf_dir: str):
     """Changelog read (CDC out): bulk load customer, apply the
     orders-derived CDC log, run full maintenance (data-preserving —

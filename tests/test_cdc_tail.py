@@ -1,0 +1,131 @@
+"""File-tailing CDC replication source (reference connector interface:
+postgres_source.rs + cdc_event.rs:194-206 + moonlink_sink.rs, with a
+JSONL file as the wire). Covers Relation/Begin/Commit framing,
+commit-gated visibility, torn tails, key-update decomposition,
+interleaved (streamed) transactions and replay idempotency."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from moonray.sources.cdc_tail import (CdcProtocolError, CdcTail,
+                                      write_events)
+from moonray.table import MoonrayTable
+
+REL = {"event": "relation", "rel_id": 1, "table": "cust",
+       "columns": [["id", "int64"], ["name", "string"], ["bal", "float64"]],
+       "key_cols": ["id"]}
+
+
+def _table(tmp_path):
+    schema = pa.schema([("id", pa.int64()), ("name", pa.string()),
+                        ("bal", pa.float64())])
+    return MoonrayTable.create(str(tmp_path / "cust"), key_col="id",
+                               schema=schema, index_partitions=4,
+                               rows_per_fragment=16)
+
+
+def _state(t) -> dict:
+    return {r["id"]: (r["name"], r["bal"]) for r in t.scan().take_all()}
+
+
+def test_tail_commit_gating_torn_tail_and_apply(tmp_path):
+    log = str(tmp_path / "wire.jsonl")
+    t = _table(tmp_path)
+    tail = CdcTail(log)
+    tables = {"cust": t}
+
+    write_events(log, [
+        REL,
+        {"event": "begin", "xid": 1},
+        *[{"event": "insert", "rel_id": 1, "values": [i, f"n{i}", float(i)],
+           "lsn": 100 + i} for i in range(6)],
+        {"event": "commit", "xid": 1, "end_lsn": 105},
+        {"event": "keepalive", "wal_end": 105},
+        {"event": "begin", "xid": 2},
+        {"event": "update", "rel_id": 1, "old_values": [2, "n2", 2.0],
+         "values": [2, "upd2", 2.5], "lsn": 110},
+        {"event": "delete", "rel_id": 1, "values": [4, None, None],
+         "lsn": 111},
+        # no commit for xid 2 yet
+    ])
+    # torn tail: half-written line must not be consumed
+    with open(log, "a") as f:
+        f.write('{"event":"com')
+
+    applied = tail.run_until_idle(tables)
+    assert applied == {"cust": 1}           # only xid 1 committed
+    assert _state(t) == {i: (f"n{i}", float(i)) for i in range(6)}
+
+    # producer finishes the torn line into a commit for xid 2
+    with open(log, "a") as f:
+        f.write('mit","xid":2,"end_lsn":111}\n')
+    tail.run_until_idle(tables)
+    got = _state(t)
+    assert got[2] == ("upd2", 2.5) and 4 not in got and len(got) == 5
+
+
+def test_key_update_decomposes_to_delete_plus_insert(tmp_path):
+    log = str(tmp_path / "wire.jsonl")
+    t = _table(tmp_path)
+    tail = CdcTail(log)
+    write_events(log, [
+        REL,
+        {"event": "begin", "xid": 1},
+        {"event": "insert", "rel_id": 1, "values": [1, "a", 1.0], "lsn": 10},
+        {"event": "commit", "xid": 1, "end_lsn": 10},
+        {"event": "begin", "xid": 2},
+        # key 1 → key 9 (the old row must vanish)
+        {"event": "update", "rel_id": 1, "old_values": [1, "a", 1.0],
+         "values": [9, "a9", 1.5], "lsn": 11},
+        {"event": "commit", "xid": 2, "end_lsn": 11},
+    ])
+    tail.run_until_idle({"cust": t})
+    assert _state(t) == {9: ("a9", 1.5)}
+
+
+def test_interleaved_streamed_transactions_and_replay_idempotency(tmp_path):
+    log = str(tmp_path / "wire.jsonl")
+    t = _table(tmp_path)
+    tail = CdcTail(log)
+    write_events(log, [
+        REL,
+        {"event": "begin", "xid": 10},
+        {"event": "begin", "xid": 11},
+        {"event": "insert", "rel_id": 1, "xid": 11,
+         "values": [7, "x11", 0.5], "lsn": 20},
+        {"event": "insert", "rel_id": 1, "xid": 10,
+         "values": [8, "x10", 0.25], "lsn": 21},
+        {"event": "commit", "xid": 11, "end_lsn": 20},
+        {"event": "commit", "xid": 10, "end_lsn": 21},
+    ])
+    txs = tail.poll()
+    assert [x.xid for x in txs] == [11, 10]  # commit order
+    for tx in txs:
+        tail.apply(tx, {"cust": t})
+    assert _state(t) == {7: ("x11", 0.5), 8: ("x10", 0.25)}
+    v = t.latest_version()
+    # consumer crash between apply and offset persistence → re-apply
+    for tx in txs:
+        tail.apply(tx, {"cust": t})
+    assert t.latest_version() == v          # same versions, no dup rows
+    assert _state(t) == {7: ("x11", 0.5), 8: ("x10", 0.25)}
+
+
+def test_protocol_errors(tmp_path):
+    log = str(tmp_path / "wire.jsonl")
+    tail = CdcTail(log)
+    write_events(log, [
+        REL,
+        {"event": "insert", "rel_id": 1, "values": [1, "a", 1.0], "lsn": 1},
+    ])
+    with pytest.raises(CdcProtocolError):
+        tail.poll()
+    log2 = str(tmp_path / "wire2.jsonl")
+    tail2 = CdcTail(log2)
+    write_events(log2, [
+        {"event": "begin", "xid": 1},
+        {"event": "insert", "rel_id": 99, "values": [1], "lsn": 1},
+    ])
+    with pytest.raises(CdcProtocolError):
+        tail2.poll()

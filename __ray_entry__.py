@@ -747,6 +747,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- dedup ----
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_prefix": _q_dedup_prefix,
+        # SCALE CONTRACT: embedding_near_dup_pairs, ngram_jaccard_pairs
+        # and knn_cosine_top10 are EXACT BASELINES that broadcast the
+        # corpus / compare all pairs — run them only at oracle scale
+        # (they exist to verify the sub-quadratic paths:
+        # embedding_near_dup_pairs_lsh, minhash_lsh_dedup, and the
+        # persisted-IVF knn). Never benchmark them at large sf.
         "embedding_near_dup_pairs": _q_near_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "decontamination_join": _q_decontam_join,

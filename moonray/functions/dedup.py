@@ -953,15 +953,22 @@ def line_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     B = num_buckets or default_buckets()
 
     def explode(b: pa.Table) -> pa.Table:
-        ids_out, ords, lines = [], [], []
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            for j, line in enumerate(t.split(sep)):
-                ids_out.append(i)
-                ords.append(j + 1)          # 1-based like SQL ordinality
-                lines.append(line)
-        t = pa.table({id_col: pa.array(ids_out),
+        """Vectorized doc→line explode: Arrow split + list kernels, no
+        per-row Python."""
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lines_list = pc.split_pattern(col, pattern=sep)
+        flat = pc.list_flatten(lines_list)
+        parent = pc.list_parent_indices(lines_list)
+        lens = pc.list_value_length(lines_list).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.cumsum(lens) - lens
+        pnp = parent.to_numpy(zero_copy_only=False)
+        ords = np.arange(len(flat), dtype=np.int64) - starts[pnp] + 1
+        t = pa.table({id_col: b[id_col].take(parent),
                       "ord": pa.array(ords, pa.int64()),
-                      "line": pa.array(lines, pa.string())})
+                      "line": flat})
         bucket = (hash_key_array(t["line"]) % np.uint64(B)).astype(np.int64)
         return t.append_column("bucket", pa.array(bucket))
 
@@ -981,20 +988,43 @@ def line_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     keep_winners.__name__ = "keep_first_occurrence"
 
+    def doc_bucket(b: pa.Table) -> pa.Table:
+        h = (hash_key_array(b[id_col]) % np.uint64(B)).astype(np.int64)
+        return b.append_column("dbkt", pa.array(h))
+
+    doc_bucket.__name__ = "doc_bucket"
+
     def reassemble(g: pa.Table) -> pa.Table:
-        s = g.sort_by([("ord", "ascending")])
+        """One call per doc-id HASH BUCKET (a per-doc groupby would
+        invoke Python once per document): sort by (id, ord), slice doc
+        runs, and join each doc's surviving lines with ONE
+        pc.binary_join over a list array."""
+        s = g.sort_by([(id_col, "ascending"), ("ord", "ascending")])
+        n = len(s)
+        if n == 0:
+            return pa.table({id_col: s[id_col],
+                             text_col: pa.array([], pa.string())})
+        ids = s[id_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        offsets = np.r_[starts, n].astype(np.int32)
+        lines = s["line"]
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         lines)
         return pa.table({
-            id_col: s[id_col].slice(0, 1),
-            text_col: pa.array([sep.join(s["line"].to_pylist())], pa.string()),
+            id_col: s[id_col].take(pa.array(starts)),
+            text_col: pc.binary_join(lists, sep),
         })
 
-    reassemble.__name__ = "reassemble_doc"
+    reassemble.__name__ = "reassemble_docs"
 
     lines = ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow")
     kept = lines.groupby("bucket").map_groups(
         keep_winners, batch_format="pyarrow")
-    return kept.groupby(id_col).map_groups(reassemble, batch_format="pyarrow")
+    return (kept.map_batches(doc_bucket, batch_format="pyarrow")
+            .groupby("dbkt").map_groups(reassemble, batch_format="pyarrow"))
 
 
 def line_dedup_oracle_sql(text_expr: str = "text", sep_sql: str = "chr(10)") -> str:

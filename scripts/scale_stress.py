@@ -1,0 +1,120 @@
+"""10x scale-stress: load + MERGE + cluster at 48k and 480k images.
+
+Smokes out driver-side O(n) (manifest size, per-bucket summaries,
+boundary-sample constants) by measuring, at both scales:
+
+- per-phase wall time (workload scales 10x; wall should too, not worse)
+- driver process peak RSS (must grow FAR slower than 10x — the driver
+  holds metadata, never payload)
+- manifest JSON size + fragment count (metadata ∝ fragments, and
+  fragments ∝ data / rows_per_fragment — linear in FILES, whose count
+  the rows_per_fragment knob controls, not in rows)
+
+Appends one record per scale to BENCH_SCALING_HISTORY.jsonl with
+kind="scale_stress". Run:  python scripts/scale_stress.py [mult ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_IMAGES = 48_000
+BASE_CHANGES = 30_000
+
+
+def rss_mib() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def run_one(n_images: int, n_changes: int) -> dict:
+    from moonray.fixtures import (IMAGE_SCHEMA, make_changes_dataset,
+                                  make_images_dataset)
+    from moonray.table import MoonrayTable
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="moonray-stress-", dir=base)
+    out: dict = {"n_images": n_images, "n_changes": n_changes,
+                 "rss_mib_start": round(rss_mib(), 1)}
+    try:
+        t0 = time.perf_counter()
+        t = MoonrayTable.create(root, key_col="image_id",
+                                schema=IMAGE_SCHEMA,
+                                zone_cols=("phash", "w", "h"),
+                                index_partitions=32,
+                                rows_per_fragment=1024)
+        t.bulk_load(make_images_dataset(n_images, seed=42))
+        out["load_s"] = round(time.perf_counter() - t0, 2)
+        out["rss_mib_after_load"] = round(rss_mib(), 1)
+
+        t1 = time.perf_counter()
+        t.merge(make_changes_dataset(n_changes, n_images, seed=42))
+        out["merge_s"] = round(time.perf_counter() - t1, 2)
+        out["merge_rows_per_s"] = round(n_changes / out["merge_s"], 1)
+        out["rss_mib_after_merge"] = round(rss_mib(), 1)
+
+        t2 = time.perf_counter()
+        t.cluster()
+        out["cluster_s"] = round(time.perf_counter() - t2, 2)
+        out["rss_mib_after_cluster"] = round(rss_mib(), 1)
+
+        d = t.describe()
+        out["cardinality"] = d["cardinality"]
+        out["num_fragments"] = d["num_fragments"]
+        out["table_gib"] = round(d["bytes"] / (1 << 30), 3)
+        vdir = os.path.join(root, "versions")
+        mpath = os.path.join(vdir, sorted(
+            f for f in os.listdir(vdir) if f.endswith(".json"))[-1])
+        out["manifest_kib"] = round(os.path.getsize(mpath) / 1024, 1)
+        out["total_s"] = round(time.perf_counter() - t0, 2)
+        out["rows_per_s"] = round((n_images + n_changes) / out["total_s"], 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def main() -> int:
+    import ray
+
+    mults = [int(m) for m in sys.argv[1:]] or [1, 10]
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    recs = []
+    for m in mults:
+        r = run_one(BASE_IMAGES * m, BASE_CHANGES * m)
+        r.update({"kind": "scale_stress", "mult": m, "num_cpus": num_cpus,
+                  "t": time.time()})
+        print(json.dumps(r))
+        recs.append(r)
+        hist = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_SCALING_HISTORY.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps(r) + "\n")
+    if len(recs) >= 2:
+        a, b = recs[0], recs[-1]
+        scale = b["n_images"] / a["n_images"]
+        print(json.dumps({
+            "kind": "scale_stress_summary",
+            "data_scale": scale,
+            "wall_scale": round(b["total_s"] / a["total_s"], 2),
+            "rss_scale": round(b["rss_mib_after_cluster"]
+                               / a["rss_mib_after_cluster"], 2),
+            "manifest_scale": round(b["manifest_kib"] / a["manifest_kib"], 2),
+            "fragment_scale": round(b["num_fragments"] / a["num_fragments"], 2),
+        }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

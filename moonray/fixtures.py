@@ -48,14 +48,20 @@ _WORDS = (
 HOT_PHASH_PREFIX = 0xAB  # hot top-8-bit range for skew-salting tests
 
 
-def image_row(image_id: str, seed: int = 42, sub_seed: int = 0, hot_pct: int = 5) -> dict:
+def image_row(image_id: str, seed: int = 42, sub_seed: int = 0, hot_pct: int = 5,
+              sizes=None) -> dict:
     """One deterministic image row. ``sub_seed`` varies U-op re-encodes
-    (FIXTURES.md: update regenerates bytes/caption with sub-seed = lsn)."""
+    (FIXTURES.md: update regenerates bytes/caption with sub-seed = lsn).
+    ``sizes`` overrides the pixel-dimension choices (default _SIZES) —
+    the stress harness uses a thin payload (e.g. [32]) to scale the ROW/
+    METADATA axis to 10× without scaling payload bytes; defaults are
+    byte-stable."""
     rng = np.random.default_rng(
         (stable_hash_str(image_id) ^ (seed * 0x9E3779B9) ^ (sub_seed * 0x85EBCA6B)) % 2**63
     )
-    w = int(_SIZES[rng.integers(0, len(_SIZES))])
-    h = int(_SIZES[rng.integers(0, len(_SIZES))])
+    sz = _SIZES if sizes is None else np.asarray(sizes, dtype=np.int32)
+    w = int(sz[rng.integers(0, len(sz))])
+    h = int(sz[rng.integers(0, len(sz))])
     fmt = _FMTS[int(rng.integers(0, 2))]
     arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     data = encode_image(arr, fmt)
@@ -84,25 +90,27 @@ def image_row(image_id: str, seed: int = 42, sub_seed: int = 0, hot_pct: int = 5
 class GenImages:
     """Actor-pool batch generator: ray.data.range(n) ids → image rows."""
 
-    def __init__(self, seed: int = 42, hot_pct: int = 5):
+    def __init__(self, seed: int = 42, hot_pct: int = 5, sizes=None):
         self.seed = seed
         self.hot_pct = hot_pct
+        self.sizes = sizes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = [
-            image_row(f"img-{i:012d}", self.seed, 0, self.hot_pct)
+            image_row(f"img-{i:012d}", self.seed, 0, self.hot_pct, self.sizes)
             for i in batch["id"].to_pylist()
         ]
         return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
 
 
-def make_images_dataset(n: int, *, seed: int = 42, hot_pct: int = 5, concurrency=None):
+def make_images_dataset(n: int, *, seed: int = 42, hot_pct: int = 5,
+                        concurrency=None, sizes=None):
     """Distributed F1 synthesis → ray.data.Dataset with IMAGE_SCHEMA."""
     import ray.data as rd
 
     ds = rd.range(n, override_num_blocks=max(1, n // 256))
     return ds.map_batches(
-        GenImages(seed, hot_pct), batch_format="pyarrow", batch_size=256,
+        GenImages(seed, hot_pct, sizes), batch_format="pyarrow", batch_size=256,
         concurrency=concurrency,
     )
 
@@ -120,13 +128,14 @@ class GenChanges:
 
     def __init__(self, n_base: int, *, seed: int = 42, lsn0: int = 1_000_000,
                  pct_insert: int = 50, pct_update: int = 30, pct_delete: int = 20,
-                 delete_missing: bool = True, hot_pct: int = 5):
+                 delete_missing: bool = True, hot_pct: int = 5, sizes=None):
         self.n_base = n_base
         self.seed = seed
         self.lsn0 = lsn0
         self.pcts = (pct_insert, pct_update, pct_delete)
         self.delete_missing = delete_missing
         self.hot_pct = hot_pct
+        self.sizes = sizes
 
     def _row(self, i: int) -> dict:
         lsn = self.lsn0 + i
@@ -147,7 +156,8 @@ class GenChanges:
             row = {c: None for c in IMAGE_SCHEMA.names}
             row["image_id"] = key
         else:
-            row = image_row(key, self.seed, sub_seed=lsn, hot_pct=self.hot_pct)
+            row = image_row(key, self.seed, sub_seed=lsn, hot_pct=self.hot_pct,
+                            sizes=self.sizes)
         row["op"] = op
         row["lsn"] = lsn
         return row

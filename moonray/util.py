@@ -20,6 +20,13 @@ import numpy as np
 import pyarrow as pa
 
 try:  # vectorized string hashing
+    # polars sizes its global thread pool to ALL machine cores at first
+    # import — N concurrent Ray tasks each spinning a full pool
+    # oversubscribes the node N× (same failure mode cap_kernel_threads
+    # fixes for Arrow). Must be set BEFORE the import; honored only if
+    # the user hasn't chosen their own cap. Kernels inside a Ray task
+    # should be near-single-threaded — Ray owns core scheduling.
+    os.environ.setdefault("POLARS_MAX_THREADS", "2")
     import polars as pl
 
     _HAS_POLARS = True

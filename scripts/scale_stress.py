@@ -34,7 +34,7 @@ def rss_mib() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
-def run_one(n_images: int, n_changes: int) -> dict:
+def run_one(n_images: int, n_changes: int, sizes=None) -> dict:
     from moonray.fixtures import (IMAGE_SCHEMA, make_changes_dataset,
                                   make_images_dataset)
     from moonray.table import MoonrayTable
@@ -42,6 +42,7 @@ def run_one(n_images: int, n_changes: int) -> dict:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="moonray-stress-", dir=base)
     out: dict = {"n_images": n_images, "n_changes": n_changes,
+                 "payload": "thin" if sizes else "full",
                  "rss_mib_start": round(rss_mib(), 1)}
     try:
         t0 = time.perf_counter()
@@ -50,12 +51,12 @@ def run_one(n_images: int, n_changes: int) -> dict:
                                 zone_cols=("phash", "w", "h"),
                                 index_partitions=32,
                                 rows_per_fragment=1024)
-        t.bulk_load(make_images_dataset(n_images, seed=42))
+        t.bulk_load(make_images_dataset(n_images, seed=42, sizes=sizes))
         out["load_s"] = round(time.perf_counter() - t0, 2)
         out["rss_mib_after_load"] = round(rss_mib(), 1)
 
         t1 = time.perf_counter()
-        t.merge(make_changes_dataset(n_changes, n_images, seed=42))
+        t.merge(make_changes_dataset(n_changes, n_images, seed=42, sizes=sizes))
         out["merge_s"] = round(time.perf_counter() - t1, 2)
         out["merge_rows_per_s"] = round(n_changes / out["merge_s"], 1)
         out["rss_mib_after_merge"] = round(rss_mib(), 1)
@@ -83,7 +84,17 @@ def run_one(n_images: int, n_changes: int) -> dict:
 def main() -> int:
     import ray
 
-    mults = [int(m) for m in sys.argv[1:]] or [1, 10]
+    # --thin: 32/64-px payloads — scales the ROW/METADATA axis (fragment
+    # count, manifest size, index entries, boundary samples, bucket
+    # summaries: everything driver-side) to 10x without the ~100 GiB
+    # peak scratch a full-payload 480k run needs (this box shares one
+    # 126 GiB tmpfs with RAM; peak scratch during cluster is ~3.3x live
+    # bytes: v1 fragments + merge outputs + IPC runs + new fragments).
+    # Payload-byte scaling is covered by a separate full-payload run at
+    # a multiple that fits (e.g. `scale_stress.py 1 5`).
+    thin = "--thin" in sys.argv
+    sizes = (32, 64) if thin else None
+    mults = [int(m) for m in sys.argv[1:] if not m.startswith("--")] or [1, 10]
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
@@ -91,7 +102,7 @@ def main() -> int:
     ray.data.DataContext.get_current().enable_progress_bars = False
     recs = []
     for m in mults:
-        r = run_one(BASE_IMAGES * m, BASE_CHANGES * m)
+        r = run_one(BASE_IMAGES * m, BASE_CHANGES * m, sizes=sizes)
         r.update({"kind": "scale_stress", "mult": m, "num_cpus": num_cpus,
                   "t": time.time()})
         print(json.dumps(r))

@@ -94,6 +94,31 @@ class LocalCommitStore:
         atomic_write_text(path, value, durable=True)
         fsync_dir(os.path.dirname(path))
 
+    def advance_pointer(self, name: str, value: int) -> None:
+        """Monotonic pointer swap: publish ``value`` only if it exceeds
+        the current pointer. With concurrent committers a blind
+        last-writer-wins set_pointer can REGRESS the pointer (A commits
+        v5, B commits v6 and publishes, then A's stale publish lands) —
+        readers would see an older committed snapshot until the next
+        commit heals it. Local impl: read-modify-write under an flock'd
+        sidecar lock (advisory locks serialize co-host writers; the
+        manifest object itself was already serialized by
+        put_if_absent). S3 mapping: PutObject with ``If-Match: <etag>``
+        CAS in a retry loop that keeps the max value (see module
+        docstring)."""
+        import fcntl
+
+        path = self._abs(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                cur = int(self.read_pointer(name))
+            except (FileNotFoundError, ValueError):
+                cur = -1
+            if value > cur:
+                self.set_pointer(name, str(value))
+
     def read_pointer(self, name: str) -> str:
         with open(self._abs(name)) as f:
             return f.read().strip()

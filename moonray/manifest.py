@@ -123,7 +123,10 @@ def commit_manifest(root: str, manifest: dict) -> int:
     store = store_for(root)
     payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
     store.put_if_absent(os.path.join("versions", f"v{version:08d}.json"), payload)
-    store.set_pointer(os.path.join("versions", "LATEST"), str(version))
+    # monotonic publish: with concurrent append committers (table.py
+    # rebase loop) a blind pointer write could regress LATEST to an
+    # older committed version; advance_pointer only ever moves it up
+    store.advance_pointer(os.path.join("versions", "LATEST"), version)
     return version
 
 

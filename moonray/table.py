@@ -37,6 +37,11 @@ from moonray.fragments import ROWOFF, FragmentWriter, collect_staged_fragment_me
 from moonray.keyindex import build_index_from_runs
 from moonray.util import as_fn, new_job_id
 
+# bound on optimistic-append rebase retries (see _commit_append): each
+# retry is one manifest read + one conditional put — cheap — but an
+# unbounded loop under pathological contention would hide the problem
+_COMMIT_REBASE_ATTEMPTS = 50
+
 DEFAULT_ROWS_PER_FRAGMENT = 4096  # reference mem-slice: 4096-row batches × 32
 PATH_COL = "path"  # added by read_parquet(include_paths=True)
 
@@ -386,56 +391,86 @@ class MoonrayTable:
                        replace_index: bool = False,
                        op: str = "append") -> int:
         """Build + atomically publish the child manifest (driver-side
-        single-writer commit, like the reference's snapshot commit at
-        src/moonlink/src/storage/mooncake_table/snapshot.rs:484-662)."""
+        commit, like the reference's snapshot commit at
+        src/moonlink/src/storage/mooncake_table/snapshot.rs:484-662).
+
+        Concurrency: PURE APPENDS (new fragments + appended index
+        deltas, nothing replaced, no DV updates) commute with any
+        concurrent commit, so when the conditional-put loses the
+        version-id race the commit is REBASED onto the new head and
+        retried — Delta/Iceberg-style optimistic concurrency for the
+        multi-writer ingest pattern. Keyed merges and maintenance
+        rewrites reference specific parent fragments (their DV offsets,
+        replacement sets and index probes were computed against one
+        snapshot), so they stay single-writer per table — the
+        reference's one-TableHandler-per-table model — and a lost race
+        surfaces as CommitConflict for the caller to re-run."""
+        from moonray.commitstore import CommitConflict
         from moonray.dv import dv_paths_of
 
-        frags = []
-        for f in parent["fragments"]:
-            if f["id"] in replaced_frag_ids:
-                continue
-            if dv_updates and f["id"] in dv_updates:
-                upd = dv_updates[f["id"]]
-                # append this round's disjoint DV deltas (see dv.dv_paths_of)
-                f = dict(f, dv=dv_paths_of(f) + list(upd["add"]),
-                         dv_count=f["dv_count"] + int(upd["add_count"]))
-                if f["dv_count"] >= f["rows"]:
-                    continue  # fully dead fragment drops out of the manifest
-            frags.append(f)
-        for nf in new_frags:
-            if nf["rows"] > 0:
-                frags.append(nf)
-        if replace_index:
-            partitions = {p: [x for x in v if x] for p, v in index_deltas.items()}
-            partitions = {p: v for p, v in partitions.items() if v}
-        else:
-            partitions = {p: list(v) for p, v in parent["index"]["partitions"].items()}
-            for p, paths in index_deltas.items():
-                partitions.setdefault(p, []).extend(x for x in paths if x)
-        child = {
-            "version": parent["version"] + 1,
-            "parent": parent["version"],
-            # commit kind: append | merge | maintenance | alter — lets
-            # the changelog reader (table.changes) skip data-preserving
-            # rewrites, like Iceberg snapshot summary operation kinds
-            "op": op,
-            "commit_lsn": max(lsn, parent["commit_lsn"]),
-            "job_id": job_id,
-            "key_col": parent["key_col"],
-            "key_cols": parent.get("key_cols"),
-            "identity": parent.get("identity", "keys"),
-            "zone_cols": parent["zone_cols"],
-            "index": {"num_partitions": parent["index"]["num_partitions"],
-                      "partitions": partitions},
-            "fragments": frags,
-            "rows_per_fragment": parent["rows_per_fragment"],
-            "schema_ipc": parent["schema_ipc"],
-            "column_defaults": parent.get("column_defaults", {}),
-            "stats": {"new_fragments": len(new_frags),
-                      "replaced_fragments": len(replaced_frag_ids),
-                      "dv_updates": len(dv_updates or {})},
-        }
-        return mf.commit_manifest(self.root, child)
+        def build(parent: dict) -> dict:
+            frags = []
+            for f in parent["fragments"]:
+                if f["id"] in replaced_frag_ids:
+                    continue
+                if dv_updates and f["id"] in dv_updates:
+                    upd = dv_updates[f["id"]]
+                    # append this round's disjoint DV deltas (see dv.dv_paths_of)
+                    f = dict(f, dv=dv_paths_of(f) + list(upd["add"]),
+                             dv_count=f["dv_count"] + int(upd["add_count"]))
+                    if f["dv_count"] >= f["rows"]:
+                        continue  # fully dead fragment drops out of the manifest
+                frags.append(f)
+            for nf in new_frags:
+                if nf["rows"] > 0:
+                    frags.append(nf)
+            if replace_index:
+                partitions = {p: [x for x in v if x] for p, v in index_deltas.items()}
+                partitions = {p: v for p, v in partitions.items() if v}
+            else:
+                partitions = {p: list(v) for p, v in parent["index"]["partitions"].items()}
+                for p, paths in index_deltas.items():
+                    partitions.setdefault(p, []).extend(x for x in paths if x)
+            return {
+                "version": parent["version"] + 1,
+                "parent": parent["version"],
+                # commit kind: append | merge | maintenance | alter — lets
+                # the changelog reader (table.changes) skip data-preserving
+                # rewrites, like Iceberg snapshot summary operation kinds
+                "op": op,
+                "commit_lsn": max(lsn, parent["commit_lsn"]),
+                "job_id": job_id,
+                "key_col": parent["key_col"],
+                "key_cols": parent.get("key_cols"),
+                "identity": parent.get("identity", "keys"),
+                "zone_cols": parent["zone_cols"],
+                "index": {"num_partitions": parent["index"]["num_partitions"],
+                          "partitions": partitions},
+                "fragments": frags,
+                "rows_per_fragment": parent["rows_per_fragment"],
+                "schema_ipc": parent["schema_ipc"],
+                "column_defaults": parent.get("column_defaults", {}),
+                "stats": {"new_fragments": len(new_frags),
+                          "replaced_fragments": len(replaced_frag_ids),
+                          "dv_updates": len(dv_updates or {})},
+            }
+
+        rebase_safe = (op == "append" and not replaced_frag_ids
+                       and not dv_updates and not replace_index)
+        for _attempt in range(_COMMIT_REBASE_ATTEMPTS):
+            try:
+                return mf.commit_manifest(self.root, build(parent))
+            except CommitConflict:
+                if not rebase_safe:
+                    raise
+                # the LATEST pointer can lag a just-committed version
+                # (advance_pointer is monotonic, not instant): rebase on
+                # the true head from the immutable version listing
+                head = max(mf.list_versions(self.root))
+                parent = mf.load_manifest(self.root, head)
+        raise CommitConflict(
+            f"append commit lost {_COMMIT_REBASE_ATTEMPTS} version races in a "
+            "row — pathological writer contention; back off and retry")
 
     def alter(self, *, add_columns=(), drop_columns=(),
               job_id: str | None = None) -> int:

@@ -1,0 +1,120 @@
+"""Optimistic concurrency on the commit path.
+
+Pure appends commute, so a committer that loses the version-id race
+rebases onto the new head and retries (table._commit_append); keyed
+merges stay single-writer per table (the reference's
+one-TableHandler-per-table model, mooncake_table.rs) and surface
+CommitConflict. The LATEST pointer only ever advances
+(commitstore.advance_pointer), so a slow committer can't regress it
+below a newer published version.
+"""
+
+import threading
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from moonray.commitstore import CommitConflict, store_for
+from moonray.table import MoonrayTable
+
+SCHEMA = pa.schema([("id", pa.int64()), ("val", pa.string())])
+
+
+def _rows(lo: int, n: int) -> rd.Dataset:
+    return rd.from_arrow(pa.table({
+        "id": list(range(lo, lo + n)),
+        "val": [f"v{i}" for i in range(lo, lo + n)],
+    }))
+
+
+def _make(tmp_path) -> MoonrayTable:
+    return MoonrayTable.create(str(tmp_path / "t"), key_col="id",
+                               schema=SCHEMA, index_partitions=4,
+                               rows_per_fragment=64)
+
+
+def test_stale_append_rebases_onto_new_head(tmp_path):
+    """Deterministic race: an appender holding a STALE parent manifest
+    must rebase, keeping the concurrent commit's fragments."""
+    t = _make(tmp_path)
+    t.bulk_load(_rows(0, 50))
+    stale = t.manifest()                      # parent = v1
+
+    t2 = MoonrayTable.open(t.root)
+    t2.bulk_load(_rows(1000, 30))             # concurrent writer → v2
+
+    # stage a real append through bulk_load's machinery, but commit it
+    # against the stale parent: _commit_append must lose the v2 race,
+    # reload the head, and land as v3 with BOTH loads' fragments
+    from moonray.fragments import collect_staged_fragment_meta, rg_rows_of, FragmentWriter
+    from moonray.identity import with_identity_key
+    from moonray.keyindex import build_index_from_runs
+    from moonray.util import as_fn
+
+    w = FragmentWriter(t.root, "job-stale", "id", [],
+                       data_cols=["id", "val"], index_partitions=4,
+                       row_group_rows=rg_rows_of(64))
+    with_identity_key(_rows(2000, 20), stale).map_batches(
+        as_fn(w), batch_format="pyarrow", batch_size=64).count()
+    deltas = build_index_from_runs(t.root, "job-stale", "id")
+    frags = collect_staged_fragment_meta(t.root, "job-stale")
+    v = t._commit_append(stale, frags, deltas, lsn=0, job_id="job-stale")
+
+    assert v == 3
+    got = MoonrayTable.open(t.root)
+    assert got.scan().count() == 100          # 50 + 30 + 20, nothing lost
+    assert got.manifest()["parent"] == 2      # rebased, not overwritten
+    # point lookups work across all three loads (index deltas appended
+    # onto the head's partitions, not the stale parent's)
+    assert got.lookup([0, 1000, 2000]).num_rows == 3
+
+
+def test_threaded_concurrent_bulk_loads(tmp_path):
+    """Two real writers appending disjoint key ranges from threads: both
+    commits must land, serialized into consecutive versions."""
+    t = _make(tmp_path)
+    t.bulk_load(_rows(0, 10))
+    errs = []
+
+    def load(lo: int):
+        try:
+            MoonrayTable.open(t.root).bulk_load(_rows(lo, 100))
+        except Exception as ex:  # noqa: BLE001 — recorded for the assert
+            errs.append(ex)
+
+    th = [threading.Thread(target=load, args=(lo,)) for lo in (10_000, 20_000)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    got = MoonrayTable.open(t.root)
+    assert got.latest_version() == 3
+    assert got.scan().count() == 210
+    assert got.lookup([10_050, 20_050]).num_rows == 2
+
+
+def test_stale_merge_surfaces_conflict(tmp_path):
+    """Non-append commits (DV updates reference a specific snapshot)
+    must NOT auto-rebase: the caller re-runs against the new head."""
+    t = _make(tmp_path)
+    t.bulk_load(_rows(0, 50))
+    stale = t.manifest()
+    MoonrayTable.open(t.root).bulk_load(_rows(1000, 10))  # head moves
+
+    frag_id = stale["fragments"][0]["id"]
+    with pytest.raises(CommitConflict):
+        t._commit_append(stale, [], {}, lsn=5, job_id="job-x",
+                         dv_updates={frag_id: {"add": [], "add_count": 0}},
+                         op="merge")
+
+
+def test_advance_pointer_is_monotonic(tmp_path):
+    store = store_for(str(tmp_path))
+    store.advance_pointer("versions/LATEST", 5)
+    assert store.read_pointer("versions/LATEST") == "5"
+    store.advance_pointer("versions/LATEST", 3)   # stale publish: no-op
+    assert store.read_pointer("versions/LATEST") == "5"
+    store.advance_pointer("versions/LATEST", 9)
+    assert store.read_pointer("versions/LATEST") == "9"

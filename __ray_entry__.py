@@ -165,6 +165,25 @@ WHERE a.doc_id < b.doc_id
       / len(list_distinct(a.sh || b.sh)) >= 0.5
 """
 
+# connected components of the near-dup pair graph: symmetrize the exact
+# pair set, take the recursive transitive closure, and label every node
+# with the minimum reachable id (UNION dedups rows, so the recursion
+# terminates). Matches functions/components.connected_components, which
+# emits one (id, component=min id in component) row per connected node.
+_NEAR_DUP_COMPONENTS_SQL = """
+WITH RECURSIVE pairs AS (
+""" + _NGRAM_JACCARD_SQL + """
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS id, least(src, min(dst)) AS component
+FROM reach GROUP BY src
+"""
+
 # ------------------------------------------------------------ queries
 
 
@@ -250,6 +269,12 @@ def _q_append_only(sf_dir: str):
     return append_only_ingest(sf_dir)
 
 
+def _q_concurrent_appends(sf_dir: str):
+    from moonray.pipelines.relational import concurrent_append_commits
+
+    return concurrent_append_commits(sf_dir)
+
+
 def _q_alter(sf_dir: str):
     from moonray.pipelines.relational import alter_evolution_scan
 
@@ -321,6 +346,18 @@ def _q_ngram_jaccard(sf_dir: str):
     from moonray.functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def _q_near_dup_components(sf_dir: str):
+    """Exact near-dup pairs collapsed into duplicate clusters by the
+    DISTRIBUTED connected-components operator (min-label propagation —
+    the 100 TB path for the collapse step the other dedup ops do with
+    a driver union-find). Oracle: recursive-CTE transitive closure."""
+    from moonray.functions.components import connected_components
+    from moonray.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+    return connected_components(pairs)
 
 
 def _q_knn_ivf(sf_dir: str):
@@ -712,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_merge_maintenance": _q_images_flagship,
         "merge_composite_key": _q_composite_merge,
         "append_only_ingest": _q_append_only,
+        "concurrent_append_commits": _q_concurrent_appends,
         "predicate_delete_scan": _q_predicate_delete,
         "incremental_view_sync": _q_view_sync,
         "alter_schema_evolution": _q_alter,
@@ -755,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # persisted-IVF knn). Never benchmark them at large sf.
         "embedding_near_dup_pairs": _q_near_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "near_dup_components": _q_near_dup_components,
         "decontamination_join": _q_decontam_join,
         # ---- similarity search ----
         "knn_cosine_top10": _q_knn,
@@ -843,6 +882,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "merge_composite_key": _COMPOSITE_MERGE_SQL,
         "append_only_ingest": _APPEND_ONLY_SQL,
+        "concurrent_append_commits":
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+            "FROM customer",
         "alter_schema_evolution": _ALTER_SQL,
         "stream_xact_commit": _STREAM_XACT_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
@@ -919,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 500
         """,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "near_dup_components": _NEAR_DUP_COMPONENTS_SQL,
         "decontamination_join": """
         WITH t AS (
           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

@@ -115,6 +115,51 @@ def make_images_dataset(n: int, *, seed: int = 42, hot_pct: int = 5,
     )
 
 
+class GenImagesWithDups:
+    """Batch generator for the curation fixtures: base rows plus, for
+    every ``dup_every``-th base, two near-duplicate variants — phash
+    within 1-3 bits (a re-encode/recompress signature), one at 2× the
+    base dimensions (the representative a curation pass should keep)
+    and one at half. Every ``junk_every``-th base gets a one-token junk
+    caption so the quality gate has real work. Deterministic in (seed,
+    n); payload bytes are shared with the base (curation never decodes)."""
+
+    def __init__(self, seed: int = 42, dup_every: int = 5,
+                 junk_every: int = 7):
+        self.seed = seed
+        self.dup_every = dup_every
+        self.junk_every = junk_every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in batch["id"].to_pylist():
+            base = image_row(f"img-{i:012d}", self.seed, 0, hot_pct=0)
+            if i % self.junk_every == 3:
+                base = dict(base, caption="junk")
+            rows.append(base)
+            if i % self.dup_every == 0:
+                ph = np.uint64(base["phash"])
+                hi = dict(base, image_id=base["image_id"] + "-d1",
+                          phash=int(np.int64(ph ^ np.uint64(1 << 5))),
+                          w=base["w"] * 2, h=base["h"] * 2)
+                lo = dict(base, image_id=base["image_id"] + "-d2",
+                          phash=int(np.int64(ph ^ np.uint64((1 << 9) | (1 << 33)))),
+                          w=max(1, base["w"] // 2), h=max(1, base["h"] // 2))
+                rows.extend([hi, lo])
+        return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+
+
+def make_images_with_dup_families(n_base: int, *, seed: int = 42,
+                                  dup_every: int = 5, junk_every: int = 7,
+                                  concurrency=None):
+    import ray.data as rd
+
+    ds = rd.range(n_base, override_num_blocks=max(1, n_base // 256))
+    return ds.map_batches(GenImagesWithDups(seed, dup_every, junk_every),
+                          batch_format="pyarrow", batch_size=256,
+                          concurrency=concurrency)
+
+
 class GenChanges:
     """Change-log batch generator over a range of change sequence numbers.
 

@@ -449,15 +449,22 @@ def _verify_pairs(pairs, payloads, payload_type: pa.DataType, verdict_fn, *,
 
 def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
-                      jaccard_threshold: float = 0.8):
+                      jaccard_threshold: float = 0.8,
+                      components: str = "driver"):
     """Near-dup dedup: returns the Dataset filtered to cluster
     representatives (min id per near-dup cluster).
 
     Scale notes: the LSH shuffle carries only (band, bhash, id); the
     exact-Jaccard verify runs DISTRIBUTED via _verify_pairs (shingle
     payloads of candidate ids co-shuffle with pair halves — no corpus
-    broadcast, no candidate take_all); only the VERIFIED pairs (tiny)
-    reach the driver for the connected-components union-find."""
+    broadcast, no candidate take_all). The pair→cluster collapse has
+    two regimes (``components``): ``"driver"`` union-finds the verified
+    pairs on the driver (O(pairs) driver memory — fine while pairs are
+    small), ``"distributed"`` runs functions.components min-label
+    propagation so only the (id, min-id) rows of actual DUPLICATES
+    reach the driver — O(dups) ≤ O(pairs), the 100 TB regime where a
+    big duplicate family generates quadratically many verified pairs.
+    Both regimes produce identical output (pytest parity)."""
     import ray
 
     band_rows = ds.map_batches(
@@ -528,25 +535,41 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
             out[k] = (union == 0) or (inter / union >= jaccard_threshold)
         return out
 
-    verified = _verify_pairs(
+    verified_ds = _verify_pairs(
         cand, payloads, pa.list_(pa.uint64()), jaccard_verdict,
-        n_candidate_ids=len(ray.get(ids_ref))).take_all()
+        n_candidate_ids=len(ray.get(ids_ref)))
 
-    # connected components (union-find on the driver over verified pairs)
-    parent: dict[int, int] = {}
+    if components == "distributed":
+        from moonray.functions.components import connected_components
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+        comp = connected_components(verified_ds)
 
-    for r in verified:
-        ra, rb = find(r["a"]), find(r["b"])
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    drop = {x for x in parent if find(x) != x}
+        def dups_only(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.not_equal(t["id"], t["component"]))
+
+        dups_only.__name__ = "non_representatives"
+        drop = {r["id"] for r in
+                comp.map_batches(dups_only,
+                                 batch_format="pyarrow").take_all()}
+    else:
+        # union-find on the driver over verified pairs
+        verified = verified_ds.take_all()
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in verified:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        drop = {x for x in parent if find(x) != x}
 
     def keep_reps(batch: pa.Table) -> pa.Table:
         ids = np.array(batch[id_col].to_pylist())

@@ -272,6 +272,61 @@ def append_only_ingest(sf_dir: str):
     return t.scan()
 
 
+def concurrent_append_commits(sf_dir: str):
+    """Two WRITERS bulk-load disjoint halves of ``customer`` into ONE
+    keyed table from concurrent threads — the multi-writer ingest
+    pattern table._commit_append's optimistic rebase exists for: the
+    loser of the version-id race rebases onto the new head instead of
+    failing, so both commits land and the scan is the full union
+    (oracle: SELECT the five columns FROM customer). Point lookups at
+    the end prove the index deltas of BOTH writers survived the rebase."""
+    import threading
+
+    import ray.data as rd
+
+    from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
+
+    root = scratch_root("moonray-occ-")
+    schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ])
+    t = MoonrayTable.create(root, key_col="c_custkey", schema=schema,
+                            zone_cols=("c_acctbal",), index_partitions=8,
+                            rows_per_fragment=256)
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=CUSTOMER_COLS)
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ck % 2 == parity))
+
+        f.__name__ = f"half_{parity}"
+        return f
+
+    errs: list[Exception] = []
+
+    def load(parity: int) -> None:
+        try:
+            MoonrayTable.open(root).bulk_load(
+                cust.map_batches(half(parity), batch_format="pyarrow"),
+                job_id=f"writer-{parity}")
+        except Exception as ex:  # noqa: BLE001 — surfaced below
+            errs.append(ex)
+
+    threads = [threading.Thread(target=load, args=(p,)) for p in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errs:
+        raise errs[0]
+    return t.scan()
+
+
 def alter_evolution_scan(sf_dir: str):
     """Schema evolution end-to-end: bulk load customer → ALTER TABLE
     add c_loyalty (default 5) + drop c_mktsegment → scan. Old fragments

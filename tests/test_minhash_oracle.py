@@ -76,3 +76,12 @@ def test_minhash_dedup_synthetic_clusters():
     assert {0, 10, 20}.issubset(set(kept))          # cluster minima kept
     assert not ({1, 2, 3, 11, 12, 13} & set(kept))  # cluster dups dropped
     assert np.all(np.isin([100, 101, 102, 103, 104], kept))  # uniques kept
+
+
+def test_distributed_components_regime_parity():
+    """components="distributed" (min-label propagation collapse) must
+    keep exactly the same representatives as the driver union-find."""
+    docs = rd.read_parquet(SF_DOCS)
+    kept = sorted(r["doc_id"] for r in minhash_lsh_dedup(
+        docs, jaccard_threshold=0.8, components="distributed").take_all())
+    assert kept == _oracle_reps(docs.take_all(), 0.8)

@@ -6,7 +6,7 @@ matmul against it and emits its per-batch top-k candidates; the final
 reduce over (n_queries × k × n_blocks) candidate rows happens on the
 driver — tiny. An IVF-style bucketed variant (cluster assignment stage →
 per-bucket brute force) is the 100 TB path; the per-batch kernel is
-identical, so it reuses CosineTopK per bucket.
+identical, so it reuses the cosine top-k kernel per bucket.
 """
 
 from __future__ import annotations
@@ -17,33 +17,39 @@ import pyarrow as pa
 from moonray.util import list_to_matrix
 
 
-class CosineTopK:
-    def __init__(self, q_ref, id_col: str, vec_col: str, k: int):
+def _cosine_topk_fn(q_ref, id_col: str, vec_col: str, k: int):
+    """Task-based per-batch kernel. The broadcast state is ONE ray.put
+    on the driver; each task's ray.get resolves from the node-local
+    plasma store (zero-copy, no re-ship per batch). A task pool beats an
+    actor pool here: per-worker init is just that get, and actor-pool
+    spin-up costs ~1-2 s of fixed launch time per query set (measured:
+    2000-row sf0.1 corpus 1.75 s actor-pool vs 0.55 s task-based).
+    Actor pools stay the right shape when init is genuinely expensive
+    (model load, index build) — not for a broadcast lookup."""
+
+    def cosine_topk(batch: pa.Table) -> pa.Table:
         import ray
 
-        self.q_ids, self.q_mat = ray.get(q_ref)   # (Q,), (Q, d) normalized f64
-        self.id_col = id_col
-        self.vec_col = vec_col
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = list_to_matrix(batch[self.vec_col])
+        q_ids, q_mat = ray.get(q_ref)   # (Q,), (Q, d) normalized f64
+        vecs = list_to_matrix(batch[vec_col])
         # not in-place: may be a read-only zero-copy object-store view
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
                                  1e-12)
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sims = self.q_mat @ vecs.T                       # (Q, batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = q_mat @ vecs.T                            # (Q, batch)
         out_q, out_n, out_s = [], [], []
-        k = min(self.k, sims.shape[1])
+        k2 = min(k, sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            top = np.argpartition(-row, k - 1)[:k]
-            out_q.extend([int(self.q_ids[qi])] * k)
+            top = np.argpartition(-row, k2 - 1)[:k2]
+            out_q.extend([int(q_ids[qi])] * k2)
             out_n.extend(ids[top].tolist())
             out_s.extend(row[top].tolist())
         return pa.table({"qid": pa.array(out_q, pa.int64()),
                          "nid": pa.array(out_n, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
+
+    return cosine_topk
 
 
 def _normalize_queries(queries):
@@ -74,7 +80,7 @@ def _topk_reduce(rows, q_ids, k: int, exclude_self: bool) -> pa.Table:
 
 def knn_cosine(ds, queries: list[tuple[int, np.ndarray]], *, k: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               exclude_self: bool = True, concurrency=(1, 8)) -> pa.Table:
+               exclude_self: bool = True, concurrency=None) -> pa.Table:
     """Exact cosine top-k of each query over the Dataset (brute-force
     baseline). Returns an arrow table (qid, nid, rank)."""
     import ray
@@ -83,7 +89,7 @@ def knn_cosine(ds, queries: list[tuple[int, np.ndarray]], *, k: int = 10,
     q_ref = ray.put((q_ids, q_mat))
     kk = k + (1 if exclude_self else 0)
     cand = ds.map_batches(
-        CosineTopK, fn_constructor_args=(q_ref, id_col, vec_col, kk),
+        _cosine_topk_fn(q_ref, id_col, vec_col, kk),
         batch_format="pyarrow", concurrency=concurrency)
     return _topk_reduce(_prereduce(cand, kk).take_all(), q_ids, k,
                         exclude_self)
@@ -106,41 +112,41 @@ def _kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int,
     return cent
 
 
-class IvfTopK:
-    """map_batches stage: assign each row to its nearest centroid, then
+def _ivf_topk_fn(state_ref, id_col: str, vec_col: str, k: int):
+    """Task-based stage: assign each row to its nearest centroid, then
     compare it ONLY against queries probing that centroid's bucket —
     the IVF pruning that makes ANN sub-linear at scale. Broadcast state
-    (centroids, per-query probe sets, query matrix) via one ray.put."""
+    (centroids, per-query probe sets, query matrix) via one ray.put,
+    resolved node-locally per task (see _cosine_topk_fn on why a task
+    pool beats an actor pool for broadcast lookups)."""
 
-    def __init__(self, state_ref, id_col: str, vec_col: str, k: int):
+    def ivf_topk(batch: pa.Table) -> pa.Table:
         import ray
 
-        self.cent, self.q_ids, self.q_mat, self.q_probes = ray.get(state_ref)
-        self.id_col = id_col
-        self.vec_col = vec_col
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = list_to_matrix(batch[self.vec_col])
+        cent, q_ids, q_mat, q_probes = ray.get(state_ref)
+        vecs = list_to_matrix(batch[vec_col])
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
                                  1e-12)
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        buckets = np.argmax(vecs @ self.cent.T, axis=1)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        buckets = np.argmax(vecs @ cent.T, axis=1)
         out_q, out_n, out_s = [], [], []
-        for qi in range(len(self.q_ids)):
-            mask = np.isin(buckets, self.q_probes[qi])
+        for qi in range(len(q_ids)):
+            mask = np.isin(buckets, q_probes[qi])
             if not mask.any():
                 continue
-            sims = self.q_mat[qi] @ vecs[mask].T
+            sims = q_mat[qi] @ vecs[mask].T
             sub_ids = ids[mask]
-            k = min(self.k, len(sims))
-            top = np.argpartition(-sims, k - 1)[:k] if len(sims) > k else np.arange(len(sims))
-            out_q.extend([int(self.q_ids[qi])] * len(top))
+            k2 = min(k, len(sims))
+            top = (np.argpartition(-sims, k2 - 1)[:k2]
+                   if len(sims) > k2 else np.arange(len(sims)))
+            out_q.extend([int(q_ids[qi])] * len(top))
             out_n.extend(sub_ids[top].tolist())
             out_s.extend(sims[top].tolist())
         return pa.table({"qid": pa.array(out_q, pa.int64()),
                          "nid": pa.array(out_n, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
+
+    return ivf_topk
 
 
 def _prereduce(cand, k: int, partitions: int = 8):
@@ -177,7 +183,7 @@ def knn_cosine_ivf(ds, queries, *, k: int = 10, n_centroids: int = 16,
                    n_probe: int = 4, sample_rows: int = 4096,
                    kmeans_iters: int = 5, seed: int = 7,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   exclude_self: bool = True, concurrency=(1, 8)) -> pa.Table:
+                   exclude_self: bool = True, concurrency=None) -> pa.Table:
     """IVF-bucketed approximate top-k — the 100 TB scale path (SURVEY:
     similarity search). Train centroids on a sampled slice, then one
     pass over the data comparing each row only against queries probing
@@ -201,7 +207,7 @@ def knn_cosine_ivf(ds, queries, *, k: int = 10, n_centroids: int = 16,
     state_ref = ray.put((cent, q_ids, q_mat, probes))
     kk = k + (1 if exclude_self else 0)
     cand = ds.map_batches(
-        IvfTopK, fn_constructor_args=(state_ref, id_col, vec_col, kk),
+        _ivf_topk_fn(state_ref, id_col, vec_col, kk),
         batch_format="pyarrow", concurrency=concurrency)
     return _topk_reduce(_prereduce(cand, kk).take_all(), q_ids, k,
                         exclude_self)
@@ -209,31 +215,30 @@ def knn_cosine_ivf(ds, queries, *, k: int = 10, n_centroids: int = 16,
 
 # ------------------------------------------------ persisted IVF layout
 
-class _AssignBucket:
-    """Actor-pool stage: nearest-centroid assignment at BUILD time (the
+def _assign_bucket_fn(cent_ref, vec_col: str):
+    """Task-based stage: nearest-centroid assignment at BUILD time (the
     one-off cost knn_cosine_ivf pays per query set)."""
 
-    def __init__(self, cent_ref, vec_col: str):
+    def assign_bucket(batch: pa.Table) -> pa.Table:
         import ray
 
-        self.cent = ray.get(cent_ref)
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = list_to_matrix(batch[self.vec_col])
+        cent = ray.get(cent_ref)
+        vecs = list_to_matrix(batch[vec_col])
         # not in-place: list_to_matrix may return a read-only
         # zero-copy view of the object-store block
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1,
                                                 keepdims=True), 1e-12)
-        bk = np.argmax(vecs @ self.cent.T, axis=1).astype(np.int32)
+        bk = np.argmax(vecs @ cent.T, axis=1).astype(np.int32)
         return batch.append_column("bucket", pa.array(bk))
+
+    return assign_bucket
 
 
 def build_ivf_layout(ds, root: str, *, n_centroids: int = 16,
                      sample_rows: int = 4096, kmeans_iters: int = 5,
                      seed: int = 7, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     concurrency=(1, 8)) -> "IvfIndex":
+                     concurrency=None) -> "IvfIndex":
     """Persist an IVF-partitioned copy of the corpus: train centroids
     on a bounded sample, assign every row once, and write hive-
     partitioned parquet (one directory per centroid bucket). This is
@@ -259,8 +264,7 @@ def build_ivf_layout(ds, root: str, *, n_centroids: int = 16,
     cent = _kmeans_centroids(sample, n_centroids, kmeans_iters, seed)
 
     os.makedirs(root, exist_ok=True)
-    ds.map_batches(_AssignBucket, fn_constructor_args=(ray.put(cent),
-                                                       vec_col),
+    ds.map_batches(_assign_bucket_fn(ray.put(cent), vec_col),
                    batch_format="pyarrow", concurrency=concurrency
                    ).write_parquet(root, partition_cols=["bucket"])
     np.save(os.path.join(root, "centroids.npy"), cent)
@@ -271,65 +275,61 @@ def build_ivf_layout(ds, root: str, *, n_centroids: int = 16,
     return IvfIndex.open(root)
 
 
-class _BucketTopK:
-    """Actor-pool stage over a probed-partition read: each batch's rows
+def _bucket_topk_fn(state_ref, id_col: str, vec_col: str, k: int):
+    """Task-based stage over a probed-partition read: each batch's rows
     compare ONLY against the queries probing the batch's bucket. The
     bucket comes from the hive file path (``include_paths=True``) — a
     batch never spans buckets in practice (blocks come from single
     files), but the per-distinct-path loop below stays correct if Ray
     ever coalesces."""
+    import re
 
-    def __init__(self, state_ref, id_col: str, vec_col: str, k: int):
-        import re
+    bucket_re = re.compile(r"bucket=(\d+)")
 
-        import ray
-
-        self.q_ids, self.q_mat, self.bucket_queries = ray.get(state_ref)
-        self.id_col = id_col
-        self.vec_col = vec_col
-        self.k = k
-        self.bucket_re = re.compile(r"bucket=(\d+)")
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def bucket_topk(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        import ray
 
         empty = pa.table({"qid": pa.array([], pa.int64()),
                           "nid": pa.array([], pa.int64()),
                           "sim": pa.array([], pa.float64())})
         if len(batch) == 0:
             return empty
+        q_ids, q_mat, bucket_queries = ray.get(state_ref)
         enc = pc.dictionary_encode(batch["path"].combine_chunks()
                                    if isinstance(batch["path"], pa.ChunkedArray)
                                    else batch["path"])
         path_vals = enc.dictionary.to_pylist()
         path_idx = enc.indices.to_numpy(zero_copy_only=False)
         path_bucket = np.array(
-            [int(self.bucket_re.search(p).group(1)) for p in path_vals],
+            [int(bucket_re.search(p).group(1)) for p in path_vals],
             dtype=np.int64)
         row_bucket = path_bucket[path_idx]
 
-        vecs = list_to_matrix(batch[self.vec_col])
+        vecs = list_to_matrix(batch[vec_col])
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1,
                                                 keepdims=True), 1e-12)
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         out_q, out_n, out_s = [], [], []
         for b in np.unique(row_bucket):
-            qidx = self.bucket_queries.get(int(b))
+            qidx = bucket_queries.get(int(b))
             if qidx is None or not len(qidx):
                 continue
             mask = row_bucket == b
             sub_v, sub_i = vecs[mask], ids[mask]
-            sims = self.q_mat[qidx] @ sub_v.T          # (nq_b, rows_b)
-            k = min(self.k, sims.shape[1])
+            sims = q_mat[qidx] @ sub_v.T               # (nq_b, rows_b)
+            k2 = min(k, sims.shape[1])
             for row, qi in zip(sims, qidx):
-                top = (np.argpartition(-row, k - 1)[:k]
-                       if len(row) > k else np.arange(len(row)))
-                out_q.extend([int(self.q_ids[qi])] * len(top))
+                top = (np.argpartition(-row, k2 - 1)[:k2]
+                       if len(row) > k2 else np.arange(len(row)))
+                out_q.extend([int(q_ids[qi])] * len(top))
                 out_n.extend(sub_i[top].tolist())
                 out_s.extend(row[top].tolist())
         return pa.table({"qid": pa.array(out_q, pa.int64()),
                          "nid": pa.array(out_n, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
+
+    return bucket_topk
 
 
 class IvfIndex:
@@ -356,11 +356,11 @@ class IvfIndex:
         return os.path.join(self.root, f"bucket={b}")
 
     def search(self, queries, *, k: int = 10, n_probe: int = 4,
-               exclude_self: bool = True, concurrency=(1, 8),
+               exclude_self: bool = True, concurrency=None,
                with_stats: bool = False):
         """Approximate top-k: ONE read over the union of the queries'
         probed bucket directories (I/O ∝ probed partitions, never the
-        corpus), one actor-pool compare stage that matches each file's
+        corpus), one task-pool compare stage that matches each file's
         rows against only the queries probing that file's bucket
         (bucket parsed from the hive path — no per-bucket sub-pipeline:
         a Dataset per bucket would launch O(buckets) actor pools and
@@ -396,8 +396,7 @@ class IvfIndex:
         ds = rd.read_parquet(files, columns=[id_col, vec_col],
                              include_paths=True)
         cand = ds.map_batches(
-            _BucketTopK, fn_constructor_args=(state_ref, id_col, vec_col,
-                                              kk),
+            _bucket_topk_fn(state_ref, id_col, vec_col, kk),
             batch_format="pyarrow", concurrency=concurrency)
         out = _topk_reduce(_prereduce(cand, kk).take_all(), q_ids, k,
                            exclude_self)

@@ -127,24 +127,32 @@ class FrameSample:
         })
 
 
-def sample_frames(ds, *, stride: int = 2, concurrency=(1, 8),
+def sample_frames(ds, *, stride: int = 2, concurrency=None,
                   batch_size: int = 16):
-    return ds.map_batches(FrameSample, fn_constructor_args=(stride,),
+    from moonray.util import as_fn
+
+    return ds.map_batches(as_fn(FrameSample(stride)),
                           batch_format="pyarrow", concurrency=concurrency,
                           batch_size=batch_size)
 
 
-def decode_stats(ds, *, concurrency=(1, 8), batch_size: int | None = None):
+def decode_stats(ds, *, concurrency=None, batch_size: int | None = None):
     """batch_size=None → block-native batches: an explicit row-count
     rebatch re-slices and copies the wide binary payload inside every
     task (measured ~3x the bare read cost); blocks are already bounded
-    by the upstream reader, so memory stays flat."""
-    return ds.map_batches(DecodeStats, batch_format="pyarrow",
+    by the upstream reader, so memory stays flat. Task pool: the stage
+    holds no state worth an actor pool's spin-up cost (see
+    functions/text.py module docstring)."""
+    from moonray.util import as_fn
+
+    return ds.map_batches(as_fn(DecodeStats()), batch_format="pyarrow",
                           concurrency=concurrency, batch_size=batch_size)
 
 
-def downsample2x(ds, *, concurrency=(1, 8), batch_size: int | None = None):
-    return ds.map_batches(Downsample2x, batch_format="pyarrow",
+def downsample2x(ds, *, concurrency=None, batch_size: int | None = None):
+    from moonray.util import as_fn
+
+    return ds.map_batches(as_fn(Downsample2x()), batch_format="pyarrow",
                           concurrency=concurrency, batch_size=batch_size)
 
 
@@ -228,9 +236,11 @@ class AudioFeatures:
                 .append_column("spectral_centroid_hz", pa.array(cent, pa.float64())))
 
 
-def audio_features(ds, *, audio_col: str = "audio", concurrency=(1, 8),
+def audio_features(ds, *, audio_col: str = "audio", concurrency=None,
                    batch_size: int = 64):
-    return ds.map_batches(AudioFeatures, fn_constructor_args=(audio_col,),
+    from moonray.util import as_fn
+
+    return ds.map_batches(as_fn(AudioFeatures(audio_col)),
                           batch_format="pyarrow", concurrency=concurrency,
                           batch_size=batch_size)
 

@@ -3,10 +3,14 @@ heuristic, document fingerprinting.
 
 Every metric here is defined to be EXACTLY reproducible in ANSI SQL
 (DuckDB) so the driver's oracle can hash-compare: integer counts and
-hex digests only — no floats. The stage is a stateful actor-pool
-callable (regexes compiled once per actor, reference pattern:
-stateful setup per worker as in moonlink's converters,
-src/moonlink_connectors/src/rest_ingest/json_converter.rs).
+hex digests only — no floats. Stages are callable config objects
+(regexes compiled ONCE on the driver, shipped in the pickled task
+closure — the setup-once-per-worker pattern of moonlink's converters,
+src/moonlink_connectors/src/rest_ingest/json_converter.rs) run as
+TASK pools via util.as_fn: per-stage state here is a few compiled
+patterns, and an actor pool would add ~1-2 s of spin-up per pipeline
+for nothing (measured on the knn stages). Actor pools stay the right
+shape only for genuinely expensive init (model load, index build).
 """
 
 from __future__ import annotations
@@ -67,9 +71,11 @@ class TextStats:
                 .append_column("lang_pred", pa.array(lang_pred, pa.string())))
 
 
-def text_stats(ds, concurrency=(1, 8)):
-    """documents Dataset → stats-annotated Dataset (actor pool)."""
-    return ds.map_batches(TextStats, batch_format="pyarrow",
+def text_stats(ds, concurrency=None):
+    """documents Dataset → stats-annotated Dataset (task pool)."""
+    from moonray.util import as_fn
+
+    return ds.map_batches(as_fn(TextStats()), batch_format="pyarrow",
                           concurrency=concurrency, batch_size=1024)
 
 
@@ -111,7 +117,7 @@ class QualityScore:
                 .append_column("quality_ok", pa.array(ok, pa.int64())))
 
 
-def quality_filter(ds, concurrency=(1, 8)):
+def quality_filter(ds, concurrency=None):
     """documents Dataset → only docs passing the quality band, with the
     integer score columns attached. The canonical pre-training filter
     stage: length floor, stopword-ratio band (too few = non-language,
@@ -121,7 +127,9 @@ def quality_filter(ds, concurrency=(1, 8)):
     def keep(b: pa.Table) -> pa.Table:
         return b.filter(pc.equal(b["quality_ok"], pa.scalar(1, pa.int64())))
 
-    return ds.map_batches(QualityScore, batch_format="pyarrow",
+    from moonray.util import as_fn
+
+    return ds.map_batches(as_fn(QualityScore()), batch_format="pyarrow",
                           concurrency=concurrency,
                           batch_size=1024).map_batches(
         keep, batch_format="pyarrow")
@@ -259,14 +267,15 @@ class RedactPII:
 
 
 def redact_pii(ds, *, id_col: str = "doc_id", text_col: str = "text",
-               concurrency=(1, 8)):
-    """Distributed PII scrub: stateless per-batch actor pool, no
+               concurrency=None):
+    """Distributed PII scrub: stateless per-batch task pool, no
     shuffle — the scrubbing stage every released text corpus runs
     before training. SQL-parity oracle: chained DuckDB regexp_replace
     with the same PII_PATTERNS."""
-    return ds.map_batches(RedactPII, fn_constructor_kwargs={
-        "id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency)
+    from moonray.util import as_fn
+
+    return ds.map_batches(as_fn(RedactPII(id_col=id_col, text_col=text_col)),
+                          batch_format="pyarrow", concurrency=concurrency)
 
 
 def redact_pii_oracle_sql(text_expr: str = "text") -> str:

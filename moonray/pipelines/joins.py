@@ -101,8 +101,14 @@ def broadcast_region_enrich(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_nationkey", "c_acctbal"])
-    ds = ds.map_batches(_RegionLookup, fn_constructor_args=(ref,),
-                        batch_format="pyarrow", concurrency=(1, 8))
+    from moonray.util import as_fn
+
+    # the dim side is 26 entries: constructing the lookup ON the driver
+    # and shipping it in the task closure is cheaper than an actor
+    # pool's spin-up; for a BIG dim side keep ray.put + per-task get
+    # from node-local plasma (the knn broadcast pattern)
+    ds = ds.map_batches(as_fn(_RegionLookup(ref), "region_lookup"),
+                        batch_format="pyarrow")
     return (ds.groupby("r_name")
               .aggregate(Sum("n_cust", alias_name="n_cust"),
                          Sum("acctbal_cents", alias_name="acctbal_cents")))

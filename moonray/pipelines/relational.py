@@ -541,9 +541,10 @@ def avro_ingest_agg(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type", "value"])
+    from moonray.util import as_fn
+
     rows = ds.map_batches(encode, batch_format="pyarrow").map_batches(
-        AvroToRows, fn_constructor_args=(schema_json,),
-        batch_format="pyarrow", concurrency=(1, 8))
+        as_fn(AvroToRows(schema_json)), batch_format="pyarrow")
 
     def partial(b: pa.Table) -> pa.Table:
         cents = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100
@@ -607,8 +608,10 @@ def otel_metrics_agg(sf_dir: str):
     encode.__name__ = "otlp_encode"
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["ts", "event_type", "value", "user_id"])
+    from moonray.util import as_fn
+
     rows = ds.map_batches(encode, batch_format="pyarrow").map_batches(
-        OtelToRows, batch_format="pyarrow", concurrency=(1, 8))
+        as_fn(OtelToRows()), batch_format="pyarrow")
 
     def partial(b: pa.Table) -> pa.Table:
         cents = np.floor(b["value_double"].to_numpy(zero_copy_only=False)

@@ -4,6 +4,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 import ray.data as rd
+from hypothesis import given, settings, strategies as st
 
 from moonray.functions.components import connected_components
 
@@ -74,3 +75,10 @@ def test_nonconvergence_raises():
 def test_empty_edges():
     assert _run([]) == {}
     assert _run([(3, 3)]) == {}  # self-loops only → no connected nodes
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+                min_size=1, max_size=120))
+def test_property_matches_bfs(edges):
+    assert _run(edges, max_iters=128, buckets=3) == _bfs_components(edges)

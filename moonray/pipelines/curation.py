@@ -159,28 +159,29 @@ def image_dup_groups(ds, *, id_col: str = "image_id",
     return named
 
 
-def curate_image_corpus(ds, *, id_col: str = "image_id",
-                        caption_col: str = "caption",
-                        max_hamming: int = 4, min_tokens: int = 4,
-                        buckets: int | None = None):
-    """Full curation pass. Returns the curated Dataset: caption-gated
-    rows minus non-representative near-dups (representative = max w×h
-    area per dup family; ties break to the lexicographically smallest
-    image_id, so output is deterministic)."""
-    import ray
-
+def duplicate_drops(ds, *, id_col: str = "image_id",
+                    max_hamming: int = 4, buckets: int | None = None,
+                    _hash_fn=None):
+    """Streaming Dataset of the NON-representative members of every
+    pHash duplicate family in ``ds`` (one ``id_col`` column). The
+    representative is the max-w×h-area member; ties break to the
+    lexicographically smallest id, so output is deterministic. Input
+    rows need (id, phash, w, h) and must already be quality-gated —
+    gated copies should neither represent nor veto a family. Everything
+    here is thin co-partitioned shuffles; nothing is driver-collected,
+    so callers choose their regime: broadcast the drop set (Dataset
+    curation, O(dups) driver memory) or stream it into a MERGE of
+    deletes (curate_table, O(1) driver memory)."""
     n_buckets = buckets or default_buckets()
-    ds = caption_quality_filter(ds, caption_col=caption_col,
-                                min_tokens=min_tokens).materialize()
     groups = image_dup_groups(ds, id_col=id_col, max_hamming=max_hamming,
-                              buckets=n_buckets)
+                              buckets=n_buckets, _hash_fn=_hash_fn)
 
     # co-partition group rows with (id, area) metadata by id64 hash,
     # then pick the representative per component and emit the DROPS
     def add_area(b: pa.Table) -> pa.Table:
         w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hh = _hash_ids(b[id_col])
+        hh = _hash_ids(b[id_col], _hash_fn)
         bkt = pa.array((np.asarray(hh).astype(np.uint64)
                         % np.uint64(n_buckets)).astype(np.int32))
         return pa.table({"id64": hh, "area": pa.array(w * h), "_bkt": bkt})
@@ -205,7 +206,7 @@ def curate_image_corpus(ds, *, id_col: str = "image_id",
         comps = g["_v"].to_numpy(zero_copy_only=False)[~is_area]
         pos = np.searchsorted(ah, gh)
         return pa.table({
-            "image_id": pa.array(names.tolist(), pa.string()),
+            id_col: pa.array(names.tolist(), pa.string()),
             "component": pa.array(comps.astype(np.int64)),
             "area": pa.array(av[pos].astype(np.int64)),
         })
@@ -214,11 +215,11 @@ def curate_image_corpus(ds, *, id_col: str = "image_id",
 
     def pick_drops(g: pa.Table) -> pa.Table:
         t = g.sort_by([("component", "ascending"), ("area", "descending"),
-                       ("image_id", "ascending")])
+                       (id_col, "ascending")])
         c = t["component"].to_numpy(zero_copy_only=False)
         first = np.ones(len(c), dtype=bool)
         first[1:] = c[1:] != c[:-1]
-        return t.filter(pa.array(~first)).select(["image_id"])
+        return t.filter(pa.array(~first)).select([id_col])
 
     pick_drops.__name__ = "drop_non_representatives"
 
@@ -241,11 +242,26 @@ def curate_image_corpus(ds, *, id_col: str = "image_id",
     joined = (area_rows.map_batches(tag_area, batch_format="pyarrow")
               .union(groups.map_batches(tag_groups, batch_format="pyarrow"))
               .groupby("_bkt").map_groups(join_area, batch_format="pyarrow"))
-    drops_ds = (joined.map_batches(bucket_by_component,
-                                   batch_format="pyarrow")
-                .groupby("_cbkt").map_groups(pick_drops,
-                                             batch_format="pyarrow"))
-    drop = {r["image_id"] for r in drops_ds.take_all()}
+    return (joined.map_batches(bucket_by_component, batch_format="pyarrow")
+            .groupby("_cbkt").map_groups(pick_drops, batch_format="pyarrow"))
+
+
+def curate_image_corpus(ds, *, id_col: str = "image_id",
+                        caption_col: str = "caption",
+                        max_hamming: int = 4, min_tokens: int = 4,
+                        buckets: int | None = None):
+    """Full curation pass. Returns the curated Dataset: caption-gated
+    rows minus non-representative near-dups (see duplicate_drops for
+    the representative rule). Drop set is broadcast (O(dups) driver
+    memory); for in-place table curation with no driver materialization
+    use curate_table."""
+    import ray
+
+    ds = caption_quality_filter(ds, caption_col=caption_col,
+                                min_tokens=min_tokens).materialize()
+    drops_ds = duplicate_drops(ds, id_col=id_col, max_hamming=max_hamming,
+                               buckets=buckets)
+    drop = {r[id_col] for r in drops_ds.take_all()}
     drop_ref = ray.put(drop)
 
     def keep(b: pa.Table) -> pa.Table:
@@ -257,3 +273,68 @@ def curate_image_corpus(ds, *, id_col: str = "image_id",
 
     keep.__name__ = "keep_representatives"
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def curate_table(table, *, lsn: int, id_col: str = "image_id",
+                 caption_col: str = "caption", max_hamming: int = 4,
+                 min_tokens: int = 4, buckets: int | None = None,
+                 job_id: str | None = None) -> int:
+    """Curate a LIVE MoonrayTable in place: one MERGE of delete rows for
+    (a) rows failing the caption quality gate and (b) non-representative
+    members of each pHash duplicate family. Pixels never move — the dup
+    detection and representative choice run on a COLUMN-PRUNED scan of
+    (id, phash, w, h, caption) thin columns, and the deletes go through
+    the normal DV path (batch-atomic commit, snapshot isolation,
+    idempotent resume under ``job_id``, time travel to the pre-curation
+    version — everything a destructive Dataset rewrite would lose).
+    Returns the committed version.
+
+    Family semantics match curate_image_corpus: the quality gate runs
+    FIRST, so junk-captioned copies neither represent nor veto a
+    family."""
+    import pyarrow.compute as pc
+
+    thin_cols = list(dict.fromkeys([id_col, "phash", "w", "h", caption_col]))
+    thin = table.scan(columns=thin_cols).materialize()
+
+    def tok_ok(b: pa.Table) -> pa.Array:
+        toks = pc.count_substring_regex(b[caption_col], r"\S+")
+        return pc.fill_null(pc.greater_equal(toks, min_tokens), False)
+
+    def quality_fails(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(tok_ok(b))).select([id_col])
+
+    def quality_passes(b: pa.Table) -> pa.Table:
+        return b.filter(tok_ok(b))
+
+    quality_fails.__name__ = "quality_fail_ids"
+    quality_passes.__name__ = "quality_pass_rows"
+    gated = thin.map_batches(quality_passes, batch_format="pyarrow")
+
+    schema = table.schema()
+
+    def to_deletes(b: pa.Table) -> pa.Table:
+        n = len(b)
+        cols = {
+            "op": pa.array(["D"] * n, pa.string()),
+            "lsn": pa.array(np.full(n, lsn, np.int64)),
+            id_col: b[id_col],
+        }
+        # D rows carry the full schema with null payloads (the CDC
+        # change-row shape merge expects; only the key matters)
+        for f in schema:
+            if f.name not in cols:
+                cols[f.name] = pa.nulls(n, f.type)
+        return pa.table(cols)
+
+    to_deletes.__name__ = "curation_delete_rows"
+    # drops = quality failures ∪ non-representative dups, both streaming
+    # Datasets of thin id rows — NOTHING is collected on the driver;
+    # the union feeds one MERGE of (op, lsn, key) rows through the
+    # normal DV delete path
+    drops = (thin.map_batches(quality_fails, batch_format="pyarrow")
+             .union(duplicate_drops(gated, id_col=id_col,
+                                    max_hamming=max_hamming,
+                                    buckets=buckets)))
+    return table.merge(drops.map_batches(to_deletes, batch_format="pyarrow"),
+                       job_id=job_id)

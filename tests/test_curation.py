@@ -96,3 +96,33 @@ def test_id64_collision_raises():
     with pytest.raises(Exception, match="collision"):
         image_dup_groups(ds, max_hamming=MAX_HAMMING, buckets=2,
                          _hash_fn=lambda s: 42).take_all()
+
+
+def test_curate_table_in_place(tmp_path):
+    """In-place table curation: same survivor set as the Dataset path,
+    through the DV delete path — old version still scans pre-curation
+    (snapshot isolation), and the merge is idempotent under job_id."""
+    from moonray.fixtures import IMAGE_SCHEMA
+    from moonray.pipelines.curation import curate_table
+    from moonray.table import MoonrayTable
+
+    ds = make_images_with_dup_families(40, seed=42).materialize()
+    expected = _oracle(ds.select_columns(
+        ["image_id", "caption", "phash", "w", "h"]).take_all())
+
+    t = MoonrayTable.create(str(tmp_path / "imgs"), key_col="image_id",
+                            schema=IMAGE_SCHEMA, zone_cols=("phash",),
+                            index_partitions=4, rows_per_fragment=64)
+    t.bulk_load(ds)
+    v_pre = t.latest_version()
+    v = curate_table(t, lsn=10_000, max_hamming=MAX_HAMMING,
+                     min_tokens=MIN_TOKENS, buckets=4, job_id="curate-1")
+    got = {r["image_id"] for r in
+           t.scan().select_columns(["image_id"]).take_all()}
+    assert got == expected
+    # snapshot isolation: the pre-curation version still has every row
+    assert t.scan(version=v_pre).count() == ds.count()
+    # idempotent resume
+    assert curate_table(t, lsn=10_000, max_hamming=MAX_HAMMING,
+                        min_tokens=MIN_TOKENS, buckets=4,
+                        job_id="curate-1") == v

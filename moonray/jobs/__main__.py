@@ -142,6 +142,16 @@ def main(argv=None) -> int:
     sp.add_argument("--into", required=True, help="destination table root")
     sp.add_argument("--state-key", default="default")
 
+    sp = sub.add_parser("curate")
+    tbl(sp)
+    sp.add_argument("--lsn", type=int, required=True)
+    sp.add_argument("--id-col", default="image_id")
+    sp.add_argument("--caption-col", default="caption")
+    sp.add_argument("--max-hamming", type=int, default=4)
+    sp.add_argument("--min-tokens", type=int, default=4)
+    sp.add_argument("--max-tokens", type=int, default=512)
+    sp.add_argument("--job-id", default=None)
+
     args = p.parse_args(argv)
     _ensure_ray()
     import pyarrow as pa
@@ -223,6 +233,14 @@ def main(argv=None) -> int:
                              state_key=args.state_key)
         print(json.dumps({"dst_version": v, "into": args.into}))
         return 0
+    elif args.cmd == "curate":
+        from moonray.pipelines.curation import curate_table
+
+        v = curate_table(t, lsn=args.lsn, id_col=args.id_col,
+                         caption_col=args.caption_col,
+                         max_hamming=args.max_hamming,
+                         min_tokens=args.min_tokens,
+                         max_tokens=args.max_tokens, job_id=args.job_id)
     print(json.dumps({"version": v, **t.describe()}))
     return 0
 

@@ -249,6 +249,7 @@ def duplicate_drops(ds, *, id_col: str = "image_id",
 def curate_image_corpus(ds, *, id_col: str = "image_id",
                         caption_col: str = "caption",
                         max_hamming: int = 4, min_tokens: int = 4,
+                        max_tokens: int = 512,
                         buckets: int | None = None):
     """Full curation pass. Returns the curated Dataset: caption-gated
     rows minus non-representative near-dups (see duplicate_drops for
@@ -258,7 +259,8 @@ def curate_image_corpus(ds, *, id_col: str = "image_id",
     import ray
 
     ds = caption_quality_filter(ds, caption_col=caption_col,
-                                min_tokens=min_tokens).materialize()
+                                min_tokens=min_tokens,
+                                max_tokens=max_tokens).materialize()
     drops_ds = duplicate_drops(ds, id_col=id_col, max_hamming=max_hamming,
                                buckets=buckets)
     drop = {r[id_col] for r in drops_ds.take_all()}
@@ -277,7 +279,8 @@ def curate_image_corpus(ds, *, id_col: str = "image_id",
 
 def curate_table(table, *, lsn: int, id_col: str = "image_id",
                  caption_col: str = "caption", max_hamming: int = 4,
-                 min_tokens: int = 4, buckets: int | None = None,
+                 min_tokens: int = 4, max_tokens: int = 512,
+                 buckets: int | None = None,
                  job_id: str | None = None) -> int:
     """Curate a LIVE MoonrayTable in place: one MERGE of delete rows for
     (a) rows failing the caption quality gate and (b) non-representative
@@ -298,8 +301,12 @@ def curate_table(table, *, lsn: int, id_col: str = "image_id",
     thin = table.scan(columns=thin_cols).materialize()
 
     def tok_ok(b: pa.Table) -> pa.Array:
+        # same band as caption_quality_filter — the two curation paths
+        # must gate identically or table vs Dataset output diverges
         toks = pc.count_substring_regex(b[caption_col], r"\S+")
-        return pc.fill_null(pc.greater_equal(toks, min_tokens), False)
+        ok = pc.and_(pc.greater_equal(toks, min_tokens),
+                     pc.less_equal(toks, max_tokens))
+        return pc.fill_null(ok, False)
 
     def quality_fails(b: pa.Table) -> pa.Table:
         return b.filter(pc.invert(tok_ok(b))).select([id_col])

@@ -98,3 +98,30 @@ def test_cli_export_iceberg(tmp_path, capsys):
 
     got = read_iceberg_table(dest)
     assert sorted(got["k"].to_pylist()) == list(range(50, 200))
+
+
+def test_cli_curate(tmp_path, capsys):
+    """curate subcommand: table in, quality-gated + dup-collapsed table
+    out, through the DV delete path."""
+    import ray.data as rd
+
+    from moonray.fixtures import IMAGE_SCHEMA, make_images_with_dup_families
+    from moonray.table import MoonrayTable
+
+    root = str(tmp_path / "imgs")
+    t = MoonrayTable.create(root, key_col="image_id", schema=IMAGE_SCHEMA,
+                            zone_cols=("phash",), index_partitions=4,
+                            rows_per_fragment=64)
+    ds = make_images_with_dup_families(30, seed=42)
+    t.bulk_load(ds)
+    n0 = t.scan().count()
+
+    out = _run(capsys, "curate", "--table", root, "--lsn", "9000",
+               "--job-id", "cur-1")
+    assert out["version"] >= 2
+    assert out["cardinality"] < n0
+    got = {r["image_id"] for r in
+           MoonrayTable.open(root).scan()
+           .select_columns(["image_id"]).take_all()}
+    assert any(i.endswith("-d1") for i in got)      # best-res reps kept
+    assert not any(i.endswith("-d2") for i in got)  # low-res dups gone

@@ -118,3 +118,46 @@ def test_advance_pointer_is_monotonic(tmp_path):
     assert store.read_pointer("versions/LATEST") == "5"
     store.advance_pointer("versions/LATEST", 9)
     assert store.read_pointer("versions/LATEST") == "9"
+
+
+def test_cross_process_concurrent_bulk_loads(tmp_path):
+    """Two OS PROCESSES (separate Ray sessions) bulk-load disjoint key
+    ranges into one table root concurrently — the real multi-driver
+    ingest race: serialization happens in the commit store (hard-link
+    conditional create + flock'd pointer advance), not in any shared
+    Python state."""
+    import subprocess
+    import sys
+    import textwrap
+
+    t = _make(tmp_path)
+    t.bulk_load(_rows(0, 10))
+
+    script = textwrap.dedent("""
+        import sys
+        import pyarrow as pa
+        import ray, ray.data as rd
+        from moonray.table import MoonrayTable
+        root, lo = sys.argv[1], int(sys.argv[2])
+        ray.init(address="local", num_cpus=2, include_dashboard=False,
+                 logging_level="ERROR")
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        ds = rd.from_arrow(pa.table({
+            "id": list(range(lo, lo + 200)),
+            "val": [f"v{i}" for i in range(lo, lo + 200)]}))
+        MoonrayTable.open(root).bulk_load(ds, job_id=f"proc-{lo}")
+        ray.shutdown()
+    """)
+    procs = [subprocess.Popen([sys.executable, "-c", script, t.root,
+                               str(lo)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, cwd="/root/repo")
+             for lo in (50_000, 60_000)]
+    for p in procs:
+        _out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    got = MoonrayTable.open(t.root)
+    assert got.latest_version() == 3
+    assert got.scan().count() == 410
+    assert got.lookup([50_100, 60_100]).num_rows == 2

@@ -157,6 +157,26 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
     tag_labels.__name__ = "tag_label_rows"
     tag_edges.__name__ = "tag_edge_rows"
 
+    def lane_sums(t: pa.Table) -> pa.Table:
+        """Per-block label sum in four 16-bit lanes: a direct int64 SUM
+        of 63-bit hash labels overflows (Ray falls back to pickled
+        Python objects); each lane total stays < n·2¹⁶, exact in int64
+        to ~10¹⁴ nodes, and the driver recombines the exact big-int."""
+        lab = t["lab"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            f"l{i}": pa.array(
+                [int(((lab >> np.uint64(16 * i))
+                      & np.uint64(0xFFFF)).sum(dtype=np.uint64))],
+                pa.int64())
+            for i in range(4)})
+
+    lane_sums.__name__ = "label_lane_sums"
+
+    def exact_label_sum(lab_ds) -> int:
+        s = lab_ds.map_batches(lane_sums, batch_format="pyarrow").sum(
+            ["l0", "l1", "l2", "l3"])
+        return sum(s[f"sum(l{i})"] << (16 * i) for i in range(4))
+
     prev_sum = None
     for _round in range(max_iters):
         merged = (labels.map_batches(tag_labels, batch_format="pyarrow")
@@ -168,7 +188,7 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
                                               batch_format="pyarrow")
                   .materialize())
         # labels only decrease → unchanged sum ⟺ fixed point
-        cur_sum = labels.sum("lab")
+        cur_sum = exact_label_sum(labels)
         if cur_sum == prev_sum:
             return labels.map_batches(
                 lambda t: t.rename_columns(["id", "component"]),

@@ -17,7 +17,7 @@ rows), strictly smaller than the pair set) reaches the driver for the
 broadcast filter.
 
 Node ids: connected_components needs int64 nodes, so string image ids
-map through splitmix64 (util.stable_hash_str) with an explicit
+map through a vectorized 64-bit columnar hash with an explicit
 collision CHECK that raises rather than silently merging unrelated
 groups. Fine to ~1e9 images; beyond that swap in a dense id from the
 table's key index (or a 128-bit id) — the check makes the boundary
@@ -29,13 +29,25 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from moonray.util import default_buckets, stable_hash_str
+from moonray.util import default_buckets
 
 
 def _hash_ids(col, hash_fn=None) -> pa.Array:
-    fn = hash_fn or stable_hash_str
-    return pa.array([fn(v) & 0x7FFFFFFFFFFFFFFF for v in col.to_pylist()],
-                    pa.int64())
+    """Vectorized 64-bit node id per string id. Default path is polars'
+    columnar xxhash (no per-row Python — this runs over the whole corpus
+    several times per curation pass); only intra-run consistency matters
+    (the collision check is loud, and every user-visible output carries
+    the original string id, never the node id). ``hash_fn`` injection
+    (tests forcing collisions) falls back to the per-row loop."""
+    if hash_fn is not None:
+        return pa.array(
+            [hash_fn(v) & 0x7FFFFFFFFFFFFFFF for v in col.to_pylist()],
+            pa.int64())
+    import polars as pl
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    h = pl.from_arrow(pa.table({"s": arr}))["s"].hash(seed=0).to_numpy()
+    return pa.array((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
 
 
 def caption_quality_filter(ds, *, caption_col: str = "caption",
@@ -263,15 +275,19 @@ def curate_image_corpus(ds, *, id_col: str = "image_id",
                                 max_tokens=max_tokens).materialize()
     drops_ds = duplicate_drops(ds, id_col=id_col, max_hamming=max_hamming,
                                buckets=buckets)
-    drop = {r[id_col] for r in drops_ds.take_all()}
-    drop_ref = ray.put(drop)
+    drop_tbl = pa.concat_tables(
+        [pa.table({id_col: pa.array([], pa.string())})]
+        + [b for b in drops_ds.iter_batches(batch_format="pyarrow")],
+        promote_options="permissive")
+    drop_ref = ray.put(drop_tbl[id_col].combine_chunks())
 
     def keep(b: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        if not d:
+        import pyarrow.compute as pc
+
+        d = ray.get(drop_ref)   # broadcast once; node-local thereafter
+        if len(d) == 0:
             return b
-        ids = b[id_col].to_pylist()
-        return b.filter(pa.array([x not in d for x in ids]))
+        return b.filter(pc.invert(pc.is_in(b[id_col], value_set=d)))
 
     keep.__name__ = "keep_representatives"
     return ds.map_batches(keep, batch_format="pyarrow")

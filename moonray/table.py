@@ -46,16 +46,41 @@ DEFAULT_ROWS_PER_FRAGMENT = 4096  # reference mem-slice: 4096-row batches × 32
 PATH_COL = "path"  # added by read_parquet(include_paths=True)
 
 
+def _range_mask(t: pa.Table, ranges: dict):
+    """Inclusive-bounds row mask over ``ranges`` {col: (lo, hi)}; None
+    bounds are open. Null values compare to null and are dropped by
+    filter (SQL semantics — same rows a downstream BETWEEN keeps)."""
+    import pyarrow.compute as pc
+
+    m = None
+    for col, (lo, hi) in ranges.items():
+        if col not in t.column_names:
+            continue
+        for bound, op in ((lo, pc.greater_equal), (hi, pc.less_equal)):
+            if bound is None:
+                continue
+            part = op(t[col], bound)
+            m = part if m is None else pc.and_(m, part)
+    return m
+
+
 def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
                    read_schema: pa.Schema, defaults: dict,
                    with_internal: bool,
-                   rg_span: tuple[int, int] | None = None) -> pa.Table:
+                   rg_span: tuple[int, int] | None = None,
+                   ranges: dict | None = None,
+                   drop_after: tuple = ()) -> pa.Table:
     """Read one fragment (column-pruned, memory-mapped) + inline DV
     filter + projection onto the current schema (ALTER-added columns
     filled with defaults). Each read task loads only ITS fragment's DV
     delta files — no broadcast needed. ``rg_span=(a, b)`` reads only
     parquet row groups [a, b) — the scan-split unit that decouples scan
-    parallelism from the fragment count."""
+    parallelism from the fragment count. ``ranges`` pushes the exact
+    inclusive range filter into the task (parquet row-group stats
+    prune at the read where the column is present in the file; the
+    post-projection mask covers schema-evolution columns filled from
+    defaults); ``drop_after`` columns were read only for that filter
+    and never leave the task."""
     from moonray.dv import filter_batch, load_dv_union
     from moonray.fragments import normalize_to_schema
     from moonray.util import cap_kernel_threads
@@ -69,8 +94,15 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
         cols.append(ROWOFF)
     if rg_span is None:
         present = set(pq.read_schema(path).names)
+        filters = None
+        if ranges:
+            conj = [(c, op, b)
+                    for c, (lo, hi) in ranges.items() if c in present
+                    for b, op in ((lo, ">="), (hi, "<=")) if b is not None]
+            filters = [conj] if conj else None
         t = pq.read_table(path, columns=[c for c in cols if c in present],
-                          memory_map=True, pre_buffer=False)
+                          memory_map=True, pre_buffer=False,
+                          filters=filters)
     else:
         pf = pq.ParquetFile(path, memory_map=True, pre_buffer=False)
         present = set(pf.schema_arrow.names)
@@ -81,6 +113,13 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
         t = filter_batch(t, ROWOFF, load_dv_union(root, dv_rels))
     t = normalize_to_schema(t, read_schema, defaults,
                             keep_extra=(ROWOFF,) if with_internal else ())
+    if ranges:
+        m = _range_mask(t, ranges)
+        if m is not None:
+            t = t.filter(m)
+        if drop_after:
+            t = t.drop_columns([c for c in drop_after
+                                if c in t.column_names])
     if with_internal:
         t = t.append_column(PATH_COL, pa.array(
             [os.path.join(root, rel_path)] * len(t), pa.string()))
@@ -97,12 +136,15 @@ class FragmentDatasource(Datasource):
     downstream map_batches batch_size semantics stay row-based."""
 
     def __init__(self, root: str, frags: list[dict], read_schema: pa.Schema,
-                 defaults: dict, with_internal: bool):
+                 defaults: dict, with_internal: bool,
+                 ranges: dict | None = None, drop_after: tuple = ()):
         self.root = root
         self.frags = frags
         self.read_schema = read_schema
         self.defaults = defaults
         self.with_internal = with_internal
+        self.ranges = ranges
+        self.drop_after = drop_after
 
     def get_name(self) -> str:
         return "MoonrayFragments"
@@ -124,6 +166,7 @@ class FragmentDatasource(Datasource):
             bounds = [round(i * n_rgs / k) for i in range(k + 1)]
             root, rel, dvs = self.root, f["path"], dv_paths_of(f)
             sch, dflt, internal = self.read_schema, self.defaults, self.with_internal
+            rngs, drop = self.ranges, self.drop_after
             for a, b in zip(bounds, bounds[1:]):
                 if a == b:
                     continue
@@ -137,9 +180,10 @@ class FragmentDatasource(Datasource):
                     input_files=[os.path.join(self.root, f["path"])])
 
                 def fn(root=root, rel=rel, dvs=dvs, sch=sch, dflt=dflt,
-                       internal=internal, span=span):
+                       internal=internal, span=span, rngs=rngs, drop=drop):
                     return [_read_fragment(root, rel, dvs, sch, dflt,
-                                           internal, rg_span=span)]
+                                           internal, rg_span=span,
+                                           ranges=rngs, drop_after=drop)]
 
                 out.append(ReadTask(fn, meta))
         return out
@@ -791,7 +835,8 @@ class MoonrayTable:
         return best
 
     def scan(self, version: int | None = None, *, columns=None,
-             predicate_ranges: dict | None = None, with_internal: bool = False,
+             predicate_ranges: dict | None = None, exact_filter: bool = False,
+             with_internal: bool = False,
              concurrency=None, as_of: float | None = None):
         """Snapshot-isolated scan → lazy Dataset.
 
@@ -802,8 +847,13 @@ class MoonrayTable:
           Arrow; each task loads only its own DV deltas);
         - ``as_of`` (epoch seconds) resolves the version by commit
           timestamp when ``version`` is not given.
-        Note: ``predicate_ranges`` prunes fragments only — callers apply
-        the exact row filter downstream."""
+        ``predicate_ranges`` alone prunes fragments only — callers apply
+        the exact row filter downstream. With ``exact_filter=True`` the
+        inclusive range filter is ALSO pushed into the read tasks:
+        parquet row-group stats prune inside surviving fragments and
+        non-matching rows (payload included) never leave the read. The
+        ranged columns needn't be in ``columns`` — they're read for the
+        in-task filter and dropped before the block is emitted."""
         import ray.data as rd
 
         if version is None and as_of is not None:
@@ -820,9 +870,16 @@ class MoonrayTable:
             return rd.from_arrow(empty)
         read_cols = (list(dict.fromkeys(columns)) if columns
                      else [x for x in user_schema.names])
+        ranges = drop_after = None
+        if exact_filter and predicate_ranges:
+            ranges = {c: b for c, b in predicate_ranges.items()
+                      if c in user_schema.names}
+            drop_after = tuple(c for c in ranges if c not in read_cols)
+            read_cols = read_cols + list(drop_after)
         read_schema = pa.schema([user_schema.field(c) for c in read_cols])
         src = FragmentDatasource(self.root, frags, read_schema,
-                                 m.get("column_defaults", {}), with_internal)
+                                 m.get("column_defaults", {}), with_internal,
+                                 ranges=ranges, drop_after=drop_after or ())
         # block target: at least ~2 tasks per CPU when row-group splits
         # allow it, never fewer than one task per fragment — compaction
         # can consolidate files without capping scan parallelism

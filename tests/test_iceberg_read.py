@@ -1,0 +1,94 @@
+"""Distributed Iceberg source (sources/iceberg_read): the exported
+snapshot as a lazy Dataset — per-file ReadTasks, in-task puffin-DV
+subtraction, column pruning at the parquet read. Parity vs the engine
+scan and vs the driver-side spec replay."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from moonray import MoonrayTable
+from moonray.sinks.iceberg import export_iceberg, read_iceberg_table
+from moonray.sources.iceberg_read import IcebergDatasource, read_iceberg_dataset
+
+SCHEMA = pa.schema([
+    ("id", pa.int64()), ("name", pa.string()), ("score", pa.float64()),
+])
+
+
+def _mk_with_dvs(root):
+    t = MoonrayTable.create(str(root), key_col="id", schema=SCHEMA,
+                            index_partitions=4, rows_per_fragment=8)
+    t.bulk_load(rd.from_items(
+        [{"id": i, "name": f"n{i}", "score": float(i)} for i in range(40)]))
+    # updates + deletes → DV puffin blobs in the export
+    t.merge(rd.from_items(
+        [{"id": i, "name": f"u{i}", "score": float(-i), "op": "U",
+          "lsn": 100 + i} for i in range(0, 40, 3)]
+        + [{"id": i, "name": "", "score": 0.0, "op": "D", "lsn": 200 + i}
+           for i in range(1, 40, 5)]))
+    return t
+
+
+def _df(x):
+    if isinstance(x, pa.Table):
+        df = x.to_pandas()
+    else:
+        df = x.to_pandas()
+    return df.sort_values("id", ignore_index=True)
+
+
+def test_dataset_read_matches_engine_and_replay(tmp_path):
+    t = _mk_with_dvs(tmp_path / "tbl")
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+
+    ds = read_iceberg_dataset(dest)
+    got = _df(pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow"))))[
+        ["id", "name", "score"]]
+    want_engine = _df(pa.concat_tables(
+        [b for b in t.scan().iter_batches(batch_format="pyarrow")]))[
+        ["id", "name", "score"]]
+    want_replay = _df(read_iceberg_table(dest))[["id", "name", "score"]]
+
+    assert got.equals(want_engine)
+    assert got.equals(want_replay)
+
+
+def test_read_tasks_are_per_file_with_real_metadata(tmp_path):
+    t = _mk_with_dvs(tmp_path / "tbl")
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+
+    src = IcebergDatasource(dest)
+    tasks = src.get_read_tasks(parallelism=4)
+    assert len(tasks) == len(src._files) > 1
+    # metadata rows/bytes come from manifest entries, not file opens
+    assert all(m.size_bytes > 0 for m in (t.metadata for t in tasks))
+    total_est = src.estimate_inmemory_data_size()
+    assert total_est == sum(t.metadata.size_bytes for t in tasks)
+
+
+def test_column_pruning_never_ships_unrequested_columns(tmp_path):
+    t = _mk_with_dvs(tmp_path / "tbl")
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+
+    ds = read_iceberg_dataset(dest, columns=["id", "score"])
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    assert all(b.schema.names == ["id", "score"] for b in batches)
+    got = _df(pa.concat_tables(batches))
+    want = _df(read_iceberg_table(dest))[["id", "score"]]
+    assert got.equals(want)
+
+
+def test_dv_subtraction_happens_in_task(tmp_path):
+    """Deleted ids never appear in any block."""
+    t = _mk_with_dvs(tmp_path / "tbl")
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    deleted = set(range(1, 40, 5))
+    ds = read_iceberg_dataset(dest, columns=["id"])
+    ids = {r["id"] for r in ds.take_all()}
+    assert ids.isdisjoint(deleted)
+    assert ids == set(range(40)) - deleted

@@ -127,6 +127,12 @@ def main(argv=None) -> int:
     sp.add_argument("--dest", required=True, help="Iceberg table directory")
     sp.add_argument("--version", type=int, default=None)
 
+    sp = sub.add_parser("import-iceberg")
+    tbl(sp)
+    sp.add_argument("--src", required=True, help="Iceberg table directory")
+    sp.add_argument("--key-col", required=True)
+    sp.add_argument("--rows-per-fragment", type=int, default=None)
+
     sp = sub.add_parser("delete-range")
     tbl(sp)
     sp.add_argument("--ranges-json", required=True,
@@ -170,6 +176,22 @@ def main(argv=None) -> int:
             index_partitions=args.index_partitions,
             rows_per_fragment=args.rows_per_fragment)
         print(json.dumps({"created": args.table}))
+        return 0
+
+    if args.cmd == "import-iceberg":
+        # table may not exist yet: derive the schema from the Iceberg
+        # snapshot and create, then bulk-load through the distributed
+        # read (per-file tasks, in-task DV subtraction)
+        from moonray.sources.iceberg_read import read_iceberg_dataset
+
+        ds = read_iceberg_dataset(args.src)
+        kwargs = ({"rows_per_fragment": args.rows_per_fragment}
+                  if args.rows_per_fragment else {})
+        t = MoonrayTable.create(args.table, key_col=args.key_col,
+                                schema=ds.schema().base_schema, **kwargs)
+        v = t.bulk_load(ds)
+        print(json.dumps({"table": args.table, "version": v,
+                          "rows": t.describe()["cardinality"]}))
         return 0
 
     t = MoonrayTable.open(args.table)

@@ -82,6 +82,32 @@ def test_column_pruning_never_ships_unrequested_columns(tmp_path):
     assert got.equals(want)
 
 
+def test_cli_import_iceberg_roundtrip(tmp_path, capsys):
+    """export → `jobs import-iceberg` → new engine table matches the
+    source's live rows (DVs folded at import: the new table has no
+    deleted rows, same cardinality/values)."""
+    import json
+
+    from moonray.jobs.__main__ import main
+
+    t = _mk_with_dvs(tmp_path / "tbl")
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+
+    imported = str(tmp_path / "imported")
+    assert main(["import-iceberg", "--table", imported, "--src", dest,
+                 "--key-col", "id"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    t2 = MoonrayTable.open(imported)
+    got = _df(pa.concat_tables(
+        [b for b in t2.scan().iter_batches(batch_format="pyarrow")]))[
+        ["id", "name", "score"]]
+    want = _df(read_iceberg_table(dest))[["id", "name", "score"]]
+    assert got.equals(want)
+    assert out["rows"] == len(want)
+
+
 def test_dv_subtraction_happens_in_task(tmp_path):
     """Deleted ids never appear in any block."""
     t = _mk_with_dvs(tmp_path / "tbl")

@@ -46,6 +46,25 @@ DEFAULT_ROWS_PER_FRAGMENT = 4096  # reference mem-slice: 4096-row batches × 32
 PATH_COL = "path"  # added by read_parquet(include_paths=True)
 
 
+def _rg_stats_overlap(pf, rg_idx: int, ranges: dict, present: set) -> bool:
+    """Row-group min/max stats vs the pushed ranges — False only when
+    the footer PROVES no row can match (missing/partial stats keep the
+    group; the in-task mask stays the source of truth)."""
+    md = pf.metadata.row_group(rg_idx)
+    by_name = {md.column(i).path_in_schema: md.column(i)
+               for i in range(md.num_columns)}
+    for col, (lo, hi) in ranges.items():
+        if col not in present or col not in by_name:
+            continue
+        st = by_name[col].statistics
+        if st is None or not st.has_min_max:
+            continue
+        if (lo is not None and st.max < lo) or \
+                (hi is not None and st.min > hi):
+            return False
+    return True
+
+
 def _range_mask(t: pa.Table, ranges: dict):
     """Inclusive-bounds row mask over ``ranges`` {col: (lo, hi)}; None
     bounds are open. Null values compare to null and are dropped by
@@ -107,8 +126,15 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
         pf = pq.ParquetFile(path, memory_map=True, pre_buffer=False)
         present = set(pf.schema_arrow.names)
         hi = min(rg_span[1], pf.num_row_groups)
-        t = pf.read_row_groups(list(range(rg_span[0], hi)),
-                               columns=[c for c in cols if c in present])
+        rgs = list(range(rg_span[0], hi))
+        if ranges:
+            rgs = [g for g in rgs
+                   if _rg_stats_overlap(pf, g, ranges, present)]
+        t = (pf.read_row_groups(rgs,
+                                columns=[c for c in cols if c in present])
+             if rgs else
+             pf.schema_arrow.empty_table().select(
+                 [c for c in cols if c in present]))
     if dv_rels:
         t = filter_batch(t, ROWOFF, load_dv_union(root, dv_rels))
     t = normalize_to_schema(t, read_schema, defaults,

@@ -85,3 +85,38 @@ def test_exact_filter_open_bounds_and_added_column(tmp_path):
     want = full.filter(pc.less_equal(full["v"], 50))
     assert _sorted(got).equals(_sorted(want))
     assert pc.min(got["grade"]).as_py() == 5
+
+
+def test_rg_stats_prune_in_span_path(tmp_path):
+    """On a clustered table the rg-span read proves non-overlap from the
+    parquet footer and skips those row groups entirely; results stay
+    exact (footer pruning can only drop provably-empty groups)."""
+    import pyarrow.parquet as pq
+
+    from moonray.table import _read_fragment, _rg_stats_overlap
+
+    t = MoonrayTable.create(str(tmp_path / "tbl"), key_col="id",
+                            schema=SCHEMA, zone_cols=("v",),
+                            index_partitions=4, rows_per_fragment=512)
+    t.bulk_load(rd.from_items(
+        [{"id": i, "v": (i * 7) % 101, "payload": f"p{i}" * 10}
+         for i in range(1600)]))
+    t.cluster(cols=["v"])   # sorted by v → tight per-row-group stats
+    m = t.manifest()
+    frag = max(m["fragments"], key=lambda f: f["rows"])
+    path = str(tmp_path / "tbl") + "/" + frag["path"]
+    pf = pq.ParquetFile(path)
+    assert pf.num_row_groups > 1
+    ranges = {"v": (0, 5)}
+    kept = [g for g in range(pf.num_row_groups)
+            if _rg_stats_overlap(pf, g, ranges, {"v"})]
+    assert 0 < len(kept) < pf.num_row_groups   # footer proves skips
+
+    schema = pa.schema([("id", pa.int64()), ("v", pa.int64())])
+    got = _read_fragment(str(tmp_path / "tbl"), frag["path"], [],
+                         schema, {}, False,
+                         rg_span=(0, pf.num_row_groups), ranges=ranges)
+    full = pq.read_table(path, columns=["id", "v"])
+    want = full.filter(
+        pc.and_(pc.greater_equal(full["v"], 0), pc.less_equal(full["v"], 5)))
+    assert got.sort_by("id").equals(want.sort_by("id"))

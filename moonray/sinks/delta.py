@@ -212,3 +212,16 @@ def read_delta_paths(dest: str) -> list[str]:
     Delta reader would scan."""
     _, active, _ = _read_log_state(dest)
     return [os.path.join(dest, p) for p in sorted(active)]
+
+
+def read_delta_dataset(dest: str, *, columns=None):
+    """Delta table → lazy Dataset. The export applies DVs and writes
+    plain protocol-v1 parquet, so the read is a straight distributed
+    parquet scan over the log's active file set (column-pruned);
+    only the tiny _delta_log replay happens on the driver."""
+    import ray.data
+
+    paths = read_delta_paths(dest)
+    if not paths:
+        raise FileNotFoundError(f"no Delta table (or empty log) at {dest}")
+    return ray.data.read_parquet(paths, columns=columns)

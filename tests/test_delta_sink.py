@@ -128,3 +128,29 @@ def test_delta_export_follows_alter_table(tmp_path):
     export_delta(t, dest2, version=1)  # v1 = the bulk load commit
     for p in read_delta_paths(dest2):
         assert "tag" not in pq.read_schema(p).names
+
+
+def test_read_delta_dataset_matches_engine(tmp_path):
+    """Distributed Delta read (read_delta_dataset): parity vs the
+    engine scan after a merge (DVs applied at export), plus column
+    pruning."""
+    from moonray.sinks.delta import read_delta_dataset
+
+    t = _mk(tmp_path / "tbl4")
+    t.merge(rd.from_items(
+        [{"id": i, "name": f"u{i}", "score": float(-i), "op": "U",
+          "lsn": 100 + i} for i in range(0, 40, 4)]
+        + [{"id": i, "name": "", "score": 0.0, "op": "D", "lsn": 200 + i}
+           for i in range(1, 40, 7)]))
+    dest = str(tmp_path / "delta4")
+    export_delta(t, dest)
+
+    got = read_delta_dataset(dest).to_pandas().sort_values(
+        "id", ignore_index=True)[["id", "name", "score"]]
+    want = t.scan().to_pandas().sort_values(
+        "id", ignore_index=True)[["id", "name", "score"]]
+    assert got.equals(want)
+
+    pruned = read_delta_dataset(dest, columns=["id"])
+    assert pruned.schema().names == ["id"]
+    assert sorted(r["id"] for r in pruned.take_all()) == list(want["id"])

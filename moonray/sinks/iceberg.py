@@ -214,10 +214,21 @@ def _current_snapshot(meta: dict) -> dict | None:
     return next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
 
 
-def _replay_entries(meta: dict) -> tuple[list[dict], list[dict]]:
-    """→ (live data entries, live delete entries) of the current
-    snapshot, as decoded manifest-entry records (status 2 dropped)."""
-    snap = _current_snapshot(meta)
+def _replay_entries(meta: dict,
+                    snapshot_id: int | None = None
+                    ) -> tuple[list[dict], list[dict]]:
+    """→ (live data entries, live delete entries) of the chosen
+    snapshot (default: current), as decoded manifest-entry records
+    (status 2 dropped). ``snapshot_id`` is Iceberg time travel on the
+    export — every snapshot's manifest list stays addressable until a
+    (future) metadata expiry rewrites the snapshot log."""
+    if snapshot_id is None:
+        snap = _current_snapshot(meta)
+    else:
+        snap = next((s for s in meta.get("snapshots", [])
+                     if s["snapshot-id"] == snapshot_id), None)
+        if snap is None:
+            raise KeyError(f"snapshot {snapshot_id} not in table metadata")
     if snap is None:
         return [], []
     _, _, manifests = read_ocf(snap["manifest-list"])

@@ -73,11 +73,11 @@ class IcebergDatasource(Datasource):
     """One ReadTask per live data file of the current snapshot; DV
     decode + positional filter run inside the task (see module doc)."""
 
-    def __init__(self, dest: str, columns=None):
+    def __init__(self, dest: str, columns=None, snapshot_id=None):
         meta = load_table_metadata(dest)
         if meta is None:
             raise FileNotFoundError(f"no Iceberg table at {dest}")
-        data, deletes = _replay_entries(meta)
+        data, deletes = _replay_entries(meta, snapshot_id)
         self._dest = dest
         self._columns = list(columns) if columns is not None else None
         self._dvs = _dv_specs(deletes)
@@ -119,13 +119,16 @@ def _dv_len_hint(entry: dict) -> int:
     return 0
 
 
-def read_iceberg_dataset(dest: str, *, columns=None):
-    """Exported Iceberg table (current snapshot) → lazy Dataset.
+def read_iceberg_dataset(dest: str, *, columns=None, snapshot_id=None):
+    """Exported Iceberg table → lazy Dataset.
 
     ``columns`` prunes at the parquet read — DV subtraction is
     positional and needs no extra columns, so a 2-column projection
     over an image table never moves the ``bytes`` payload.
+    ``snapshot_id`` reads a pinned snapshot instead of the current one
+    (Iceberg time travel over the export history).
     """
     import ray.data
 
-    return ray.data.read_datasource(IcebergDatasource(dest, columns=columns))
+    return ray.data.read_datasource(
+        IcebergDatasource(dest, columns=columns, snapshot_id=snapshot_id))

@@ -628,7 +628,8 @@ class MoonrayTable:
         return merge_into(self, changes, job_id=job_id, seq_col=seq_col)
 
     def delete_where(self, predicate, *, lsn: int, columns=(),
-                     predicate_ranges=None, job_id: str | None = None) -> int:
+                     predicate_ranges=None, exact_ranges: bool = False,
+                     job_id: str | None = None) -> int:
         """DELETE ... WHERE — predicate deletes. Zone-pruned scan of ONLY
         the key + predicate columns (``columns``), vectorized
         ``predicate(batch) -> bool mask`` per batch, and the matching
@@ -646,7 +647,11 @@ class MoonrayTable:
         whose zone map misses the range is never scanned, so matching
         rows inside it would silently survive the delete. Omit it when
         unsure; it only saves I/O, never changes semantics when
-        consistent."""
+        consistent. ``exact_ranges=True`` additionally pushes the range
+        filter into the read tasks (row-group pruning, non-matching thin
+        rows dropped at the read) — valid only when the hint EQUALS the
+        predicate region, as in ``delete_range``; the predicate still
+        runs on what survives, so a consistent hint stays idempotent."""
         self._assert_writable("delete_where")
         from moonray.identity import key_cols_of
 
@@ -674,7 +679,8 @@ class MoonrayTable:
             return pa.table(cols)
 
         to_deletes.__name__ = "predicate_deletes"
-        ds = self.scan(columns=need, predicate_ranges=predicate_ranges)
+        ds = self.scan(columns=need, predicate_ranges=predicate_ranges,
+                       exact_filter=exact_ranges)
         return self.merge(ds.map_batches(to_deletes, batch_format="pyarrow"),
                           job_id=job_id)
 
@@ -702,7 +708,8 @@ class MoonrayTable:
             return mask
 
         return self.delete_where(pred, lsn=lsn, columns=tuple(ranges),
-                                 predicate_ranges=ranges, job_id=job_id)
+                                 predicate_ranges=ranges, exact_ranges=True,
+                                 job_id=job_id)
 
     def stream_begin(self, xid: str):
         """Open a streaming transaction (multi-batch xact staged outside

@@ -118,3 +118,32 @@ def test_dv_subtraction_happens_in_task(tmp_path):
     ids = {r["id"] for r in ds.take_all()}
     assert ids.isdisjoint(deleted)
     assert ids == set(range(40)) - deleted
+
+
+def test_snapshot_time_travel_on_export(tmp_path):
+    """Two exports → the first snapshot stays readable by snapshot-id
+    and reproduces the pre-merge state."""
+    import json
+    import os
+
+    t = MoonrayTable.create(str(tmp_path / "tbl"), key_col="id",
+                            schema=SCHEMA, index_partitions=4,
+                            rows_per_fragment=8)
+    t.bulk_load(rd.from_items(
+        [{"id": i, "name": f"n{i}", "score": float(i)} for i in range(40)]))
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    with open(os.path.join(dest, "metadata", "version-hint.text")) as f:
+        v1 = int(f.read().strip())
+    with open(os.path.join(dest, "metadata", f"v{v1}.metadata.json")) as f:
+        snap1 = json.load(f)["current-snapshot-id"]
+
+    t.merge(rd.from_items(
+        [{"id": i, "name": "", "score": 0.0, "op": "D", "lsn": 100 + i}
+         for i in range(0, 40, 2)]))
+    export_iceberg(t, dest)
+
+    old = read_iceberg_dataset(dest, columns=["id"], snapshot_id=snap1)
+    assert sorted(r["id"] for r in old.take_all()) == list(range(40))
+    cur = read_iceberg_dataset(dest, columns=["id"])
+    assert sorted(r["id"] for r in cur.take_all()) == list(range(1, 40, 2))

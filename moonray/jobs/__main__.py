@@ -127,6 +127,10 @@ def main(argv=None) -> int:
     sp.add_argument("--dest", required=True, help="Iceberg table directory")
     sp.add_argument("--version", type=int, default=None)
 
+    sp = sub.add_parser("expire-iceberg")
+    sp.add_argument("--dest", required=True, help="Iceberg table directory")
+    sp.add_argument("--keep-last", type=int, default=1)
+
     sp = sub.add_parser("import-iceberg")
     tbl(sp)
     sp.add_argument("--src", required=True, help="Iceberg table directory")
@@ -176,6 +180,13 @@ def main(argv=None) -> int:
             index_partitions=args.index_partitions,
             rows_per_fragment=args.rows_per_fragment)
         print(json.dumps({"created": args.table}))
+        return 0
+
+    if args.cmd == "expire-iceberg":
+        from moonray.sinks.iceberg import expire_iceberg_snapshots
+
+        print(json.dumps(expire_iceberg_snapshots(
+            args.dest, keep_last=args.keep_last)))
         return 0
 
     if args.cmd == "import-iceberg":

@@ -497,6 +497,95 @@ def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
     return next_meta_v
 
 
+# ------------------------------------------------------ expiry
+
+def expire_iceberg_snapshots(dest: str, *, keep_last: int = 1) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots of the export
+    and GC the files only they referenced (manifest lists, manifests,
+    data parquet, puffin DVs) — the Iceberg-side analogue of the
+    engine's ``expire_snapshots`` and of the reference's snapshot
+    retention. The CURRENT snapshot always survives. Old
+    ``vN.metadata.json`` files are kept (tiny, and the metadata-log
+    points at them); expired snapshot-ids disappear from the snapshot
+    list, so time-travel reads of them raise KeyError.
+
+    Incremental exports keep working afterwards: the export diff reads
+    only the current snapshot's live entries and the dv-state property,
+    both untouched here."""
+    meta = load_table_metadata(dest)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {dest}")
+    snaps = meta["snapshots"]
+    keep_last = max(1, keep_last)
+    kept = list(snaps[-keep_last:])
+    cur = meta["current-snapshot-id"]
+    if cur is not None and cur != -1 and \
+            all(s["snapshot-id"] != cur for s in kept):
+        kept += [s for s in snaps if s["snapshot-id"] == cur]
+    kept_ids = {s["snapshot-id"] for s in kept}
+    dropped = [s for s in snaps if s["snapshot-id"] not in kept_ids]
+    if not dropped:
+        return {"dropped_snapshots": 0, "deleted_files": 0,
+                "metadata_version": meta["_hint_version"]}
+
+    referenced: set[str] = set()
+    for s in kept:
+        referenced.add(os.path.abspath(s["manifest-list"]))
+        _, _, manifests = read_ocf(s["manifest-list"])
+        for mentry in manifests:
+            referenced.add(os.path.abspath(mentry["manifest_path"]))
+            _, _, entries = read_ocf(mentry["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                referenced.add(os.path.abspath(e["data_file"]["file_path"]))
+
+    # snapshots whose parent was expired lose the dangling pointer
+    kept = [{k: v for k, v in s.items()
+             if not (k == "parent-snapshot-id" and v not in kept_ids)}
+            for s in kept]
+    now_ms = int(time.time() * 1000)
+    next_v = meta["_hint_version"] + 1
+    new_meta = {k: v for k, v in meta.items() if k != "_hint_version"}
+    new_meta.update({
+        "last-updated-ms": now_ms,
+        "snapshots": kept,
+        "snapshot-log": [x for x in meta["snapshot-log"]
+                         if x["snapshot-id"] in kept_ids],
+        "metadata-log": meta["metadata-log"] + [{
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(
+                _meta_dir(dest), f"v{meta['_hint_version']}.metadata.json"),
+        }],
+    })
+    mpath = os.path.join(_meta_dir(dest), f"v{next_v}.metadata.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f, indent=1)
+    os.replace(tmp, mpath)
+    tmp = _hint_path(dest) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(next_v))
+    os.replace(tmp, _hint_path(dest))
+
+    # GC AFTER the new metadata is live (crash between the two leaves
+    # only harmless orphans, never a dangling reference)
+    deleted = 0
+    for d in (os.path.join(dest, "data"), _meta_dir(dest)):
+        for name in os.listdir(d):
+            p = os.path.abspath(os.path.join(d, name))
+            if name.endswith(".metadata.json") or name == "version-hint.text":
+                continue
+            if not (name.endswith(".avro") or name.endswith(".parquet")
+                    or name.endswith(".puffin")):
+                continue
+            if p not in referenced:
+                os.remove(p)
+                deleted += 1
+    return {"dropped_snapshots": len(dropped), "deleted_files": deleted,
+            "metadata_version": next_v}
+
+
 # ------------------------------------------------------ replay read
 
 def read_iceberg_table(dest: str) -> pa.Table:

@@ -147,3 +147,76 @@ def test_snapshot_time_travel_on_export(tmp_path):
     assert sorted(r["id"] for r in old.take_all()) == list(range(40))
     cur = read_iceberg_dataset(dest, columns=["id"])
     assert sorted(r["id"] for r in cur.take_all()) == list(range(1, 40, 2))
+
+
+def test_expire_iceberg_snapshots_gc_and_safety(tmp_path, capsys):
+    """Three exports → expire keep_last=1: old snapshot-ids are gone
+    (time travel raises), orphaned data/manifest/puffin files are
+    GC'd, the current snapshot still reads exactly, and the NEXT
+    incremental export still works."""
+    import json
+    import os
+
+    from moonray.jobs.__main__ import main
+    from moonray.sinks.iceberg import (expire_iceberg_snapshots,
+                                       load_table_metadata)
+
+    t = MoonrayTable.create(str(tmp_path / "tbl"), key_col="id",
+                            schema=SCHEMA, index_partitions=4,
+                            rows_per_fragment=8)
+    t.bulk_load(rd.from_items(
+        [{"id": i, "name": f"n{i}", "score": float(i)} for i in range(40)]))
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    snap1 = load_table_metadata(dest)["current-snapshot-id"]
+    t.merge(rd.from_items(
+        [{"id": i, "name": "", "score": 0.0, "op": "D", "lsn": 100 + i}
+         for i in range(0, 40, 2)]))
+    export_iceberg(t, dest)
+    t.merge(rd.from_items(
+        [{"id": i, "name": f"z{i}", "score": 9.0, "op": "U",
+          "lsn": 200 + i} for i in range(1, 40, 6)]))
+    export_iceberg(t, dest)
+
+    def _files(sub):
+        return set(os.listdir(os.path.join(dest, sub)))
+
+    before_data, before_meta = _files("data"), _files("metadata")
+    out = expire_iceberg_snapshots(dest, keep_last=1)
+    assert out["dropped_snapshots"] == 2 and out["deleted_files"] > 0
+    meta = load_table_metadata(dest)
+    assert len(meta["snapshots"]) == 1
+    assert "parent-snapshot-id" not in meta["snapshots"][0]
+    assert _files("data") < before_data          # something GC'd
+
+    # current snapshot still byte-exact vs engine
+    got = _df(read_iceberg_table(dest))[["id", "name", "score"]]
+    want = _df(pa.concat_tables(
+        [b for b in t.scan().iter_batches(batch_format="pyarrow")]))[
+        ["id", "name", "score"]]
+    assert got.equals(want)
+
+    # expired snapshot unreadable by id
+    try:
+        read_iceberg_dataset(dest, snapshot_id=snap1)
+        raise AssertionError("expired snapshot still readable")
+    except KeyError:
+        pass
+
+    # incremental export continues: no-op returns same version, a new
+    # merge produces a valid new snapshot
+    v_same = export_iceberg(t, dest)
+    assert v_same == meta["_hint_version"]
+    t.merge(rd.from_items(
+        [{"id": 0, "name": "back", "score": 1.0, "op": "I", "lsn": 900}]))
+    export_iceberg(t, dest)
+    got2 = _df(read_iceberg_table(dest))[["id", "name", "score"]]
+    want2 = _df(pa.concat_tables(
+        [b for b in t.scan().iter_batches(batch_format="pyarrow")]))[
+        ["id", "name", "score"]]
+    assert got2.equals(want2)
+
+    # CLI wrapper (idempotent second expiry: nothing to drop)
+    assert main(["expire-iceberg", "--dest", dest, "--keep-last", "1"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["dropped_snapshots"] == 1   # the pre-merge snapshot

@@ -387,6 +387,28 @@ def _q_knn_ivf(sf_dir: str):
                                       n_probe=4)
 
 
+def _q_ann_join(sf_dir: str):
+    """Big-big ANN JOIN: the whole embeddings table as the QUERY side
+    against its own persisted IVF layout (no query broadcast — probe
+    rows shuffle to their buckets, per-bucket local top-k, algebraic
+    global reduce). Pytest oracle: recall >= 0.9 vs brute force +
+    exact shape (tests/test_knn_ivf.py::test_ann_join_*)."""
+    import ray.data as rd
+
+    from moonray.functions.knn import ann_join
+
+    _q_knn_ivf(sf_dir)  # ensure the cached layout exists
+    import hashlib
+    import os
+
+    from moonray.functions.knn import IvfIndex
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = IvfIndex.open(f"/tmp/moonray-ivf-{tag}")
+    left = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_join(left, idx, k=10, n_probe=4, exclude_self=True)
+
+
 def _q_phash_near_dups(sf_dir: str):
     """Image near-dup pairs over a corpus where every 10th image has a
     re-encoded variant (2 phash bits flipped) — byte-band LSH + hamming
@@ -841,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _q_simhash,
         "embedding_near_dup_pairs_lsh": _q_near_dups_lsh,
         "knn_cosine_ivf_top10": _q_knn_ivf,
+        "ann_join_top10": _q_ann_join,
     }
 
 

@@ -419,3 +419,133 @@ class IvfIndex:
         return {"files_read": fr, "bytes_read": br,
                 "files_total": ft, "bytes_total": bt,
                 "buckets_read": len(probed), "buckets_total": len(all_dirs)}
+
+
+# ------------------------------------------------ big-big ANN join
+
+def ann_join(left_ds, index: "IvfIndex", *, k: int = 10, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = False, concurrency=None):
+    """Approximate k-NN JOIN of a LARGE query side against a persisted
+    IVF layout — retrieval at corpus-x-corpus scale, where neither side
+    fits a broadcast (IvfIndex.search broadcasts the query set and is
+    the right tool only while Q is small).
+
+    Shape (all stages stream, the driver never touches vectors):
+    1. map_batches over the left side: normalize, assign each row its
+       ``n_probe`` nearest centroids (one matmul against the broadcast
+       centroid matrix — tiny), emit THIN probe rows
+       (bucket:int32, qid, vec) — n_probe rows per query.
+    2. groupby(bucket).map_groups: each group holds every probe row of
+       ONE bucket; the task reads ONLY that bucket's parquet from the
+       layout (worker-side I/O ∝ probed partitions) and computes local
+       per-query top-k against the bucket's vectors.
+    3. top_k_per_group(qid): algebraic global reduce — the shuffle
+       carries ≤ n_probe×k thin candidate rows per query, never
+       vectors.
+
+    Partitioning assumption (document per task brief): bucket group
+    size ∝ |left|×n_probe/n_centroids plus one bucket's corpus slice —
+    size n_centroids so both fit a worker (same knob as any IVF).
+    Returns a Dataset (qid, nid, rank), rank 1-based by (sim DESC,
+    nid ASC).
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray
+
+    from moonray.functions.topk import top_k_per_group
+    from moonray.util import cap_kernel_threads
+
+    cent_ref = ray.put(index.cent)
+    c_id, c_vec = index.meta["id_col"], index.meta["vec_col"]
+    root = index.root
+    kk = k + (1 if exclude_self else 0)
+    n_probe = min(n_probe, len(index.cent))
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "qid": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
+        cent = ray.get(cent_ref)
+        vecs = list_to_matrix(batch[vec_col])
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1,
+                                                keepdims=True), 1e-12)
+        sims = vecs @ cent.T
+        # top n_probe centroids per row, vectorized
+        probe = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]
+        qids = batch[id_col].to_numpy(zero_copy_only=False)
+        rep = np.ascontiguousarray(np.repeat(vecs, n_probe, axis=0))
+        flat_vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(rep.reshape(-1)), rep.shape[1])
+        return pa.table({
+            "bucket": pa.array(probe.reshape(-1).astype(np.int32)),
+            "qid": pa.array(np.repeat(qids, n_probe)),
+            "vec": flat_vec})
+
+    probe_rows.__name__ = "assign_probe_buckets"
+
+    def bucket_join(grp: pa.Table) -> pa.Table:
+        cap_kernel_threads()
+        empty = pa.table({"qid": pa.array([], pa.int64()),
+                          "nid": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if len(grp) == 0:
+            return empty
+        b = int(grp["bucket"][0].as_py())
+        files = sorted(_glob.glob(os.path.join(root, f"bucket={b}",
+                                               "*.parquet")))
+        if not files:
+            return empty
+        corpus = pa.concat_tables(
+            [_pq.read_table(f, columns=[c_id, c_vec]) for f in files])
+        c_vecs = list_to_matrix(corpus[c_vec])
+        c_vecs = c_vecs / np.maximum(np.linalg.norm(c_vecs, axis=1,
+                                                    keepdims=True), 1e-12)
+        c_ids = corpus[c_id].to_numpy(zero_copy_only=False)
+        q_vecs = list_to_matrix(grp["vec"])
+        qids = grp["qid"].to_numpy(zero_copy_only=False)
+        sims = q_vecs @ c_vecs.T                      # (nq_b, rows_b)
+        k2 = min(kk, sims.shape[1])
+        top = np.argpartition(-sims, k2 - 1, axis=1)[:, :k2] \
+            if sims.shape[1] > k2 else \
+            np.tile(np.arange(sims.shape[1]), (sims.shape[0], 1))
+        rows = np.repeat(np.arange(sims.shape[0]), top.shape[1])
+        cols = top.reshape(-1)
+        return pa.table({
+            "qid": pa.array(np.asarray(qids)[rows]),
+            "nid": pa.array(np.asarray(c_ids)[cols]),
+            "sim": pa.array(sims[rows, cols].astype(np.float64))})
+
+    bucket_join.__name__ = "bucket_local_topk"
+
+    cand = (left_ds.map_batches(probe_rows, batch_format="pyarrow",
+                                concurrency=concurrency)
+            .groupby("bucket")
+            .map_groups(bucket_join, batch_format="pyarrow"))
+    if exclude_self:
+        cand = cand.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["qid"], t["nid"]))),
+            batch_format="pyarrow")
+    best = top_k_per_group(cand, "qid", "sim", "nid", k)
+
+    def to_rank(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "nid": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        # within one qid group, order by (sim DESC, nid ASC) → rank
+        idx = pc.sort_indices(t, sort_keys=[("sim", "descending"),
+                                            ("nid", "ascending")])
+        t = t.take(idx)
+        return pa.table({"qid": t["qid"], "nid": t["nid"],
+                         "rank": pa.array(np.arange(1, len(t) + 1))})
+
+    to_rank.__name__ = "rank_within_query"
+    # top_k_per_group already grouped per qid; map_groups(qid) again is
+    # a cheap second pass over ≤ k rows per query
+    return best.groupby("qid").map_groups(to_rank, batch_format="pyarrow")

@@ -89,3 +89,55 @@ def test_persisted_ivf_layout_prunes_io_and_recalls():
     assert s1["buckets_read"] <= 2
     assert s1["bytes_read"] < 0.5 * s1["bytes_total"]
     assert len(one) == 5
+
+
+def test_ann_join_big_big_recall_and_shape():
+    """ann_join: LARGE query side against the persisted layout — no
+    query broadcast. Recall vs per-query brute force ≥0.9 on clustered
+    data; output is (qid, nid, rank) with exactly k rows per query and
+    1-based contiguous ranks."""
+    from moonray.functions.knn import ann_join, build_ivf_layout
+    from moonray.util import scratch_root
+
+    ds, vecs = _dataset()
+    root = scratch_root("mr-annjoin-")
+    idx = build_ivf_layout(ds, root, n_centroids=16, seed=7)
+
+    n_q = 64
+    rng = np.random.default_rng(11)
+    q_vecs = vecs[:n_q] + 0.01 * rng.normal(size=(n_q, vecs.shape[1]))
+    left = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n_q) + 10_000, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in q_vecs],
+                              pa.list_(pa.float32()))}))
+
+    got = ann_join(left, idx, k=10, n_probe=4).to_pandas()
+    assert set(got.columns) == {"qid", "nid", "rank"}
+
+    exact = knn_cosine(ds, [(int(i + 10_000), q_vecs[i])
+                            for i in range(n_q)], k=10, exclude_self=False)
+    ex, ap = {}, {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["qid"], set()).add(r["nid"])
+    for _, r in got.iterrows():
+        ap.setdefault(int(r["qid"]), set()).add(int(r["nid"]))
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.9, sorted(recalls)[:5]
+
+    per_q = got.groupby("qid")["rank"].agg(["count", "min", "max"])
+    assert (per_q["count"] == 10).all()
+    assert (per_q["min"] == 1).all() and (per_q["max"] == 10).all()
+
+
+def test_ann_join_exclude_self():
+    """Self-join of the corpus against its own layout with
+    exclude_self: a row is never its own neighbor."""
+    from moonray.functions.knn import ann_join, build_ivf_layout
+    from moonray.util import scratch_root
+
+    ds, _ = _dataset(n=400)
+    root = scratch_root("mr-annjoin-self-")
+    idx = build_ivf_layout(ds, root, n_centroids=8, seed=7)
+    got = ann_join(ds, idx, k=5, n_probe=3, exclude_self=True).to_pandas()
+    assert (got["qid"] != got["nid"]).all()
+    assert (got.groupby("qid")["rank"].count() == 5).all()

@@ -360,17 +360,15 @@ def _q_near_dup_components(sf_dir: str):
     return connected_components(pairs)
 
 
-def _q_knn_ivf(sf_dir: str):
-    """ANN through the PERSISTED IVF layout: one-off build (train
-    centroids, partition-by-centroid parquet under /tmp, cached per
-    sf_dir) then a search that reads only probed partitions — the
-    100 TB path where I/O, not just compute, is pruned."""
+def _ensure_ivf_layout(sf_dir: str) -> str:
+    """Build (or reuse, keyed on source mtime) the persisted IVF layout
+    for sf_dir's embeddings table under /tmp; returns its root."""
     import hashlib
     import os
 
     import ray.data as rd
 
-    from moonray.functions.knn import IvfIndex, build_ivf_layout
+    from moonray.functions.knn import build_ivf_layout
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     root = f"/tmp/moonray-ivf-{tag}"
@@ -383,8 +381,18 @@ def _q_knn_ivf(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
         build_ivf_layout(rd.read_parquet(src), root, n_centroids=16,
                          seed=7)
-    return IvfIndex.open(root).search(_knn_queries(sf_dir), k=10,
-                                      n_probe=4)
+    return root
+
+
+def _q_knn_ivf(sf_dir: str):
+    """ANN through the PERSISTED IVF layout: one-off build (train
+    centroids, partition-by-centroid parquet under /tmp, cached per
+    sf_dir) then a search that reads only probed partitions — the
+    100 TB path where I/O, not just compute, is pruned."""
+    from moonray.functions.knn import IvfIndex
+
+    return IvfIndex.open(_ensure_ivf_layout(sf_dir)).search(
+        _knn_queries(sf_dir), k=10, n_probe=4)
 
 
 def _q_ann_join(sf_dir: str):
@@ -395,16 +403,9 @@ def _q_ann_join(sf_dir: str):
     exact shape (tests/test_knn_ivf.py::test_ann_join_*)."""
     import ray.data as rd
 
-    from moonray.functions.knn import ann_join
+    from moonray.functions.knn import IvfIndex, ann_join
 
-    _q_knn_ivf(sf_dir)  # ensure the cached layout exists
-    import hashlib
-    import os
-
-    from moonray.functions.knn import IvfIndex
-
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = IvfIndex.open(f"/tmp/moonray-ivf-{tag}")
+    idx = IvfIndex.open(_ensure_ivf_layout(sf_dir))
     left = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return ann_join(left, idx, k=10, n_probe=4, exclude_self=True)
 

@@ -466,11 +466,16 @@ def ann_join(left_ds, index: "IvfIndex", *, k: int = 10, n_probe: int = 4,
     kk = k + (1 if exclude_self else 0)
     n_probe = min(n_probe, len(index.cent))
 
+    dim = int(index.meta["dim"])
+
     def probe_rows(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return pa.table({"bucket": pa.array([], pa.int32()),
-                             "qid": pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.list_(pa.float64()))})
+            # schema must match the non-empty branch exactly (fixed_
+            # size_list) or the groupby shuffle fails to unify blocks
+            return pa.table({
+                "bucket": pa.array([], pa.int32()),
+                "qid": pa.array([], pa.int64()),
+                "vec": pa.array([], pa.list_(pa.float64(), dim))})
         cent = ray.get(cent_ref)
         vecs = list_to_matrix(batch[vec_col])
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1,
@@ -484,7 +489,7 @@ def ann_join(left_ds, index: "IvfIndex", *, k: int = 10, n_probe: int = 4,
             pa.array(rep.reshape(-1)), rep.shape[1])
         return pa.table({
             "bucket": pa.array(probe.reshape(-1).astype(np.int32)),
-            "qid": pa.array(np.repeat(qids, n_probe)),
+            "qid": pa.array(np.repeat(qids, n_probe).astype(np.int64)),
             "vec": flat_vec})
 
     probe_rows.__name__ = "assign_probe_buckets"

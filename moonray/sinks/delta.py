@@ -214,14 +214,35 @@ def read_delta_paths(dest: str) -> list[str]:
     return [os.path.join(dest, p) for p in sorted(active)]
 
 
+_ARROW_OF_SPARK = {
+    "string": pa.large_string(), "long": pa.int64(), "integer": pa.int32(),
+    "short": pa.int16(), "byte": pa.int8(), "float": pa.float32(),
+    "double": pa.float64(), "boolean": pa.bool_(),
+    "binary": pa.large_binary(), "date": pa.date32(),
+    "timestamp": pa.timestamp("us"),
+}
+
+
 def read_delta_dataset(dest: str, *, columns=None):
     """Delta table → lazy Dataset. The export applies DVs and writes
     plain protocol-v1 parquet, so the read is a straight distributed
     parquet scan over the log's active file set (column-pruned);
-    only the tiny _delta_log replay happens on the driver."""
+    only the tiny _delta_log replay happens on the driver. A table
+    whose log replays to ZERO live files (everything deleted) is a
+    valid empty table — the schema comes from the logged metaData
+    action, not an error."""
     import ray.data
 
-    paths = read_delta_paths(dest)
-    if not paths:
-        raise FileNotFoundError(f"no Delta table (or empty log) at {dest}")
+    _, active, schema_str = _read_log_state(dest)
+    if schema_str is None:
+        raise FileNotFoundError(f"no Delta table at {dest}")
+    if not active:
+        fields = json.loads(schema_str)["fields"]
+        if columns is not None:
+            fields = [f for f in fields if f["name"] in set(columns)]
+        empty = pa.table({f["name"]: pa.array(
+            [], _ARROW_OF_SPARK.get(f["type"], pa.large_string()))
+            for f in fields})
+        return ray.data.from_arrow(empty)
+    paths = [os.path.join(dest, p) for p in sorted(active)]
     return ray.data.read_parquet(paths, columns=columns)

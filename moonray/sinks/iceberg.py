@@ -594,32 +594,24 @@ def read_iceberg_table(dest: str) -> pa.Table:
     This is what an external Iceberg v3 reader computes."""
     import pyarrow.parquet as pq
 
-    from moonray.sinks.puffin import decode_dv_blob, read_puffin
+    from moonray.sinks.puffin import apply_puffin_dv
 
     meta = load_table_metadata(dest)
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {dest}")
     data, deletes = _replay_entries(meta)
-    dv_by_file: dict[str, np.ndarray] = {}
-    puffin_cache: dict[str, bytes] = {}
+    dv_spec: dict[str, tuple[str, int, int]] = {}
     for e in deletes:
         df = e["data_file"]
-        ppath = df["file_path"]
-        if ppath not in puffin_cache:
-            _, raw = read_puffin(ppath)
-            puffin_cache[ppath] = raw
-        raw = puffin_cache[ppath]
-        blob = raw[df["content_offset"]:
-                   df["content_offset"] + df["content_size_in_bytes"]]
-        dv_by_file[df["referenced_data_file"]] = decode_dv_blob(blob)
+        dv_spec[df["referenced_data_file"]] = (
+            df["file_path"], df["content_offset"],
+            df["content_size_in_bytes"])
     pieces = []
     for e in sorted(data, key=lambda e: e["data_file"]["file_path"]):
         t = pq.read_table(e["data_file"]["file_path"])
-        dv = dv_by_file.get(e["data_file"]["file_path"])
-        if dv is not None and len(dv):
-            keep = np.ones(t.num_rows, dtype=bool)
-            keep[dv.astype(np.int64)] = False
-            t = t.filter(pa.array(keep))
+        spec = dv_spec.get(e["data_file"]["file_path"])
+        if spec is not None:
+            t = apply_puffin_dv(t, *spec)
         pieces.append(t.replace_schema_metadata(None))
     if not pieces:
         return None

@@ -227,3 +227,22 @@ def read_puffin(path: str) -> tuple[list[dict], bytes]:
     if raw[len(raw) - 12 - size - 4:len(raw) - 12 - size] != PUFFIN_MAGIC:
         raise ValueError("bad puffin footer magic")
     return json.loads(payload.decode())["blobs"], raw
+
+
+def apply_puffin_dv(table, puffin_path: str, offset: int, size: int):
+    """Subtract one deletion-vector blob from a positionally-aligned
+    table: read the puffin file, slice the blob at (offset, size),
+    decode positions, drop those rows. The ONE place the blob framing
+    meets row filtering — both Iceberg read paths (driver replay and
+    the distributed datasource) call this, so a framing change can't
+    drift between them."""
+    import numpy as np
+    import pyarrow as pa
+
+    _, raw = read_puffin(puffin_path)
+    dv = decode_dv_blob(raw[offset:offset + size])
+    if not len(dv):
+        return table
+    keep = np.ones(table.num_rows, dtype=bool)
+    keep[dv.astype(np.int64)] = False
+    return table.filter(pa.array(keep))

@@ -57,15 +57,9 @@ def _read_one(path: str, dv_spec, columns) -> pa.Table:
     t = pq.read_table(path, columns=cols, memory_map=True,
                       pre_buffer=False)
     if dv_spec is not None:
-        from moonray.sinks.puffin import decode_dv_blob, read_puffin
+        from moonray.sinks.puffin import apply_puffin_dv
 
-        ppath, off, size = dv_spec
-        _, raw = read_puffin(ppath)
-        dv = decode_dv_blob(raw[off:off + size])
-        if len(dv):
-            keep = np.ones(t.num_rows, dtype=bool)
-            keep[dv.astype(np.int64)] = False
-            t = t.filter(pa.array(keep))
+        t = apply_puffin_dv(t, *dv_spec)
     return t.replace_schema_metadata(None)
 
 
@@ -97,11 +91,12 @@ class IcebergDatasource(Datasource):
             df = e["data_file"]
             path = df["file_path"]
             dv_spec = self._dvs.get(path)
-            live = df["record_count"]
-            if dv_spec is not None:
-                live = max(0, live - _dv_len_hint(e))
+            # num_rows must be None when a DV exists: Ray answers
+            # Dataset.count() from read-task metadata WITHOUT executing,
+            # and the deleted-row subtraction happens only in-task
             meta = BlockMetadata(
-                num_rows=int(live),
+                num_rows=(None if dv_spec is not None
+                          else int(df["record_count"])),
                 size_bytes=int(df["file_size_in_bytes"]),
                 exec_stats=None, input_files=[path])
             cols = self._columns
@@ -111,12 +106,6 @@ class IcebergDatasource(Datasource):
 
             out.append(ReadTask(fn, meta))
         return out
-
-
-def _dv_len_hint(entry: dict) -> int:
-    """Best-effort deleted-row count for BlockMetadata (estimate only;
-    the exact count comes out of the in-task decode)."""
-    return 0
 
 
 def read_iceberg_dataset(dest: str, *, columns=None, snapshot_id=None):

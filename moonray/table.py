@@ -199,8 +199,12 @@ class FragmentDatasource(Datasource):
                 span = None if k == 1 else (a, b)
                 rows = (f["rows"] if span is None
                         else min(f["rows"] - a * rg, (b - a) * rg))
+                # num_rows must be None under a pushed filter: Ray
+                # answers Dataset.count() from read-task metadata
+                # WITHOUT executing, and the filter drops rows in-task
                 meta = BlockMetadata(
-                    num_rows=int(rows * live_frac),
+                    num_rows=(None if self.ranges
+                              else int(rows * live_frac)),
                     size_bytes=int(f["bytes"] * (rows / f["rows"]) * live_frac),
                     exec_stats=None,
                     input_files=[os.path.join(self.root, f["path"])])

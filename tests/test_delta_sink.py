@@ -154,3 +154,24 @@ def test_read_delta_dataset_matches_engine(tmp_path):
     pruned = read_delta_dataset(dest, columns=["id"])
     assert pruned.schema().names == ["id"]
     assert sorted(r["id"] for r in pruned.take_all()) == list(want["id"])
+
+
+def test_read_delta_dataset_empty_table_is_valid(tmp_path):
+    """A log that replays to zero live files is a valid EMPTY table
+    (typed empty Dataset), not a missing one."""
+    from moonray.sinks.delta import read_delta_dataset
+
+    t = _mk(tmp_path / "tbl5")
+    t.merge(rd.from_items(
+        [{"id": i, "name": "", "score": 0.0, "op": "D", "lsn": 100 + i}
+         for i in range(40)]))
+    dest = str(tmp_path / "delta5")
+    export_delta(t, dest)
+    ds = read_delta_dataset(dest)
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"id", "name", "score"}
+    try:
+        read_delta_dataset(str(tmp_path / "nope"))
+        raise AssertionError("missing table must raise")
+    except FileNotFoundError:
+        pass

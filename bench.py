@@ -288,6 +288,29 @@ def run_full_bench() -> dict:
     if cur2["curate_s"] < cur["curate_s"]:
         cur = cur2
 
+    # big-big ANN join side metric (outside the summed headline): whole
+    # embeddings table vs its own persisted IVF layout — the
+    # no-query-broadcast retrieval path
+    def _ann_join() -> dict:
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from __ray_entry__ import _ensure_ivf_layout
+
+        from moonray.functions.knn import IvfIndex, ann_join
+
+        idx = IvfIndex.open(_ensure_ivf_layout(SF_DIR))
+        left = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        n_left = left.count()
+        t0 = time.perf_counter()
+        n = ann_join(left, idx, k=10, n_probe=4, exclude_self=True).count()
+        dt = time.perf_counter() - t0
+        return {"n_queries": n_left, "rows_out": n,
+                "join_s": round(dt, 3),
+                "queries_per_s": round(n_left / dt, 1)}
+
+    aj = _ann_join()
+
     return {
         "metric": "headline pipelines wall-time (image MERGE+maintenance+scan; "
                   "relational MERGE; text/dedup/knn) at sf",
@@ -303,6 +326,7 @@ def run_full_bench() -> dict:
         "scan_gib_per_s": round(img["scan_gib_per_s"], 3),
         "scan_at_scale": scan_throughput_at_scale(4 * N_IMAGES),
         "curation_flagship": {"n_base": 3000, **cur},
+        "ann_join": aj,
         "image_phases": {k: round(v, 3) for k, v in img.items()
                          if k.endswith("_s")},
         "image_cold_total_s": round(cold_total, 3),

@@ -440,9 +440,10 @@ def ann_join(left_ds, index: "IvfIndex", *, k: int = 10, n_probe: int = 4,
        ONE bucket; the task reads ONLY that bucket's parquet from the
        layout (worker-side I/O ∝ probed partitions) and computes local
        per-query top-k against the bucket's vectors.
-    3. top_k_per_group(qid): algebraic global reduce — the shuffle
-       carries ≤ n_probe×k thin candidate rows per query, never
-       vectors.
+    3. algebraic global reduce (the per-batch partial top-k kernel from
+       functions.topk, then ONE groupby(qid) final pass that fuses
+       top-k selection with rank assignment) — the shuffle carries
+       ≤ n_probe×k thin candidate rows per query, never vectors.
 
     Partitioning assumption (document per task brief): bucket group
     size ∝ |left|×n_probe/n_centroids plus one bucket's corpus slice —
@@ -457,7 +458,6 @@ def ann_join(left_ds, index: "IvfIndex", *, k: int = 10, n_probe: int = 4,
     import pyarrow.parquet as _pq
     import ray
 
-    from moonray.functions.topk import top_k_per_group
     from moonray.util import cap_kernel_threads
 
     cent_ref = ray.put(index.cent)
@@ -536,21 +536,29 @@ def ann_join(left_ds, index: "IvfIndex", *, k: int = 10, n_probe: int = 4,
         cand = cand.map_batches(
             lambda t: t.filter(pc.invert(pc.equal(t["qid"], t["nid"]))),
             batch_format="pyarrow")
-    best = top_k_per_group(cand, "qid", "sim", "nid", k)
 
-    def to_rank(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
+    # per-batch algebraic partial top-k (same kernel top_k_per_group
+    # uses), then ONE groupby(qid) whose final pass fuses top-k
+    # selection WITH rank assignment — a separate rank stage would cost
+    # a second all-to-all over the same key
+    from moonray.functions.topk import _topk_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _topk_table(b, "qid", "sim", "nid", k)
+
+    partial.__name__ = "partial_topk"
+
+    def final_rank(grp: pa.Table) -> pa.Table:
+        if len(grp) == 0:
             return pa.table({"qid": pa.array([], pa.int64()),
                              "nid": pa.array([], pa.int64()),
                              "rank": pa.array([], pa.int64())})
-        # within one qid group, order by (sim DESC, nid ASC) → rank
-        idx = pc.sort_indices(t, sort_keys=[("sim", "descending"),
-                                            ("nid", "ascending")])
-        t = t.take(idx)
-        return pa.table({"qid": t["qid"], "nid": t["nid"],
-                         "rank": pa.array(np.arange(1, len(t) + 1))})
+        idx = pc.sort_indices(grp, sort_keys=[("sim", "descending"),
+                                              ("nid", "ascending")])
+        grp = grp.take(idx[:k])
+        return pa.table({"qid": grp["qid"], "nid": grp["nid"],
+                         "rank": pa.array(np.arange(1, len(grp) + 1))})
 
-    to_rank.__name__ = "rank_within_query"
-    # top_k_per_group already grouped per qid; map_groups(qid) again is
-    # a cheap second pass over ≤ k rows per query
-    return best.groupby("qid").map_groups(to_rank, batch_format="pyarrow")
+    final_rank.__name__ = "final_topk_rank"
+    return (cand.map_batches(partial, batch_format="pyarrow")
+            .groupby("qid").map_groups(final_rank, batch_format="pyarrow"))

@@ -46,33 +46,61 @@ DEFAULT_ROWS_PER_FRAGMENT = 4096  # reference mem-slice: 4096-row batches × 32
 PATH_COL = "path"  # added by read_parquet(include_paths=True)
 
 
-def _rg_stats_overlap(pf, rg_idx: int, ranges: dict, present: set) -> bool:
-    """Row-group min/max stats vs the pushed ranges — False only when
-    the footer PROVES no row can match (missing/partial stats keep the
-    group; the in-task mask stays the source of truth)."""
+def _rg_stats_overlap(pf, rg_idx: int, ranges: dict, present: set,
+                      in_sets: dict | None = None) -> bool:
+    """Row-group min/max stats vs the pushed ranges / IN-lists — False
+    only when the footer PROVES no row can match (missing/partial stats
+    keep the group; the in-task mask stays the source of truth)."""
     md = pf.metadata.row_group(rg_idx)
     by_name = {md.column(i).path_in_schema: md.column(i)
                for i in range(md.num_columns)}
-    for col, (lo, hi) in ranges.items():
-        if col not in present or col not in by_name:
-            continue
-        st = by_name[col].statistics
-        if st is None or not st.has_min_max:
+
+    def stats_of(col):
+        c = by_name.get(col)
+        st = c.statistics if c is not None else None
+        return st if (st is not None and st.has_min_max) else None
+
+    for col, (lo, hi) in (ranges or {}).items():
+        st = stats_of(col) if col in present else None
+        if st is None:
             continue
         if (lo is not None and st.max < lo) or \
                 (hi is not None and st.min > hi):
             return False
+    for col, values in (in_sets or {}).items():
+        st = stats_of(col) if col in present else None
+        if st is None:
+            continue
+        if not any(st.min <= v <= st.max for v in values):
+            return False
     return True
 
 
-def _range_mask(t: pa.Table, ranges: dict):
-    """Inclusive-bounds row mask over ``ranges`` {col: (lo, hi)}; None
-    bounds are open. Null values compare to null and are dropped by
-    filter (SQL semantics — same rows a downstream BETWEEN keeps)."""
+def _zones_contain_any(zones: dict, in_sets: dict) -> bool:
+    """Fragment zone maps vs IN-lists: False only when the zone map
+    PROVES no listed value can occur (min/max containment — zone maps
+    can't prove equality, so the in-task is_in filter stays mandatory)."""
+    for col, values in in_sets.items():
+        z = zones.get(col)
+        if z is None:
+            continue
+        zmin, zmax = z
+        if zmin is None or zmax is None:
+            continue
+        if not any(zmin <= v <= zmax for v in values):
+            return False
+    return True
+
+
+def _range_mask(t: pa.Table, ranges: dict | None,
+                in_sets: dict | None = None):
+    """Inclusive-bounds + IN-list row mask; None bounds are open. Null
+    values compare to null and are dropped by filter (SQL semantics —
+    same rows a downstream BETWEEN / IN keeps)."""
     import pyarrow.compute as pc
 
     m = None
-    for col, (lo, hi) in ranges.items():
+    for col, (lo, hi) in (ranges or {}).items():
         if col not in t.column_names:
             continue
         for bound, op in ((lo, pc.greater_equal), (hi, pc.less_equal)):
@@ -80,6 +108,12 @@ def _range_mask(t: pa.Table, ranges: dict):
                 continue
             part = op(t[col], bound)
             m = part if m is None else pc.and_(m, part)
+    for col, values in (in_sets or {}).items():
+        if col not in t.column_names:
+            continue
+        part = pc.is_in(t[col], value_set=pa.array(
+            list(values), t.schema.field(col).type))
+        m = part if m is None else pc.and_(m, part)
     return m
 
 
@@ -88,6 +122,7 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
                    with_internal: bool,
                    rg_span: tuple[int, int] | None = None,
                    ranges: dict | None = None,
+                   in_sets: dict | None = None,
                    drop_after: tuple = ()) -> pa.Table:
     """Read one fragment (column-pruned, memory-mapped) + inline DV
     filter + projection onto the current schema (ALTER-added columns
@@ -114,10 +149,12 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
     if rg_span is None:
         present = set(pq.read_schema(path).names)
         filters = None
-        if ranges:
+        if ranges or in_sets:
             conj = [(c, op, b)
-                    for c, (lo, hi) in ranges.items() if c in present
+                    for c, (lo, hi) in (ranges or {}).items() if c in present
                     for b, op in ((lo, ">="), (hi, "<=")) if b is not None]
+            conj += [(c, "in", list(v))
+                     for c, v in (in_sets or {}).items() if c in present]
             filters = [conj] if conj else None
         t = pq.read_table(path, columns=[c for c in cols if c in present],
                           memory_map=True, pre_buffer=False,
@@ -127,9 +164,9 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
         present = set(pf.schema_arrow.names)
         hi = min(rg_span[1], pf.num_row_groups)
         rgs = list(range(rg_span[0], hi))
-        if ranges:
+        if ranges or in_sets:
             rgs = [g for g in rgs
-                   if _rg_stats_overlap(pf, g, ranges, present)]
+                   if _rg_stats_overlap(pf, g, ranges, present, in_sets)]
         t = (pf.read_row_groups(rgs,
                                 columns=[c for c in cols if c in present])
              if rgs else
@@ -139,8 +176,8 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
         t = filter_batch(t, ROWOFF, load_dv_union(root, dv_rels))
     t = normalize_to_schema(t, read_schema, defaults,
                             keep_extra=(ROWOFF,) if with_internal else ())
-    if ranges:
-        m = _range_mask(t, ranges)
+    if ranges or in_sets:
+        m = _range_mask(t, ranges, in_sets)
         if m is not None:
             t = t.filter(m)
         if drop_after:
@@ -163,13 +200,15 @@ class FragmentDatasource(Datasource):
 
     def __init__(self, root: str, frags: list[dict], read_schema: pa.Schema,
                  defaults: dict, with_internal: bool,
-                 ranges: dict | None = None, drop_after: tuple = ()):
+                 ranges: dict | None = None, in_sets: dict | None = None,
+                 drop_after: tuple = ()):
         self.root = root
         self.frags = frags
         self.read_schema = read_schema
         self.defaults = defaults
         self.with_internal = with_internal
         self.ranges = ranges
+        self.in_sets = in_sets
         self.drop_after = drop_after
 
     def get_name(self) -> str:
@@ -192,7 +231,7 @@ class FragmentDatasource(Datasource):
             bounds = [round(i * n_rgs / k) for i in range(k + 1)]
             root, rel, dvs = self.root, f["path"], dv_paths_of(f)
             sch, dflt, internal = self.read_schema, self.defaults, self.with_internal
-            rngs, drop = self.ranges, self.drop_after
+            rngs, insets, drop = self.ranges, self.in_sets, self.drop_after
             for a, b in zip(bounds, bounds[1:]):
                 if a == b:
                     continue
@@ -203,17 +242,19 @@ class FragmentDatasource(Datasource):
                 # answers Dataset.count() from read-task metadata
                 # WITHOUT executing, and the filter drops rows in-task
                 meta = BlockMetadata(
-                    num_rows=(None if self.ranges
+                    num_rows=(None if (self.ranges or self.in_sets)
                               else int(rows * live_frac)),
                     size_bytes=int(f["bytes"] * (rows / f["rows"]) * live_frac),
                     exec_stats=None,
                     input_files=[os.path.join(self.root, f["path"])])
 
                 def fn(root=root, rel=rel, dvs=dvs, sch=sch, dflt=dflt,
-                       internal=internal, span=span, rngs=rngs, drop=drop):
+                       internal=internal, span=span, rngs=rngs,
+                       insets=insets, drop=drop):
                     return [_read_fragment(root, rel, dvs, sch, dflt,
                                            internal, rg_span=span,
-                                           ranges=rngs, drop_after=drop)]
+                                           ranges=rngs, in_sets=insets,
+                                           drop_after=drop)]
 
                 out.append(ReadTask(fn, meta))
         return out
@@ -872,7 +913,8 @@ class MoonrayTable:
         return best
 
     def scan(self, version: int | None = None, *, columns=None,
-             predicate_ranges: dict | None = None, exact_filter: bool = False,
+             predicate_ranges: dict | None = None,
+             predicate_in: dict | None = None, exact_filter: bool = False,
              with_internal: bool = False,
              concurrency=None, as_of: float | None = None):
         """Snapshot-isolated scan → lazy Dataset.
@@ -890,7 +932,11 @@ class MoonrayTable:
         parquet row-group stats prune inside surviving fragments and
         non-matching rows (payload included) never leave the read. The
         ranged columns needn't be in ``columns`` — they're read for the
-        in-task filter and dropped before the block is emitted."""
+        in-task filter and dropped before the block is emitted.
+        ``predicate_in`` {col: [v, ...]} is an IN-list predicate: zone
+        maps and row-group stats prune by min/max containment, and the
+        exact ``is_in`` filter ALWAYS runs in-task (stats can't prove
+        equality), so its semantics don't depend on exact_filter."""
         import ray.data as rd
 
         if version is None and as_of is not None:
@@ -899,6 +945,9 @@ class MoonrayTable:
         frags = m["fragments"]
         if predicate_ranges:
             frags = [f for f in frags if _zones_overlap(f["zones"], predicate_ranges)]
+        if predicate_in:
+            frags = [f for f in frags
+                     if _zones_contain_any(f["zones"], predicate_in)]
         frags = [f for f in frags if f["dv_count"] < f["rows"]]
         user_schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
         if not frags:
@@ -907,16 +956,23 @@ class MoonrayTable:
             return rd.from_arrow(empty)
         read_cols = (list(dict.fromkeys(columns)) if columns
                      else [x for x in user_schema.names])
-        ranges = drop_after = None
+        ranges = in_sets = None
+        drop_after = ()
         if exact_filter and predicate_ranges:
             ranges = {c: b for c, b in predicate_ranges.items()
                       if c in user_schema.names}
-            drop_after = tuple(c for c in ranges if c not in read_cols)
-            read_cols = read_cols + list(drop_after)
+        if predicate_in:
+            in_sets = {c: list(v) for c, v in predicate_in.items()
+                       if c in user_schema.names}
+        filter_cols = list(ranges or {}) + list(in_sets or {})
+        drop_after = tuple(c for c in dict.fromkeys(filter_cols)
+                           if c not in read_cols)
+        read_cols = read_cols + list(drop_after)
         read_schema = pa.schema([user_schema.field(c) for c in read_cols])
         src = FragmentDatasource(self.root, frags, read_schema,
                                  m.get("column_defaults", {}), with_internal,
-                                 ranges=ranges, drop_after=drop_after or ())
+                                 ranges=ranges, in_sets=in_sets,
+                                 drop_after=drop_after)
         # block target: at least ~2 tasks per CPU when row-group splits
         # allow it, never fewer than one task per fragment — compaction
         # can consolidate files without capping scan parallelism

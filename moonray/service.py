@@ -465,10 +465,22 @@ class MoonrayService:
         read the data files directly instead of proxying rows through
         HTTP row-JSON. ``?pin=1`` pins the version against snapshot
         expiry until POST /tables/{t}/scan_end {"token": ...} releases
-        it (the reference's ReadState pin lifecycle)."""
+        it (the reference's ReadState pin lifecycle). ``?ranges=`` /
+        ``?in=`` (JSON: {col: [lo, hi]} / {col: [v, ...]}) zone-prune
+        the fragment list server-side — a consumer scanning one phash
+        band downloads only that band's fragments; the values echo
+        back so the consumer knows the plan is partial and which exact
+        row filter it still owes."""
         from moonray.dv import dv_paths_of
+        from moonray.table import _zones_contain_any, _zones_overlap
 
         t = self._table(name)
+        ranges = in_sets = None
+        if "ranges" in q:
+            ranges = {c: (lo, hi) for c, (lo, hi)
+                      in json.loads(q["ranges"][0]).items()}
+        if "in" in q:
+            in_sets = json.loads(q["in"][0])
         token = None
         pin = q.get("pin", ["0"])[0] in ("1", "true")
         if "lsn" in q:
@@ -497,7 +509,12 @@ class MoonrayService:
                 "path": f["path"], "rows": f["rows"], "bytes": f["bytes"],
                 "dv_count": f["dv_count"], "dv_paths": dv_paths_of(f),
                 "zones": f.get("zones", {}),
-            } for f in m["fragments"]],
+            } for f in m["fragments"]
+                if (not ranges or _zones_overlap(f.get("zones", {}), ranges))
+                and (not in_sets
+                     or _zones_contain_any(f.get("zones", {}), in_sets))],
+            "pruned_by": ({} if not (ranges or in_sets) else
+                          {"ranges": ranges or {}, "in": in_sets or {}}),
             "pin_token": token,
         }
 

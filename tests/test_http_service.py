@@ -327,3 +327,47 @@ def test_async_ingest_survives_service_crash(tmp_path):
     assert len(EventWal(t_root)) == 0  # truncated after the fold
     # fold again → no-op
     assert svc2._fold_wal("t", svc2._table("t"))["folded_events"] == 0
+
+
+def test_scanplan_server_side_zone_pruning(svc):
+    """?ranges= / ?in= prune the scanplan's fragment list by zone maps
+    server-side; the echo in pruned_by tells the consumer the plan is
+    partial. Union-reading the pruned plan + the owed row filter
+    reproduces the exact answer."""
+    import json as _json
+    import os
+    from urllib.parse import quote
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    _call("POST", f"{svc}/tables/zp1", {
+        "schema": [["id", "int64"], ["v", "int64"]],
+        "key_col": "id", "zone_cols": ["v"],
+        "rows_per_fragment": 8, "index_partitions": 2,
+    })
+    _call("POST", f"{svc}/ingest/zp1", {
+        "operation": "insert",
+        "data": [{"id": i, "v": i} for i in range(64)]})
+
+    st, full = _call("GET", f"{svc}/tables/zp1/scanplan")
+    st2, pruned = _call("GET", f"{svc}/tables/zp1/scanplan?ranges="
+                        + quote(_json.dumps({"v": [0, 9]})))
+    assert st == st2 == 200
+    assert 0 < len(pruned["fragments"]) < len(full["fragments"])
+    assert pruned["pruned_by"]["ranges"] == {"v": [0, 9]}
+
+    ids = set()
+    for f in pruned["fragments"]:
+        t = pq.read_table(os.path.join(pruned["root"], f["path"]),
+                          columns=["id", "v"])
+        v = np.asarray(t["v"].combine_chunks())
+        ids.update(np.asarray(t["id"].combine_chunks())[
+            (v >= 0) & (v <= 9)].tolist())
+    assert ids == set(range(10))
+
+    st3, by_in = _call("GET", f"{svc}/tables/zp1/scanplan?in="
+                       + quote(_json.dumps({"v": [3, 60]})))
+    assert st3 == 200
+    assert 0 < len(by_in["fragments"]) < len(full["fragments"])
+    assert by_in["pruned_by"]["in"] == {"v": [3, 60]}

@@ -117,6 +117,51 @@ def _with_parquet_field_ids(schema: pa.Schema, ice_fields: list[dict]
     return pa.schema(out)
 
 
+def _single_value_bytes(v, ice_type) -> bytes | None:
+    """Iceberg single-value binary serialization (spec appendix D) for
+    the bound types the engine's zone maps produce; None for types we
+    don't serialize (the field is simply omitted — bounds are
+    optional per column)."""
+    import struct as _struct
+
+    if v is None or not isinstance(ice_type, str):
+        return None
+    if ice_type == "int" or ice_type == "date":
+        return _struct.pack("<i", int(v))
+    if ice_type == "long":
+        return _struct.pack("<q", int(v))
+    if ice_type == "float":
+        return _struct.pack("<f", float(v))
+    if ice_type == "double":
+        return _struct.pack("<d", float(v))
+    if ice_type == "string":
+        return str(v).encode()
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    return None
+
+
+def _bounds_of(frag: dict, ice_fields: list[dict]) -> tuple:
+    """Fragment zone map → (lower_bounds, upper_bounds) in the Avro
+    map shape ([{key, value}]), field-ids from the Iceberg schema.
+    Zone maps cover all physical rows (DV'd included), so they stay
+    valid bounds for the exported file, which keeps every row."""
+    id_type = {f["name"]: (f["id"], f["type"]) for f in ice_fields}
+    lo_out, hi_out = [], []
+    for col, z in (frag.get("zones") or {}).items():
+        if col not in id_type or z is None:
+            continue
+        fid, typ = id_type[col]
+        lo, hi = z
+        lob = _single_value_bytes(lo, typ)
+        hib = _single_value_bytes(hi, typ)
+        if lob is None or hib is None:
+            continue
+        lo_out.append({"key": fid, "value": lob})
+        hi_out.append({"key": fid, "value": hib})
+    return (lo_out or None, hi_out or None)
+
+
 def _max_field_id(fields: list[dict]) -> int:
     mx = 0
     for f in fields:
@@ -132,12 +177,31 @@ def _max_field_id(fields: list[dict]) -> int:
 
 # ------------------------------------------------- avro schemas
 
+def _bounds_map(name: str, fid: int, kid: int, vid: int) -> dict:
+    """Iceberg bounds map (field-id → single-value-serialized bytes) in
+    its Avro shape: array of key/value records with logicalType map."""
+    return {
+        "name": name, "default": None, "field-id": fid,
+        "type": ["null", {
+            "type": "array", "logicalType": "map",
+            "items": {"type": "record", "name": f"k{kid}_v{vid}",
+                      "fields": [
+                          {"name": "key", "type": "int", "field-id": kid},
+                          {"name": "value", "type": "bytes",
+                           "field-id": vid}]}}]}
+
+
 def _entry_schema(content: str) -> str:
-    """Avro schema for a v3 manifest entry; optional stats fields are
-    omitted (nullable per spec, projected by field-id)."""
+    """Avro schema for a v3 manifest entry; optional stats fields
+    beyond lower/upper bounds are omitted (nullable per spec,
+    projected by field-id). Data manifests carry per-file column
+    bounds (spec ids 125-130) so external readers min/max-prune."""
     opt_long = lambda fid, name: {  # noqa: E731
         "name": name, "type": ["null", "long"], "default": None,
         "field-id": fid}
+    stats = ([_bounds_map("lower_bounds", 125, 126, 127),
+              _bounds_map("upper_bounds", 128, 129, 130)]
+             if content == "data" else [])
     data_file = {
         "type": "record", "name": "r2", "fields": [
             {"name": "content", "type": "int", "field-id": 134},
@@ -151,6 +215,7 @@ def _entry_schema(content: str) -> str:
              "default": None, "field-id": 143},
             opt_long(144, "content_offset"),
             opt_long(145, "content_size_in_bytes"),
+            *stats,
         ]}
     return json.dumps({
         "type": "record", "name": "manifest_entry", "fields": [
@@ -386,6 +451,7 @@ def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
     data_entries: list[dict] = []
     for p in sorted(to_add):
         a = added_by_path[p]
+        lo_b, hi_b = _bounds_of(to_add[p], ice_schema["fields"])
         data_entries.append({
             "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
             "file_sequence_number": seq,
@@ -395,12 +461,22 @@ def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
                           "file_size_in_bytes": a["size"],
                           "referenced_data_file": None,
                           "content_offset": None,
-                          "content_size_in_bytes": None}})
+                          "content_size_in_bytes": None,
+                          "lower_bounds": lo_b, "upper_bounds": hi_b}})
+
+    def _carry(e: dict, **over) -> dict:
+        # entries decoded from pre-bounds manifests lack the new
+        # optional fields; normalize so the new schema encodes them
+        df = dict(e["data_file"])
+        df.setdefault("lower_bounds", None)
+        df.setdefault("upper_bounds", None)
+        return {**e, "data_file": df, **over}
+
     for p, e in sorted(active.items()):
         if p in wanted:
-            data_entries.append({**e, "status": 0})
+            data_entries.append(_carry(e, status=0))
         else:
-            data_entries.append({**e, "status": 2, "snapshot_id": snap_id})
+            data_entries.append(_carry(e, status=2, snapshot_id=snap_id))
 
     delete_entries = ([{**e, "status": 0} for e in dv_carried]
                       + dv_entries_new)

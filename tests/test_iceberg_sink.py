@@ -181,3 +181,73 @@ def test_iceberg_pinned_version_export(tmp_path):
     export_iceberg(t, dest, version=v_pre)
     got = _independent_replay(dest)
     assert list(got.id) == list(range(40))
+
+
+def test_data_manifest_carries_column_bounds(tmp_path):
+    """Data manifest entries ship lower/upper bounds (spec field-ids
+    125-130, single-value LE encoding) derived from the engine's zone
+    maps — external Iceberg readers can min/max-prune. Carried entries
+    survive re-export; deletes manifests stay bounds-free."""
+    import ray.data as rd
+
+    t = MoonrayTable.create(str(tmp_path / "tblb"), key_col="id",
+                            schema=SCHEMA, zone_cols=("score",),
+                            index_partitions=4, rows_per_fragment=8)
+    t.bulk_load(rd.from_items(
+        [{"id": i, "name": f"n{i}", "score": float(i)} for i in range(40)]))
+    dest = str(tmp_path / "iceb")
+    export_iceberg(t, dest)
+
+    def data_entries(dest):
+        with open(os.path.join(dest, "metadata", "version-hint.text")) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(dest, "metadata",
+                               f"v{v}.metadata.json")) as f:
+            meta = json.load(f)
+        snap = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == meta["current-snapshot-id"])
+        sj, _, manifests = read_ocf(snap["manifest-list"])
+        out = []
+        for m in manifests:
+            schema_json, _, entries = read_ocf(m["manifest_path"])
+            out.append((m["content"], schema_json, entries))
+        return meta, out
+
+    meta, manifests = data_entries(dest)
+    ice_fields = next(s for s in meta["schemas"]
+                      if s["schema-id"] == meta["current-schema-id"])["fields"]
+    score_fid = next(f["id"] for f in ice_fields if f["name"] == "score")
+
+    datas = [(sj, es) for c, sj, es in manifests if c == 0]
+    assert datas
+    sj, entries = datas[0]
+    ids = {f["field-id"] for f in json.loads(sj)["fields"][-1]["type"]["fields"]}
+    lows, highs = [], []
+    for e in entries:
+        lb = e["data_file"]["lower_bounds"]
+        ub = e["data_file"]["upper_bounds"]
+        assert lb and ub
+        lo = next(kv["value"] for kv in lb if kv["key"] == score_fid)
+        hi = next(kv["value"] for kv in ub if kv["key"] == score_fid)
+        lows.append(struct.unpack("<d", lo)[0])
+        highs.append(struct.unpack("<d", hi)[0])
+    assert min(lows) == 0.0 and max(highs) == 39.0
+    # entry schema carries the spec bounds field-ids
+    entry_fields = json.loads(sj)["fields"]
+    df_fields = next(f for f in entry_fields if f["name"] == "data_file")
+    fids = {x["field-id"] for x in df_fields["type"]["fields"]}
+    assert {125, 128}.issubset(fids)
+
+    # incremental re-export with a merge: carried entries re-encode,
+    # new entries get bounds, replay still exact
+    t.merge(rd.from_items(
+        [{"id": 100 + i, "name": f"x{i}", "score": 100.0 + i, "op": "I",
+          "lsn": 50 + i} for i in range(8)]))
+    export_iceberg(t, dest)
+    got = read_iceberg_table(dest)
+    assert got.num_rows == 48
+    _, manifests2 = data_entries(dest)
+    for c, sjx, es in manifests2:
+        if c != 0:
+            for e in es:
+                assert "lower_bounds" not in e["data_file"]

@@ -45,7 +45,48 @@ def _dv_specs(deletes: list[dict]) -> dict[str, tuple[str, int, int]]:
     return out
 
 
-def _read_one(path: str, dv_spec, columns) -> pa.Table:
+def _decode_bound(raw: bytes, ice_type: str):
+    """Iceberg single-value deserialization for the primitive types the
+    export's bounds writer produces (sinks.iceberg._single_value_bytes)."""
+    import struct as _struct
+
+    if ice_type in ("int", "date"):
+        return _struct.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", raw)[0]
+    if ice_type == "string":
+        return raw.decode()
+    if ice_type == "boolean":
+        return raw != b"\x00"
+    return None
+
+
+def _bounds_overlap(df: dict, ranges: dict, fid_of: dict,
+                    type_of: dict) -> bool:
+    """Manifest-entry bounds vs requested ranges — False only when the
+    bounds PROVE no row matches (files without bounds always read; the
+    in-task filter stays the source of truth)."""
+    lo_map = {kv["key"]: kv["value"] for kv in df.get("lower_bounds") or []}
+    hi_map = {kv["key"]: kv["value"] for kv in df.get("upper_bounds") or []}
+    for col, (lo, hi) in ranges.items():
+        fid = fid_of.get(col)
+        typ = type_of.get(col)
+        if fid is None or fid not in lo_map or fid not in hi_map:
+            continue
+        fmin = _decode_bound(lo_map[fid], typ)
+        fmax = _decode_bound(hi_map[fid], typ)
+        if fmin is None or fmax is None:
+            continue
+        if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+            return False
+    return True
+
+
+def _read_one(path: str, dv_spec, columns, ranges=None) -> pa.Table:
     import pyarrow.parquet as pq
 
     from moonray.util import cap_kernel_threads
@@ -54,12 +95,33 @@ def _read_one(path: str, dv_spec, columns) -> pa.Table:
     present = set(pq.read_schema(path).names)
     cols = ([c for c in columns if c in present]
             if columns is not None else None)
+    if cols is not None and ranges:
+        # ranged columns are read for the in-task filter and dropped
+        # before the block is emitted when outside the projection
+        cols = list(dict.fromkeys(
+            cols + [c for c in ranges if c in present]))
     t = pq.read_table(path, columns=cols, memory_map=True,
                       pre_buffer=False)
     if dv_spec is not None:
         from moonray.sinks.puffin import apply_puffin_dv
 
         t = apply_puffin_dv(t, *dv_spec)
+    if ranges:
+        import pyarrow.compute as pc
+
+        m = None
+        for col, (lo, hi) in ranges.items():
+            if col not in t.column_names:
+                continue
+            for bound, op in ((lo, pc.greater_equal), (hi, pc.less_equal)):
+                if bound is None:
+                    continue
+                part = op(t[col], bound)
+                m = part if m is None else pc.and_(m, part)
+        if m is not None:
+            t = t.filter(m)
+        if columns is not None:
+            t = t.select([c for c in columns if c in t.column_names])
     return t.replace_schema_metadata(None)
 
 
@@ -67,7 +129,8 @@ class IcebergDatasource(Datasource):
     """One ReadTask per live data file of the current snapshot; DV
     decode + positional filter run inside the task (see module doc)."""
 
-    def __init__(self, dest: str, columns=None, snapshot_id=None):
+    def __init__(self, dest: str, columns=None, snapshot_id=None,
+                 ranges=None):
         meta = load_table_metadata(dest)
         if meta is None:
             raise FileNotFoundError(f"no Iceberg table at {dest}")
@@ -75,6 +138,15 @@ class IcebergDatasource(Datasource):
         self._dest = dest
         self._columns = list(columns) if columns is not None else None
         self._dvs = _dv_specs(deletes)
+        self._ranges = ranges
+        if ranges:
+            schema = next(s for s in meta["schemas"]
+                          if s["schema-id"] == meta["current-schema-id"])
+            fid_of = {f["name"]: f["id"] for f in schema["fields"]}
+            type_of = {f["name"]: f["type"] for f in schema["fields"]}
+            data = [e for e in data
+                    if _bounds_overlap(e["data_file"], ranges, fid_of,
+                                       type_of)]
         # deterministic task order → stable block order for tests
         self._files = sorted(data, key=lambda e: e["data_file"]["file_path"])
 
@@ -95,20 +167,21 @@ class IcebergDatasource(Datasource):
             # Dataset.count() from read-task metadata WITHOUT executing,
             # and the deleted-row subtraction happens only in-task
             meta = BlockMetadata(
-                num_rows=(None if dv_spec is not None
+                num_rows=(None if (dv_spec is not None or self._ranges)
                           else int(df["record_count"])),
                 size_bytes=int(df["file_size_in_bytes"]),
                 exec_stats=None, input_files=[path])
-            cols = self._columns
+            cols, rngs = self._columns, self._ranges
 
-            def fn(path=path, dv_spec=dv_spec, cols=cols):
-                return [_read_one(path, dv_spec, cols)]
+            def fn(path=path, dv_spec=dv_spec, cols=cols, rngs=rngs):
+                return [_read_one(path, dv_spec, cols, ranges=rngs)]
 
             out.append(ReadTask(fn, meta))
         return out
 
 
-def read_iceberg_dataset(dest: str, *, columns=None, snapshot_id=None):
+def read_iceberg_dataset(dest: str, *, columns=None, snapshot_id=None,
+                         ranges=None):
     """Exported Iceberg table → lazy Dataset.
 
     ``columns`` prunes at the parquet read — DV subtraction is
@@ -116,8 +189,12 @@ def read_iceberg_dataset(dest: str, *, columns=None, snapshot_id=None):
     over an image table never moves the ``bytes`` payload.
     ``snapshot_id`` reads a pinned snapshot instead of the current one
     (Iceberg time travel over the export history).
+    ``ranges`` {col: (lo, hi)} prunes whole files via the manifests'
+    lower/upper bounds (no file opened at all when bounds prove
+    non-overlap) and applies the exact inclusive filter in-task.
     """
     import ray.data
 
     return ray.data.read_datasource(
-        IcebergDatasource(dest, columns=columns, snapshot_id=snapshot_id))
+        IcebergDatasource(dest, columns=columns, snapshot_id=snapshot_id,
+                          ranges=ranges))

@@ -220,3 +220,34 @@ def test_expire_iceberg_snapshots_gc_and_safety(tmp_path, capsys):
     assert main(["expire-iceberg", "--dest", dest, "--keep-last", "1"]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["dropped_snapshots"] == 1   # the pre-merge snapshot
+
+
+def test_ranges_prune_files_via_manifest_bounds(tmp_path):
+    """read_iceberg_dataset(ranges=...) drops whole files whose
+    manifest bounds prove non-overlap (no file open at all) and applies
+    the exact filter in-task; ranged columns outside the projection are
+    read for the filter and dropped."""
+    t = MoonrayTable.create(str(tmp_path / "tbl"), key_col="id",
+                            schema=SCHEMA, zone_cols=("score",),
+                            index_partitions=4, rows_per_fragment=8)
+    t.bulk_load(rd.from_items(
+        [{"id": i, "name": f"n{i}", "score": float(i)} for i in range(64)]))
+    t.cluster(cols=["score"])
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+
+    src_all = IcebergDatasource(dest)
+    src_rng = IcebergDatasource(dest, ranges={"score": (10.0, 20.0)})
+    assert 0 < len(src_rng._files) < len(src_all._files)
+
+    ds = read_iceberg_dataset(dest, columns=["id", "name"],
+                              ranges={"score": (10.0, 20.0)})
+    got = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert got.schema.names == ["id", "name"]
+    full = read_iceberg_table(dest)
+    import pyarrow.compute as pc
+
+    want = full.filter(
+        pc.and_(pc.greater_equal(full["score"], 10.0),
+                pc.less_equal(full["score"], 20.0))).select(["id", "name"])
+    assert got.sort_by("id").equals(want.sort_by("id"))

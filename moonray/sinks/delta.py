@@ -83,7 +83,7 @@ def _read_log_state(dest: str) -> tuple[int, dict[str, dict], str | None]:
             for line in f:
                 a = json.loads(line)
                 if "add" in a:
-                    active[a["add"]["path"]] = a["add"].get("tags", {})
+                    active[a["add"]["path"]] = a["add"]
                 elif "remove" in a:
                     active.pop(a["remove"]["path"], None)
                 elif "metaData" in a:
@@ -157,8 +157,26 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
         tmp = os.path.join(dest, f".{name}.{uuid.uuid4().hex}.tmp")
         pq.write_table(t, tmp, compression="zstd")
         os.replace(tmp, os.path.join(dest, name))
+        # exact per-file stats over the WRITTEN rows (DVs applied) for
+        # JSON-representable columns — Delta readers file-prune on them
+        mins, maxs, nulls = {}, {}, {}
+        for field in t.schema:
+            col = t[field.name]
+            nulls[field.name] = col.null_count
+            if t.num_rows == 0 or col.null_count == t.num_rows:
+                continue
+            if not (pa.types.is_integer(field.type)
+                    or pa.types.is_floating(field.type)
+                    or pa.types.is_string(field.type)
+                    or pa.types.is_large_string(field.type)
+                    or pa.types.is_boolean(field.type)):
+                continue
+            mm = pc.min_max(col)
+            mins[field.name] = mm["min"].as_py()
+            maxs[field.name] = mm["max"].as_py()
         return {"path": name, "size": os.path.getsize(os.path.join(dest, name)),
-                "numRecords": t.num_rows, "frag": frag["id"]}
+                "numRecords": t.num_rows, "frag": frag["id"],
+                "minValues": mins, "maxValues": maxs, "nullCount": nulls}
 
     added = ray.get([export_frag.remote(f) for f in to_add])
 
@@ -185,7 +203,10 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
         actions.append({"add": {
             "path": a["path"], "size": a["size"], "partitionValues": {},
             "modificationTime": now_ms, "dataChange": True,
-            "stats": json.dumps({"numRecords": a["numRecords"]}),
+            "stats": json.dumps({"numRecords": a["numRecords"],
+                                 "minValues": a["minValues"],
+                                 "maxValues": a["maxValues"],
+                                 "nullCount": a["nullCount"]}),
             "tags": {"moonray_frag": a["frag"],
                      "moonray_version": str(m["version"])},
         }})
@@ -223,20 +244,54 @@ _ARROW_OF_SPARK = {
 }
 
 
-def read_delta_dataset(dest: str, *, columns=None):
+def _stats_overlap(add: dict, ranges: dict) -> bool:
+    """File-level add-action stats vs requested ranges — False only
+    when the stats PROVE no row matches (files without stats always
+    read; the pushed filter stays the source of truth)."""
+    try:
+        st = json.loads(add.get("stats") or "{}")
+    except (TypeError, ValueError):
+        return True
+    mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+    for col, (lo, hi) in ranges.items():
+        if col not in mins or col not in maxs:
+            continue
+        if (lo is not None and maxs[col] < lo) or \
+                (hi is not None and mins[col] > hi):
+            return False
+    return True
+
+
+def read_delta_dataset(dest: str, *, columns=None, ranges=None):
     """Delta table → lazy Dataset. The export applies DVs and writes
     plain protocol-v1 parquet, so the read is a straight distributed
     parquet scan over the log's active file set (column-pruned);
     only the tiny _delta_log replay happens on the driver. A table
     whose log replays to ZERO live files (everything deleted) is a
     valid empty table — the schema comes from the logged metaData
-    action, not an error."""
+    action, not an error. ``ranges`` {col: (lo, hi)} prunes whole
+    files via the add-actions' stats and pushes the exact inclusive
+    filter into the parquet read (row-group pruning + row filtering;
+    ranged columns needn't be projected)."""
     import ray.data
 
     _, active, schema_str = _read_log_state(dest)
     if schema_str is None:
         raise FileNotFoundError(f"no Delta table at {dest}")
-    if not active:
+    keep = sorted(active)
+    expr = None
+    if ranges:
+        import pyarrow.dataset as pads
+
+        keep = [p for p in keep if _stats_overlap(active[p], ranges)]
+        for col, (lo, hi) in ranges.items():
+            for bound, mk in ((lo, lambda f, b: f >= b),
+                              (hi, lambda f, b: f <= b)):
+                if bound is None:
+                    continue
+                part = mk(pads.field(col), bound)
+                expr = part if expr is None else expr & part
+    if not keep:
         fields = json.loads(schema_str)["fields"]
         if columns is not None:
             fields = [f for f in fields if f["name"] in set(columns)]
@@ -244,5 +299,6 @@ def read_delta_dataset(dest: str, *, columns=None):
             [], _ARROW_OF_SPARK.get(f["type"], pa.large_string()))
             for f in fields})
         return ray.data.from_arrow(empty)
-    paths = [os.path.join(dest, p) for p in sorted(active)]
-    return ray.data.read_parquet(paths, columns=columns)
+    paths = [os.path.join(dest, p) for p in keep]
+    kw = {"filter": expr} if expr is not None else {}
+    return ray.data.read_parquet(paths, columns=columns, **kw)

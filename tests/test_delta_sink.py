@@ -175,3 +175,39 @@ def test_read_delta_dataset_empty_table_is_valid(tmp_path):
         raise AssertionError("missing table must raise")
     except FileNotFoundError:
         pass
+
+
+def test_delta_stats_and_ranges_pruned_read(tmp_path):
+    """Add actions carry exact per-file stats (numRecords, min/max,
+    nullCount) over the WRITTEN rows; read_delta_dataset(ranges=...)
+    prunes whole files via those stats and pushes the exact filter
+    into the parquet read."""
+    import json as _json
+    import os as _os
+
+    from moonray.sinks.delta import (_read_log_state, read_delta_dataset)
+
+    t = MoonrayTable.create(str(tmp_path / "tbl6"), key_col="id",
+                            schema=SCHEMA, zone_cols=("score",),
+                            index_partitions=4, rows_per_fragment=8)
+    t.bulk_load(rd.from_items(
+        [{"id": i, "name": f"n{i}", "score": float(i)} for i in range(64)]))
+    t.cluster(cols=["score"])
+    dest = str(tmp_path / "delta6")
+    export_delta(t, dest)
+
+    _, active, _ = _read_log_state(dest)
+    stats = [_json.loads(a["stats"]) for a in active.values()]
+    assert all("minValues" in s and "maxValues" in s for s in stats)
+    assert min(s["minValues"]["score"] for s in stats) == 0.0
+    assert max(s["maxValues"]["score"] for s in stats) == 63.0
+    assert all(s["nullCount"]["id"] == 0 for s in stats)
+
+    ds = read_delta_dataset(dest, columns=["id"],
+                            ranges={"score": (10.0, 20.0)})
+    got = sorted(r["id"] for r in ds.take_all())
+    assert got == list(range(10, 21))
+    # pruning really dropped files: the pruned read's inputs are fewer
+    full_files = read_delta_dataset(dest).input_files()
+    pruned_files = ds.input_files()
+    assert 0 < len(pruned_files) < len(full_files)

@@ -537,16 +537,10 @@ def ann_join(left_ds, index: "IvfIndex", *, k: int = 10, n_probe: int = 4,
             lambda t: t.filter(pc.invert(pc.equal(t["qid"], t["nid"]))),
             batch_format="pyarrow")
 
-    # per-batch algebraic partial top-k (same kernel top_k_per_group
-    # uses), then ONE groupby(qid) whose final pass fuses top-k
-    # selection WITH rank assignment — a separate rank stage would cost
-    # a second all-to-all over the same key
-    from moonray.functions.topk import _topk_table
-
-    def partial(b: pa.Table) -> pa.Table:
-        return _topk_table(b, "qid", "sim", "nid", k)
-
-    partial.__name__ = "partial_topk"
+    # algebraic top-k with a custom final pass: ONE groupby(qid) fuses
+    # top-k selection WITH rank assignment — a separate rank stage
+    # would cost a second all-to-all over the same key
+    from moonray.functions.topk import top_k_per_group
 
     def final_rank(grp: pa.Table) -> pa.Table:
         if len(grp) == 0:
@@ -560,5 +554,5 @@ def ann_join(left_ds, index: "IvfIndex", *, k: int = 10, n_probe: int = 4,
                          "rank": pa.array(np.arange(1, len(grp) + 1))})
 
     final_rank.__name__ = "final_topk_rank"
-    return (cand.map_batches(partial, batch_format="pyarrow")
-            .groupby("qid").map_groups(final_rank, batch_format="pyarrow"))
+    return top_k_per_group(cand, "qid", "sim", "nid", k,
+                           final_fn=final_rank)

@@ -37,9 +37,14 @@ def _topk_table(t: pa.Table, group: str, by: str, tie: str, k: int) -> pa.Table:
     return t.take(pa.array(order[rank < k]))
 
 
-def top_k_per_group(ds, group: str, by: str, tie: str, k: int = 5):
+def top_k_per_group(ds, group: str, by: str, tie: str, k: int = 5,
+                    final_fn=None):
     """Top-k rows per group by ``by`` DESC (ties → ``tie`` ASC).
-    Per-batch partial top-k → groupby(group) → identical final top-k."""
+    Per-batch partial top-k → groupby(group) → final top-k.
+    ``final_fn(grp) -> pa.Table`` replaces the final per-group pass
+    when the caller wants to fuse extra work into the same groupby
+    (e.g. ann_join's rank assignment) — it receives one group's rows
+    (already partial-reduced) and owns the top-k selection."""
 
     def partial(b: pa.Table) -> pa.Table:
         return _topk_table(b, group, by, tie, k)
@@ -51,4 +56,5 @@ def top_k_per_group(ds, group: str, by: str, tie: str, k: int = 5):
 
     final.__name__ = "final_topk"
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(group).map_groups(final, batch_format="pyarrow"))
+            .groupby(group).map_groups(final_fn or final,
+                                       batch_format="pyarrow"))

@@ -475,12 +475,20 @@ class MoonrayService:
         from moonray.table import _zones_contain_any, _zones_overlap
 
         t = self._table(name)
+        # parse + validate the pruning spec BEFORE any pin is written:
+        # a malformed spec must be a 400, never a 500 that leaks a
+        # persisted pin whose token the client never received
         ranges = in_sets = None
-        if "ranges" in q:
-            ranges = {c: (lo, hi) for c, (lo, hi)
-                      in json.loads(q["ranges"][0]).items()}
-        if "in" in q:
-            in_sets = json.loads(q["in"][0])
+        try:
+            if "ranges" in q:
+                ranges = {c: (lo, hi) for c, (lo, hi)
+                          in json.loads(q["ranges"][0]).items()}
+            if "in" in q:
+                in_sets = {c: list(v)
+                           for c, v in json.loads(q["in"][0]).items()}
+        except (ValueError, TypeError, AttributeError) as ex:
+            raise ServiceError(
+                400, f"bad ranges/in spec: {ex}") from ex
         token = None
         pin = q.get("pin", ["0"])[0] in ("1", "true")
         if "lsn" in q:
@@ -500,19 +508,29 @@ class MoonrayService:
         # the PINNED version's schema, not the latest — a plan held
         # across an ALTER must describe the files it actually lists
         sch = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
-        return {
-            "version": m["version"],
-            "commit_lsn": m["commit_lsn"],
-            "root": t.root,
-            "schema": [{"name": f.name, "type": str(f.type)} for f in sch],
-            "fragments": [{
+        try:
+            frags = [{
                 "path": f["path"], "rows": f["rows"], "bytes": f["bytes"],
                 "dv_count": f["dv_count"], "dv_paths": dv_paths_of(f),
                 "zones": f.get("zones", {}),
             } for f in m["fragments"]
                 if (not ranges or _zones_overlap(f.get("zones", {}), ranges))
                 and (not in_sets
-                     or _zones_contain_any(f.get("zones", {}), in_sets))],
+                     or _zones_contain_any(f.get("zones", {}), in_sets))]
+        except TypeError as ex:
+            # spec values incomparable with the zone types: release the
+            # pin we just took — the client never sees its token
+            if token is not None:
+                t.scan_end(token)
+            raise ServiceError(
+                400, f"ranges/in values don't compare with the "
+                     f"column's zone type: {ex}") from ex
+        return {
+            "version": m["version"],
+            "commit_lsn": m["commit_lsn"],
+            "root": t.root,
+            "schema": [{"name": f.name, "type": str(f.type)} for f in sch],
+            "fragments": frags,
             "pruned_by": ({} if not (ranges or in_sets) else
                           {"ranges": ranges or {}, "in": in_sets or {}}),
             "pin_token": token,

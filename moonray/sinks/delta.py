@@ -172,8 +172,17 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
                     or pa.types.is_boolean(field.type)):
                 continue
             mm = pc.min_max(col)
-            mins[field.name] = mm["min"].as_py()
-            maxs[field.name] = mm["max"].as_py()
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            # non-finite floats serialize as Infinity/NaN — invalid
+            # strict JSON that spec-strict Delta readers reject; omit
+            # the column's bounds instead (Delta writers do the same)
+            import math
+
+            if any(isinstance(x, float) and not math.isfinite(x)
+                   for x in (lo, hi)):
+                continue
+            mins[field.name] = lo
+            maxs[field.name] = hi
         return {"path": name, "size": os.path.getsize(os.path.join(dest, name)),
                 "numRecords": t.num_rows, "frag": frag["id"],
                 "minValues": mins, "maxValues": maxs, "nullCount": nulls}
@@ -283,6 +292,11 @@ def read_delta_dataset(dest: str, *, columns=None, ranges=None):
     if ranges:
         import pyarrow.dataset as pads
 
+        # only columns in the logged schema participate — unknown names
+        # are ignored (consistent with MoonrayTable.scan), never pushed
+        # into the parquet read where pyarrow would fail the workers
+        known = {f["name"] for f in json.loads(schema_str)["fields"]}
+        ranges = {c: b for c, b in ranges.items() if c in known}
         keep = [p for p in keep if _stats_overlap(active[p], ranges)]
         for col, (lo, hi) in ranges.items():
             for bound, mk in ((lo, lambda f, b: f >= b),
@@ -296,7 +310,8 @@ def read_delta_dataset(dest: str, *, columns=None, ranges=None):
         if columns is not None:
             fields = [f for f in fields if f["name"] in set(columns)]
         empty = pa.table({f["name"]: pa.array(
-            [], _ARROW_OF_SPARK.get(f["type"], pa.large_string()))
+            [], (_ARROW_OF_SPARK.get(f["type"], pa.large_string())
+                 if isinstance(f["type"], str) else pa.null()))
             for f in fields})
         return ray.data.from_arrow(empty)
     paths = [os.path.join(dest, p) for p in keep]

@@ -107,17 +107,9 @@ def _read_one(path: str, dv_spec, columns, ranges=None) -> pa.Table:
 
         t = apply_puffin_dv(t, *dv_spec)
     if ranges:
-        import pyarrow.compute as pc
+        from moonray.table import _range_mask
 
-        m = None
-        for col, (lo, hi) in ranges.items():
-            if col not in t.column_names:
-                continue
-            for bound, op in ((lo, pc.greater_equal), (hi, pc.less_equal)):
-                if bound is None:
-                    continue
-                part = op(t[col], bound)
-                m = part if m is None else pc.and_(m, part)
+        m = _range_mask(t, ranges)
         if m is not None:
             t = t.filter(m)
         if columns is not None:
@@ -140,8 +132,17 @@ class IcebergDatasource(Datasource):
         self._dvs = _dv_specs(deletes)
         self._ranges = ranges
         if ranges:
+            # resolve bounds field-ids under the CHOSEN snapshot's
+            # schema — after a column drop the current schema
+            # re-allocates ids, and decoding an old snapshot's bounds
+            # with the new mapping would prune the wrong files
+            sid = meta["current-schema-id"]
+            if snapshot_id is not None:
+                snap = next(s for s in meta["snapshots"]
+                            if s["snapshot-id"] == snapshot_id)
+                sid = snap.get("schema-id", sid)
             schema = next(s for s in meta["schemas"]
-                          if s["schema-id"] == meta["current-schema-id"])
+                          if s["schema-id"] == sid)
             fid_of = {f["name"]: f["id"] for f in schema["fields"]}
             type_of = {f["name"]: f["type"] for f in schema["fields"]}
             data = [e for e in data

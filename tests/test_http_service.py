@@ -371,3 +371,41 @@ def test_scanplan_server_side_zone_pruning(svc):
     assert st3 == 200
     assert 0 < len(by_in["fragments"]) < len(full["fragments"])
     assert by_in["pruned_by"]["in"] == {"v": [3, 60]}
+
+
+def test_scanplan_bad_pruning_spec_is_400_and_leaks_no_pin(svc):
+    """Malformed or type-mismatched ?ranges=/?in= are client errors
+    (400), and a pin taken before the failure is rolled back — a leaked
+    pin would block snapshot expiry forever with no token to release."""
+    import json as _json
+    from urllib.parse import quote
+
+    from moonray.manifest import pinned_versions
+
+    _call("POST", f"{svc}/tables/zp2", {
+        "schema": [["id", "int64"], ["v", "int64"]],
+        "key_col": "id", "zone_cols": ["v"],
+        "rows_per_fragment": 8, "index_partitions": 2,
+    })
+    _call("POST", f"{svc}/ingest/zp2", {
+        "operation": "insert",
+        "data": [{"id": i, "v": i} for i in range(16)]})
+    st0, desc = _call("GET", f"{svc}/tables/zp2")
+    root = None
+    # recover the table root from a scanplan (no pin)
+    _, plan = _call("GET", f"{svc}/tables/zp2/scanplan")
+    root = plan["root"]
+    before = pinned_versions(root)
+
+    st1, body1 = _call("GET", f"{svc}/tables/zp2/scanplan?ranges=notjson")
+    assert st1 == 400 and "ranges" in body1["error"]
+
+    st2, body2 = _call(
+        "GET", f"{svc}/tables/zp2/scanplan?pin=1&ranges="
+        + quote(_json.dumps({"v": ["a", None]})))
+    assert st2 == 400
+    assert pinned_versions(root) == before   # the pin was rolled back
+
+    st3, plan3 = _call("GET", f"{svc}/tables/zp2/scanplan?ranges="
+                       + quote(_json.dumps({"v": [0, 3]})))
+    assert st3 == 200 and plan3["fragments"]

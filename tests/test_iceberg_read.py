@@ -251,3 +251,41 @@ def test_ranges_prune_files_via_manifest_bounds(tmp_path):
         pc.and_(pc.greater_equal(full["score"], 10.0),
                 pc.less_equal(full["score"], 20.0))).select(["id", "name"])
     assert got.sort_by("id").equals(want.sort_by("id"))
+
+
+def test_time_travel_ranges_use_snapshot_schema_ids(tmp_path):
+    """After a column drop re-allocates field-ids, a ranged time-travel
+    read of the PRE-drop snapshot must decode bounds under the old
+    schema's id mapping — the current mapping would prune the wrong
+    files (silently missing rows)."""
+    import pyarrow.compute as pc
+
+    sch = pa.schema([("id", pa.int64()), ("b", pa.string()),
+                     ("score", pa.float64())])
+    t = MoonrayTable.create(str(tmp_path / "tbl"), key_col="id",
+                            schema=sch, zone_cols=("score",),
+                            index_partitions=4, rows_per_fragment=8)
+    t.bulk_load(rd.from_items(
+        [{"id": i, "b": f"s{i}", "score": float(i)} for i in range(64)]))
+    t.cluster(cols=["score"])
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    from moonray.sinks.iceberg import load_table_metadata
+
+    snap1 = load_table_metadata(dest)["current-snapshot-id"]
+
+    t.alter(drop_columns=["b"])
+    t.merge(rd.from_items(
+        [{"id": 100 + i, "score": 200.0 + i, "op": "I", "lsn": 900 + i}
+         for i in range(8)]))
+    export_iceberg(t, dest)
+    meta = load_table_metadata(dest)
+    assert len(meta["schemas"]) > 1   # the drop created a new schema-id
+
+    old = read_iceberg_dataset(dest, snapshot_id=snap1,
+                               ranges={"score": (10.0, 20.0)},
+                               columns=["id", "score"])
+    got = pa.concat_tables(list(old.iter_batches(batch_format="pyarrow")))
+    assert sorted(got["id"].to_pylist()) == list(range(10, 21))
+    assert pc.min(got["score"]).as_py() == 10.0
+    assert pc.max(got["score"]).as_py() == 20.0

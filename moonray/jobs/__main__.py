@@ -127,6 +127,9 @@ def main(argv=None) -> int:
     sp.add_argument("--dest", required=True, help="Iceberg table directory")
     sp.add_argument("--version", type=int, default=None)
 
+    sp = sub.add_parser("vacuum-delta")
+    sp.add_argument("--dest", required=True, help="Delta table directory")
+
     sp = sub.add_parser("expire-iceberg")
     sp.add_argument("--dest", required=True, help="Iceberg table directory")
     sp.add_argument("--keep-last", type=int, default=1)
@@ -180,6 +183,12 @@ def main(argv=None) -> int:
             index_partitions=args.index_partitions,
             rows_per_fragment=args.rows_per_fragment)
         print(json.dumps({"created": args.table}))
+        return 0
+
+    if args.cmd == "vacuum-delta":
+        from moonray.sinks.delta import vacuum_delta
+
+        print(json.dumps(vacuum_delta(args.dest)))
         return 0
 
     if args.cmd == "expire-iceberg":

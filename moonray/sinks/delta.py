@@ -317,3 +317,21 @@ def read_delta_dataset(dest: str, *, columns=None, ranges=None):
     paths = [os.path.join(dest, p) for p in keep]
     kw = {"filter": expr} if expr is not None else {}
     return ray.data.read_parquet(paths, columns=columns, **kw)
+
+
+def vacuum_delta(dest: str) -> dict:
+    """Remove data files no longer referenced by the log replay — the
+    Delta VACUUM analogue for this single-writer export (no tombstone
+    retention window needed: the one writer is the only committer, and
+    readers of a pinned older log version re-export rather than rely on
+    removed files). The log itself is never touched."""
+    _, active, schema_str = _read_log_state(dest)
+    if schema_str is None:
+        raise FileNotFoundError(f"no Delta table at {dest}")
+    removed = 0
+    for name in os.listdir(dest):
+        if not name.endswith(".parquet") or name in active:
+            continue
+        os.remove(os.path.join(dest, name))
+        removed += 1
+    return {"removed_files": removed, "active_files": len(active)}

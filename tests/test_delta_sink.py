@@ -211,3 +211,42 @@ def test_delta_stats_and_ranges_pruned_read(tmp_path):
     full_files = read_delta_dataset(dest).input_files()
     pruned_files = ds.input_files()
     assert 0 < len(pruned_files) < len(full_files)
+
+
+def test_vacuum_delta_removes_unreferenced_files(tmp_path, capsys):
+    """After a merge re-exports fragments under new names, vacuum
+    removes the superseded files; active files and the log stay
+    intact, and the table still reads exactly."""
+    import json as _json
+    import os as _os
+
+    from moonray.jobs.__main__ import main
+    from moonray.sinks.delta import read_delta_dataset, vacuum_delta
+
+    t = _mk(tmp_path / "tbl7")
+    dest = str(tmp_path / "delta7")
+    export_delta(t, dest)
+    t.merge(rd.from_items(
+        [{"id": i, "name": "", "score": 0.0, "op": "D", "lsn": 100 + i}
+         for i in range(0, 40, 4)]))
+    export_delta(t, dest)
+
+    n_parquet_before = sum(1 for f in _os.listdir(dest)
+                           if f.endswith(".parquet"))
+    out = vacuum_delta(dest)
+    assert out["removed_files"] > 0
+    n_parquet_after = sum(1 for f in _os.listdir(dest)
+                          if f.endswith(".parquet"))
+    assert n_parquet_after == n_parquet_before - out["removed_files"]
+    assert n_parquet_after == out["active_files"]
+
+    got = read_delta_dataset(dest).to_pandas().sort_values(
+        "id", ignore_index=True)[["id", "name", "score"]]
+    want = t.scan().to_pandas().sort_values(
+        "id", ignore_index=True)[["id", "name", "score"]]
+    assert got.equals(want)
+
+    # idempotent + CLI wrapper
+    assert main(["vacuum-delta", "--dest", dest]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["removed_files"] == 0

@@ -155,6 +155,16 @@ def main(argv=None) -> int:
     sp.add_argument("--into", required=True, help="destination table root")
     sp.add_argument("--state-key", default="default")
 
+    sp = sub.add_parser("replicate")
+    sp.add_argument("--wire", required=True,
+                    help="replication event file (JSONL wire)")
+    sp.add_argument("--map", action="append", required=True,
+                    metavar="SRC=TABLE_ROOT",
+                    help="source table name -> destination table root "
+                         "(repeatable)")
+    sp.add_argument("--state", required=True,
+                    help="consumer position checkpoint file")
+
     sp = sub.add_parser("curate")
     tbl(sp)
     sp.add_argument("--lsn", type=int, required=True)
@@ -183,6 +193,19 @@ def main(argv=None) -> int:
             index_partitions=args.index_partitions,
             rows_per_fragment=args.rows_per_fragment)
         print(json.dumps({"created": args.table}))
+        return 0
+
+    if args.cmd == "replicate":
+        from moonray.sources.cdc_tail import replicate_once
+
+        tables = {}
+        for spec in args.map:
+            src, _, root = spec.partition("=")
+            if not root:
+                raise SystemExit(f"--map needs SRC=TABLE_ROOT, got {spec!r}")
+            tables[src] = MoonrayTable.open(root)
+        applied = replicate_once(args.wire, tables, args.state)
+        print(json.dumps({"applied": applied}))
         return 0
 
     if args.cmd == "vacuum-delta":

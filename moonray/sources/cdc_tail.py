@@ -235,3 +235,37 @@ def write_events(path: str, events: list[dict]) -> None:
             f.write(json.dumps(ev) + "\n")
         f.flush()
         os.fsync(f.fileno())
+
+
+def replicate_once(wire: str, tables: dict[str, object],
+                   state_path: str) -> dict:
+    """One drain cycle of a durable replication consumer: resume the
+    tail at the checkpointed byte offset (with its relation registry —
+    relation events BEFORE the offset are not re-readable), fold every
+    newly committed transaction into the destination tables, then
+    atomically persist the new position. Crash anywhere → the next run
+    re-polls from the last persisted offset and the (xid, end_lsn,
+    table)-derived merge job ids land in the SAME committed versions
+    (exactly-once effect from at-least-once delivery — the reference's
+    confirmed-flush-LSN acking, wal.rs/postgres_source.rs, as a file
+    checkpoint)."""
+    tail = CdcTail(wire)
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            st = json.load(f)
+        tail.offset = int(st["offset"])
+        for r in st["relations"]:
+            tail.relations[int(r["rel_id"])] = Relation(
+                rel_id=int(r["rel_id"]), table=r["table"],
+                columns=[tuple(c) for c in r["columns"]],
+                key_cols=list(r["key_cols"]))
+    applied = tail.run_until_idle(tables)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"offset": tail.offset, "relations": [
+            {"rel_id": r.rel_id, "table": r.table,
+             "columns": [list(c) for c in r.columns],
+             "key_cols": r.key_cols}
+            for r in tail.relations.values()]}, f)
+    os.replace(tmp, state_path)
+    return applied

@@ -34,6 +34,100 @@ from moonray.util import HASH_IMPL, atomic_write_text, read_json
 
 FORMAT = "moonray/1"
 
+# ---------------------------------------------------------------------------
+# Segmented fragment lists (the Iceberg manifest-list trick)
+#
+# Above _SEG_INLINE_MAX fragments, a version's fragment list is stored
+# as content-addressed SEGMENT files under segments/ and the version
+# JSON carries only the refs. Chunk boundaries are content-defined over
+# fragment ids (boundary after every id whose hash % _SEG_TARGET == 0),
+# so they are stable across versions: an append / compaction / DV
+# update perturbs only its own chunk(s), every other chunk re-hashes to
+# the same content address and is REUSED — a commit writes O(changed)
+# metadata bytes instead of rewriting the whole list. At 10^12 images
+# (~10^7 fragments) a monolithic per-commit rewrite would make metadata
+# the MERGE bottleneck; with segments the version JSON holds ~n/TARGET
+# refs and steady-state commits touch a handful of chunks.
+# (Reference analogue: Iceberg snapshots reference manifest files and
+# carry unchanged ones over — iceberg_table_syncer.rs commit path.)
+# ---------------------------------------------------------------------------
+
+_SEG_INLINE_MAX = int(os.environ.get("MOONRAY_MANIFEST_INLINE_MAX", "128"))
+_SEG_TARGET = int(os.environ.get("MOONRAY_MANIFEST_SEGMENT_TARGET", "1024"))
+
+# immutable, content-addressed → safe to cache process-wide
+_SEG_CACHE: dict = {}
+_SEG_CACHE_MAX = 512
+
+
+def _seg_read(store, rel: str) -> list:
+    import json
+
+    key = (getattr(store, "root", ""), rel)
+    entries = _SEG_CACHE.get(key)
+    if entries is None:
+        entries = json.loads(store.read(rel))
+        if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+            _SEG_CACHE.clear()  # tiny objects; wholesale reset is fine
+        _SEG_CACHE[key] = entries
+    # per-entry copies: callers build child manifests from these dicts
+    # and must never reach the shared cache through them
+    return [dict(e) for e in entries]
+
+
+def _segment_runs(frags: list) -> list[list]:
+    import numpy as np
+    import pyarrow as pa
+
+    from moonray.util import hash_key_array
+
+    h = hash_key_array(pa.array([f["id"] for f in frags], pa.string()))
+    cut = (h % np.uint64(_SEG_TARGET)) == 0
+    runs, start = [], 0
+    for i in range(len(frags)):
+        if cut[i] or (i - start + 1) >= 4 * _SEG_TARGET:
+            runs.append(frags[start:i + 1])
+            start = i + 1
+    if start < len(frags):
+        runs.append(frags[start:])
+    return runs
+
+
+def _write_segments(store, frags: list) -> list[dict]:
+    import hashlib
+    import json
+
+    from moonray.commitstore import CommitConflict
+
+    refs = []
+    for run in _segment_runs(frags):
+        payload = json.dumps(run, sort_keys=True,
+                             separators=(",", ":")).encode()
+        sha = hashlib.sha256(payload).hexdigest()[:32]
+        rel = os.path.join("segments", f"seg-{sha}.json")
+        if not store.exists(rel):
+            try:
+                store.put_if_absent(rel, payload)
+            except CommitConflict:
+                pass  # content-addressed: the existing bytes are ours
+        refs.append({"path": rel, "count": len(run)})
+    return refs
+
+
+def _resolve_fragments(store, seg_refs: list[dict]) -> list:
+    if len(seg_refs) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            parts = list(ex.map(lambda s: _seg_read(store, s["path"]),
+                                seg_refs))
+    else:
+        parts = [_seg_read(store, s["path"]) for s in seg_refs]
+    out: list = []
+    for p in parts:
+        out.extend(p)
+    return out
+
 
 def _vpath(root: str, version: int) -> str:
     return os.path.join(root, "versions", f"v{version:08d}.json")
@@ -64,8 +158,8 @@ def init_table_dirs(root: str) -> None:
         # object stores have no directories; the scratch plane
         # (storage.scratch_for) creates its own dirs lazily
         return
-    for d in ("versions", "fragments", "dv", "index", "pins", "floors",
-              "lineage", "staging"):
+    for d in ("versions", "fragments", "dv", "index", "segments", "pins",
+              "floors", "lineage", "staging"):
         os.makedirs(os.path.join(root, d), exist_ok=True)
 
 
@@ -85,6 +179,9 @@ def load_manifest(root: str, version: int | None = None) -> dict:
             f"table was written with hash impl {m['hash_impl']}, runtime has {HASH_IMPL}; "
             "index partitioning would diverge"
         )
+    if "fragments" not in m:
+        m["fragments"] = _resolve_fragments(_store(root),
+                                            m["fragment_segments"])
     return m
 
 
@@ -121,6 +218,11 @@ def commit_manifest(root: str, manifest: dict) -> int:
     # guarantees come from version numbers, not clocks
     manifest.setdefault("committed_at", time.time())
     store = store_for(root)
+    frags = manifest.get("fragments")
+    if frags is not None and len(frags) > _SEG_INLINE_MAX:
+        manifest = dict(manifest)
+        del manifest["fragments"]
+        manifest["fragment_segments"] = _write_segments(store, frags)
     payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
     store.put_if_absent(os.path.join("versions", f"v{version:08d}.json"), payload)
     # monotonic publish: with concurrent append committers (table.py
@@ -185,6 +287,8 @@ def referenced_files(manifest: dict) -> set[str]:
     from moonray.dv import dv_paths_of
 
     refs: set[str] = set()
+    for s in manifest.get("fragment_segments", []):
+        refs.add(s["path"])
     for f in manifest["fragments"]:
         refs.add(f["path"])
         refs.update(dv_paths_of(f))
@@ -215,7 +319,7 @@ def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
     keep = {v for v in keep if v in versions}
     retained_refs: set[str] = set()
     for v in keep:
-        retained_refs |= referenced_files(json.loads(store.read(_vrel(v))))
+        retained_refs |= referenced_files(load_manifest(root, v))
     removed_manifests, removed_files = [], []
     committed_jobs: set[str] = set()
     expired_jobs: set[str] = set()
@@ -227,7 +331,7 @@ def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
             expired_jobs.add(m.get("job_id", ""))
         else:
             committed_jobs.add(m.get("job_id", ""))
-    for sub in ("fragments", "dv", "index"):
+    for sub in ("fragments", "dv", "index", "segments"):
         for rel in store.list(sub):
             if rel not in retained_refs and not rel.endswith((".tmp", ".meta.json")):
                 store.delete(rel)

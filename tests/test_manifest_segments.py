@@ -1,0 +1,150 @@
+"""Segmented manifests: the fragment list of a committed version is
+stored as content-addressed SEGMENT files reused across versions, so a
+commit writes O(changed fragments) metadata bytes, not O(table).
+
+This is the Iceberg manifest-list trick (a snapshot references manifest
+files, unchanged manifests carry over — see the reference's snapshot
+commit path, src/moonlink/src/storage/table/iceberg/
+iceberg_table_syncer.rs): at 10^12 images the fragment list is ~10^7
+entries, and rewriting it wholesale per commit would make metadata, not
+data, the MERGE bottleneck.
+
+Chunk boundaries are content-defined over fragment ids, so an append /
+compaction / DV update perturbs only its own chunk(s); every other
+chunk re-hashes to the same content address and costs zero new bytes.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from moonray import manifest as mf
+from moonray.table import MoonrayTable
+
+
+@pytest.fixture(autouse=True)
+def tiny_segments(monkeypatch):
+    # force segmentation at toy scale: inline only below 4 fragments,
+    # ~4-fragment chunks
+    monkeypatch.setattr(mf, "_SEG_INLINE_MAX", 3)
+    monkeypatch.setattr(mf, "_SEG_TARGET", 4)
+
+
+def _mk(root: str) -> MoonrayTable:
+    schema = pa.schema([("id", pa.int64()), ("val", pa.string())])
+    return MoonrayTable.create(root, key_col="id", schema=schema,
+                               index_partitions=2, rows_per_fragment=8)
+
+
+def _load(n: int, start: int = 0) -> rd.Dataset:
+    return rd.from_arrow(pa.table({
+        "id": pa.array(range(start, start + n), pa.int64()),
+        "val": pa.array([f"v{i}" for i in range(start, start + n)],
+                        pa.string()),
+    }))
+
+
+def _raw_manifest(root: str, v: int) -> dict:
+    with open(os.path.join(root, "versions", f"v{v:08d}.json")) as f:
+        return json.load(f)
+
+
+def _seg_paths(root: str, v: int) -> list[str]:
+    return [s["path"] for s in _raw_manifest(root, v).get(
+        "fragment_segments", [])]
+
+
+def test_segmented_roundtrip_matches_inline_shape(tmp_path):
+    t = _mk(str(tmp_path / "tbl"))
+    t.bulk_load(_load(200))  # 200 rows / 8 rpf = 25 fragments
+    v = t.latest_version()
+    raw = _raw_manifest(t.root, v)
+    assert "fragments" not in raw and raw["fragment_segments"]
+    assert sum(s["count"] for s in raw["fragment_segments"]) == 25
+    m = t.manifest()
+    assert len(m["fragments"]) == 25
+    # resolved list preserves write order (scan planning depends on it)
+    assert [f["rows"] for f in m["fragments"]] == [8] * 25
+    assert t.scan().count() == 200
+    got = t.lookup([0, 120, 199])
+    assert sorted(got["id"].to_pylist()) == [0, 120, 199]
+
+
+def test_append_commit_reuses_parent_segments(tmp_path):
+    t = _mk(str(tmp_path / "tbl"))
+    t.bulk_load(_load(160))  # 20 fragments
+    v1 = t.latest_version()
+    segs1 = set(_seg_paths(t.root, v1))
+    t.bulk_load(_load(16, start=1000))  # +2 fragments
+    v2 = t.latest_version()
+    segs2 = set(_seg_paths(t.root, v2))
+    # the append rewrote at most the tail chunk + the new fragments'
+    # chunk(s); everything else carries over by content address
+    assert len(segs2 - segs1) <= 3
+    assert len(segs1 & segs2) >= len(segs1) - 1
+    assert t.scan().count() == 176
+
+
+def test_dv_update_rewrites_only_touched_chunks(tmp_path):
+    t = _mk(str(tmp_path / "tbl"))
+    t.bulk_load(_load(160))  # 20 fragments
+    v1 = t.latest_version()
+    segs1 = set(_seg_paths(t.root, v1))
+    n_chunks = len(segs1)
+    assert n_chunks >= 3
+    # delete 3 rows in ONE fragment -> one fragment entry gains a DV
+    # ref -> only its chunk re-hashes
+    t.merge(rd.from_arrow(pa.table({
+        "op": pa.array(["D"] * 3, pa.string()),
+        "lsn": pa.array([1, 2, 3], pa.int64()),
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "val": pa.array([None] * 3, pa.string()),
+    })))
+    segs2 = set(_seg_paths(t.root, t.latest_version()))
+    assert len(segs2 - segs1) <= 2
+    assert len(segs1 & segs2) >= n_chunks - 2
+    assert t.scan().count() == 157
+
+
+def test_expiry_gcs_unreferenced_segments_keeps_shared(tmp_path):
+    t = _mk(str(tmp_path / "tbl"))
+    t.bulk_load(_load(160))
+    v1 = t.latest_version()
+    segs1 = set(_seg_paths(t.root, v1))
+    t.bulk_load(_load(16, start=1000))
+    v2 = t.latest_version()
+    segs2 = set(_seg_paths(t.root, v2))
+    shared = segs1 & segs2
+    assert shared  # content reuse is what makes this test meaningful
+    rep = mf.expire_snapshots(t.root, keep_last=1)
+    assert v1 in rep["removed_versions"]
+    on_disk = {rel for rel in mf._store(t.root).list("segments")}
+    assert on_disk == segs2  # v1-only chunks gone, shared chunks kept
+    assert t.scan().count() == 176
+    assert len(t.lookup([1000])) == 1
+
+
+def test_inline_below_threshold_and_legacy_manifests_load(tmp_path, monkeypatch):
+    monkeypatch.setattr(mf, "_SEG_INLINE_MAX", 10_000)
+    t = _mk(str(tmp_path / "tbl"))
+    t.bulk_load(_load(200))
+    raw = _raw_manifest(t.root, t.latest_version())
+    # below the threshold the manifest stays a single self-contained
+    # JSON (exactly the pre-segmentation on-disk format), and the
+    # loader takes the legacy path
+    assert "fragments" in raw and "fragment_segments" not in raw
+    assert t.scan().count() == 200
+
+
+def test_segment_cache_serves_repeat_loads(tmp_path):
+    t = _mk(str(tmp_path / "tbl"))
+    t.bulk_load(_load(160))
+    m1 = t.manifest()
+    m2 = t.manifest()
+    assert m1["fragments"] == m2["fragments"]
+    # cached entries must be safe against caller mutation
+    m1["fragments"][0]["rows"] = -1
+    assert t.manifest()["fragments"][0]["rows"] == 8

@@ -41,15 +41,20 @@ FORMAT = "moonray/1"
 # as content-addressed SEGMENT files under segments/ and the version
 # JSON carries only the refs. Chunk boundaries are content-defined over
 # fragment ids (boundary after every id whose hash % _SEG_TARGET == 0),
-# so they are stable across versions: an append / compaction / DV
-# update perturbs only its own chunk(s), every other chunk re-hashes to
-# the same content address and is REUSED — a commit writes O(changed)
-# metadata bytes instead of rewriting the whole list. At 10^12 images
-# (~10^7 fragments) a monolithic per-commit rewrite would make metadata
-# the MERGE bottleneck; with segments the version JSON holds ~n/TARGET
-# refs and steady-state commits touch a handful of chunks.
-# (Reference analogue: Iceberg snapshots reference manifest files and
-# carry unchanged ones over — iceberg_table_syncer.rs commit path.)
+# so they are stable across versions: an append / compaction perturbs
+# only its own chunk(s), every other chunk re-hashes to the same
+# content address and is REUSED — a commit writes O(changed) metadata
+# bytes instead of rewriting the whole list. DV refs/counts are split
+# out of the entries into a separate content-addressed dv-state object
+# (see _write_segments), so a MERGE whose deletes scatter across the
+# whole table — the common case — rewrites NO core chunk at all. At
+# 10^12 images (~10^7 fragments) a monolithic per-commit rewrite would
+# make metadata the MERGE bottleneck; with segments the version JSON
+# holds ~n/TARGET refs and steady-state commits touch a handful of
+# objects. (Reference analogue: Iceberg snapshots reference manifest
+# files and carry unchanged ones over, with v3 deletion vectors stored
+# apart from the data manifests — iceberg_table_syncer.rs commit path,
+# deletion_vector.rs.)
 # ---------------------------------------------------------------------------
 
 _SEG_INLINE_MAX = int(os.environ.get("MOONRAY_MANIFEST_INLINE_MAX", "128"))
@@ -70,8 +75,10 @@ def _seg_read(store, rel: str) -> list:
         if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
             _SEG_CACHE.clear()  # tiny objects; wholesale reset is fine
         _SEG_CACHE[key] = entries
-    # per-entry copies: callers build child manifests from these dicts
-    # and must never reach the shared cache through them
+    # per-entry copies: callers build child manifests from these
+    # objects and must never reach the shared cache through them
+    if isinstance(entries, dict):  # dv-state: {frag_id: [dv_refs, count]}
+        return {k: [list(v[0]), v[1]] for k, v in entries.items()}
     return [dict(e) for e in entries]
 
 
@@ -93,25 +100,47 @@ def _segment_runs(frags: list) -> list[list]:
     return runs
 
 
-def _write_segments(store, frags: list) -> list[dict]:
+def _put_content_addressed(store, kind: str, obj) -> dict:
     import hashlib
     import json
 
     from moonray.commitstore import CommitConflict
 
-    refs = []
-    for run in _segment_runs(frags):
-        payload = json.dumps(run, sort_keys=True,
-                             separators=(",", ":")).encode()
-        sha = hashlib.sha256(payload).hexdigest()[:32]
-        rel = os.path.join("segments", f"seg-{sha}.json")
-        if not store.exists(rel):
-            try:
-                store.put_if_absent(rel, payload)
-            except CommitConflict:
-                pass  # content-addressed: the existing bytes are ours
-        refs.append({"path": rel, "count": len(run)})
-    return refs
+    payload = json.dumps(obj, sort_keys=True, separators=(",", ":")).encode()
+    sha = hashlib.sha256(payload).hexdigest()[:32]
+    rel = os.path.join("segments", f"{kind}-{sha}.json")
+    if not store.exists(rel):
+        try:
+            store.put_if_absent(rel, payload)
+        except CommitConflict:
+            pass  # content-addressed: the existing bytes are ours
+    return {"path": rel, "count": len(obj)}
+
+
+def _write_segments(store, frags: list) -> tuple[list[dict], dict]:
+    """Store the fragment list as (immutable core segments, DV state).
+
+    DV refs/counts are SPLIT OUT of the fragment entries before
+    chunking (the Iceberg-v3 separation of data manifests from
+    deletion-vector state): a MERGE whose deletes scatter across the
+    whole table changes only the dv-state object — every core chunk
+    re-hashes to its existing content address and costs zero new bytes.
+    Core chunks rewrite only when fragments are added/removed/replaced
+    (append, compaction, clustering), and the dv-state object is itself
+    content-addressed, so append-only commits reuse the parent's
+    byte-for-byte. DV state stays O(fragments-with-DVs) and is emptied
+    every time compaction/clustering folds DVs into rewritten files."""
+    dv_state = {}
+    cores = []
+    for f in frags:
+        core = {k: v for k, v in f.items() if k not in ("dv", "dv_count")}
+        if f.get("dv") or f.get("dv_count"):
+            dv_state[f["id"]] = [list(f.get("dv", [])),
+                                 int(f.get("dv_count", 0))]
+        cores.append(core)
+    refs = [_put_content_addressed(store, "seg", run)
+            for run in _segment_runs(cores)]
+    return refs, _put_content_addressed(store, "dvs", dv_state)
 
 
 def _resolve_fragments(store, seg_refs: list[dict]) -> list:
@@ -180,8 +209,13 @@ def load_manifest(root: str, version: int | None = None) -> dict:
             "index partitioning would diverge"
         )
     if "fragments" not in m:
-        m["fragments"] = _resolve_fragments(_store(root),
-                                            m["fragment_segments"])
+        store = _store(root)
+        frags = _resolve_fragments(store, m["fragment_segments"])
+        dv_state = (_seg_read(store, m["dv_state"]["path"])
+                    if m.get("dv_state") else {})
+        for f in frags:
+            f["dv"], f["dv_count"] = dv_state.get(f["id"], ([], 0))
+        m["fragments"] = frags
     return m
 
 
@@ -222,7 +256,9 @@ def commit_manifest(root: str, manifest: dict) -> int:
     if frags is not None and len(frags) > _SEG_INLINE_MAX:
         manifest = dict(manifest)
         del manifest["fragments"]
-        manifest["fragment_segments"] = _write_segments(store, frags)
+        segs, dv_ref = _write_segments(store, frags)
+        manifest["fragment_segments"] = segs
+        manifest["dv_state"] = dv_ref
     payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
     store.put_if_absent(os.path.join("versions", f"v{version:08d}.json"), payload)
     # monotonic publish: with concurrent append committers (table.py
@@ -289,6 +325,8 @@ def referenced_files(manifest: dict) -> set[str]:
     refs: set[str] = set()
     for s in manifest.get("fragment_segments", []):
         refs.add(s["path"])
+    if manifest.get("dv_state"):
+        refs.add(manifest["dv_state"]["path"])
     for f in manifest["fragments"]:
         refs.add(f["path"])
         refs.update(dv_paths_of(f))

@@ -76,6 +76,44 @@ def run_one(n_images: int, n_changes: int, sizes=None) -> dict:
         out["manifest_kib"] = round(os.path.getsize(mpath) / 1024, 1)
         out["total_s"] = round(time.perf_counter() - t0, 2)
         out["rows_per_s"] = round((n_images + n_changes) / out["total_s"], 1)
+
+        # Metadata write amplification: a small steady-state commit on a
+        # big table must write O(changed) metadata bytes, not O(table).
+        # Segmented manifests (manifest.py) are what makes this hold —
+        # pre-segmentation, every commit re-serialized the full fragment
+        # list, so this number grew linearly with the table. Measured as
+        # the bytes of NEW files under versions/ + segments/ created by
+        # one 512-row merge.
+        def _meta_files() -> dict:
+            files = {}
+            for sub in ("versions", "segments"):
+                sd = os.path.join(root, sub)
+                if os.path.isdir(sd):
+                    for fn in os.listdir(sd):
+                        p = os.path.join(sd, fn)
+                        if os.path.isfile(p):
+                            files[f"{sub}/{fn}"] = os.path.getsize(p)
+            return files
+
+        pre = _meta_files()
+        t3 = time.perf_counter()
+        t.merge(make_changes_dataset(128, n_images, seed=99, sizes=sizes))
+        out["small_commit_s"] = round(time.perf_counter() - t3, 2)
+        post = _meta_files()
+        new = {f: sz for f, sz in post.items() if f not in pre}
+        out["small_commit_meta_kib"] = round(sum(new.values()) / 1024, 1)
+        # component breakdown: version JSON (O(chunks)), rewritten core
+        # chunks (O(touched chunks) — appends touch the tail chunk
+        # only; DV scatter touches none), dv-state (O(frags with DVs))
+        out["small_commit_vjson_kib"] = round(sum(
+            sz for f, sz in new.items() if f.startswith("versions/")) / 1024, 1)
+        out["small_commit_core_kib"] = round(sum(
+            sz for f, sz in new.items()
+            if f.startswith("segments/seg-")) / 1024, 1)
+        out["small_commit_dvstate_kib"] = round(sum(
+            sz for f, sz in new.items()
+            if f.startswith("segments/dvs-")) / 1024, 1)
+        out["total_meta_kib"] = round(sum(post.values()) / 1024, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -94,6 +132,15 @@ def main() -> int:
     # a multiple that fits (e.g. `scale_stress.py 1 5`).
     thin = "--thin" in sys.argv
     sizes = (32, 64) if thin else None
+    # chunk geometry scaled to this toy's fragment counts (60-600) the
+    # way the default (target 1024) is scaled to 10^6-10^7 fragments:
+    # the table must span MANY chunks for chunk reuse to be measurable
+    from moonray import manifest as _mf
+
+    _mf._SEG_INLINE_MAX = int(os.environ.get(
+        "MOONRAY_MANIFEST_INLINE_MAX", "24"))
+    _mf._SEG_TARGET = int(os.environ.get(
+        "MOONRAY_MANIFEST_SEGMENT_TARGET", "48"))
     mults = [int(m) for m in sys.argv[1:] if not m.startswith("--")] or [1, 10]
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
@@ -122,6 +169,10 @@ def main() -> int:
                                / a["rss_mib_after_cluster"], 2),
             "manifest_scale": round(b["manifest_kib"] / a["manifest_kib"], 2),
             "fragment_scale": round(b["num_fragments"] / a["num_fragments"], 2),
+            # the segmented-manifest claim: ~flat as the table grows
+            "small_commit_meta_scale": round(
+                b["small_commit_meta_kib"]
+                / max(a["small_commit_meta_kib"], 0.1), 2),
         }))
     ray.shutdown()
     return 0

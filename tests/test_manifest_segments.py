@@ -88,25 +88,30 @@ def test_append_commit_reuses_parent_segments(tmp_path):
     assert t.scan().count() == 176
 
 
-def test_dv_update_rewrites_only_touched_chunks(tmp_path):
+def test_dv_update_rewrites_no_core_chunk(tmp_path):
     t = _mk(str(tmp_path / "tbl"))
     t.bulk_load(_load(160))  # 20 fragments
     v1 = t.latest_version()
     segs1 = set(_seg_paths(t.root, v1))
-    n_chunks = len(segs1)
-    assert n_chunks >= 3
-    # delete 3 rows in ONE fragment -> one fragment entry gains a DV
-    # ref -> only its chunk re-hashes
+    assert len(segs1) >= 3
+    # scattered deletes -> fragment entries gain DV refs, but DV state
+    # lives OUTSIDE the core chunks: every core chunk is reused
+    # byte-for-byte and only the dv-state object changes
     t.merge(rd.from_arrow(pa.table({
-        "op": pa.array(["D"] * 3, pa.string()),
-        "lsn": pa.array([1, 2, 3], pa.int64()),
-        "id": pa.array([0, 1, 2], pa.int64()),
-        "val": pa.array([None] * 3, pa.string()),
+        "op": pa.array(["D"] * 6, pa.string()),
+        "lsn": pa.array(range(1, 7), pa.int64()),
+        "id": pa.array([0, 30, 60, 90, 120, 150], pa.int64()),
+        "val": pa.array([None] * 6, pa.string()),
     })))
-    segs2 = set(_seg_paths(t.root, t.latest_version()))
-    assert len(segs2 - segs1) <= 2
-    assert len(segs1 & segs2) >= n_chunks - 2
-    assert t.scan().count() == 157
+    v2 = t.latest_version()
+    segs2 = set(_seg_paths(t.root, v2))
+    assert segs2 == segs1
+    dv1 = _raw_manifest(t.root, v1)["dv_state"]["path"]
+    dv2 = _raw_manifest(t.root, v2)["dv_state"]["path"]
+    assert dv1 != dv2
+    assert t.scan().count() == 154
+    m = t.manifest()
+    assert sum(f["dv_count"] for f in m["fragments"]) == 6
 
 
 def test_expiry_gcs_unreferenced_segments_keeps_shared(tmp_path):
@@ -122,7 +127,8 @@ def test_expiry_gcs_unreferenced_segments_keeps_shared(tmp_path):
     rep = mf.expire_snapshots(t.root, keep_last=1)
     assert v1 in rep["removed_versions"]
     on_disk = {rel for rel in mf._store(t.root).list("segments")}
-    assert on_disk == segs2  # v1-only chunks gone, shared chunks kept
+    dv2 = _raw_manifest(t.root, v2)["dv_state"]["path"]
+    assert on_disk == segs2 | {dv2}  # v1-only chunks gone, shared kept
     assert t.scan().count() == 176
     assert len(t.lookup([1000])) == 1
 

@@ -126,6 +126,12 @@ def main(argv=None) -> int:
     tbl(sp)
     sp.add_argument("--dest", required=True, help="Iceberg table directory")
     sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--register-catalog", default=None, metavar="URL",
+                    help="Iceberg REST catalog base URL: after the "
+                         "export, point --ident at the new metadata "
+                         "(the commit-to-catalog step)")
+    sp.add_argument("--ident", default=None, metavar="NS.NAME",
+                    help="catalog identifier for --register-catalog")
 
     sp = sub.add_parser("vacuum-delta")
     sp.add_argument("--dest", required=True, help="Delta table directory")
@@ -278,8 +284,20 @@ def main(argv=None) -> int:
         from moonray.sinks.iceberg import export_iceberg
 
         iv = export_iceberg(t, args.dest, version=args.version)
-        print(json.dumps({"iceberg_metadata_version": iv,
-                          "dest": args.dest}))
+        out = {"iceberg_metadata_version": iv, "dest": args.dest}
+        if args.register_catalog:
+            from moonray.iceberg_catalog import IcebergRestCatalog
+
+            if not args.ident or "." not in args.ident:
+                raise SystemExit("--register-catalog needs --ident NS.NAME")
+            ns, name = args.ident.split(".", 1)
+            cat = IcebergRestCatalog(args.register_catalog)
+            if ns not in cat.list_namespaces():
+                cat.create_namespace(ns)
+            res = cat.register_export(ns, name, args.dest)
+            out["registered"] = {"identifier": args.ident,
+                                 "metadata-location": res["metadata-location"]}
+        print(json.dumps(out))
         return 0
     elif args.cmd == "delete-range":
         # keep json's native int/float types: float() coercion would

@@ -98,8 +98,12 @@ class MoonrayService:
 
     def __init__(self, warehouse: str, wal_autoflush: int = 64):
         from moonray.catalog import MoonrayCatalog
+        from moonray.iceberg_catalog import IcebergCatalogRegistry
 
         self.catalog = MoonrayCatalog(warehouse)
+        # Iceberg REST catalog registry (spec routes under /iceberg/v1;
+        # the reference's rest_catalog.rs surface) — serves exports
+        self.ice_catalog = IcebergCatalogRegistry(warehouse)
         self._write_lock = threading.Lock()  # single-writer per service
         self._kafka_schemas: dict[str, object] = {}  # table → Avro schema
         self._wals: dict[str, object] = {}           # table → EventWal
@@ -588,6 +592,9 @@ def make_handler(svc: MoonrayService):
             u = urlparse(self.path)
             parts = [p for p in u.path.split("/") if p]
             q = parse_qs(u.query)
+            if parts[:2] == ["iceberg", "v1"]:
+                body = self._body() if method == "POST" else {}
+                return svc.ice_catalog.route(method, parts[2:], body)
             if method == "GET":
                 if parts == ["health"]:
                     return svc.health()
@@ -637,8 +644,12 @@ def make_handler(svc: MoonrayService):
             raise ServiceError(404, f"no route {method} {u.path}")
 
         def _handle(self, method: str) -> None:
+            from moonray.iceberg_catalog import IcebergCatalogError
+
             try:
                 self._reply(200, self._route(method))
+            except IcebergCatalogError as ex:
+                self._reply(ex.code, ex.payload())  # spec error model
             except ServiceError as ex:
                 self._reply(ex.status, {"error": str(ex)})
             except Exception as ex:  # noqa: BLE001 — service boundary

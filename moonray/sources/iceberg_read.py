@@ -122,8 +122,17 @@ class IcebergDatasource(Datasource):
     decode + positional filter run inside the task (see module doc)."""
 
     def __init__(self, dest: str, columns=None, snapshot_id=None,
-                 ranges=None):
-        meta = load_table_metadata(dest)
+                 ranges=None, metadata_location=None):
+        if metadata_location is not None:
+            # catalog-resolved read: honor the LoadTableResult's pinned
+            # metadata file (immutable) instead of the version hint —
+            # a concurrent re-export must not move this reader's feet
+            import json as _json
+
+            with open(metadata_location) as f:
+                meta = _json.load(f)
+        else:
+            meta = load_table_metadata(dest)
         if meta is None:
             raise FileNotFoundError(f"no Iceberg table at {dest}")
         data, deletes = _replay_entries(meta, snapshot_id)
@@ -182,7 +191,7 @@ class IcebergDatasource(Datasource):
 
 
 def read_iceberg_dataset(dest: str, *, columns=None, snapshot_id=None,
-                         ranges=None):
+                         ranges=None, metadata_location=None):
     """Exported Iceberg table → lazy Dataset.
 
     ``columns`` prunes at the parquet read — DV subtraction is
@@ -193,9 +202,12 @@ def read_iceberg_dataset(dest: str, *, columns=None, snapshot_id=None,
     ``ranges`` {col: (lo, hi)} prunes whole files via the manifests'
     lower/upper bounds (no file opened at all when bounds prove
     non-overlap) and applies the exact inclusive filter in-task.
+    ``metadata_location`` pins an exact metadata file instead of the
+    version hint — the catalog-resolved read path
+    (iceberg_catalog.IcebergRestCatalog.read_dataset).
     """
     import ray.data
 
     return ray.data.read_datasource(
         IcebergDatasource(dest, columns=columns, snapshot_id=snapshot_id,
-                          ranges=ranges))
+                          ranges=ranges, metadata_location=metadata_location))

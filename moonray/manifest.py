@@ -89,15 +89,26 @@ def _segment_runs(frags: list) -> list[list]:
     from moonray.util import hash_key_array
 
     h = hash_key_array(pa.array([f["id"] for f in frags], pa.string()))
-    cut = (h % np.uint64(_SEG_TARGET)) == 0
-    runs, start = [], 0
-    for i in range(len(frags)):
-        if cut[i] or (i - start + 1) >= 4 * _SEG_TARGET:
-            runs.append(frags[start:i + 1])
-            start = i + 1
-    if start < len(frags):
-        runs.append(frags[start:])
-    return runs
+    cut_idx = np.flatnonzero((h % np.uint64(_SEG_TARGET)) == 0)
+    cap = 4 * _SEG_TARGET  # bound pathological boundary droughts
+    bounds, start = [], 0
+    for c in cut_idx.tolist():
+        end = c + 1
+        while end - start > cap:
+            bounds.append(start + cap)
+            start += cap
+        bounds.append(end)
+        start = end
+    n = len(frags)
+    while n - start > cap:
+        bounds.append(start + cap)
+        start += cap
+    if start < n:
+        bounds.append(n)
+    # loop is over boundaries (~n/TARGET), not fragments: the only
+    # O(fragments) commit-side costs left are the vectorized id hash
+    # and json-serializing the chunks for content addressing
+    return [frags[a:b] for a, b in zip([0] + bounds[:-1], bounds)]
 
 
 def _put_content_addressed(store, kind: str, obj) -> dict:

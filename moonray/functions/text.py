@@ -302,3 +302,126 @@ def redact_pii_oracle_sql(text_expr: str = "text") -> str:
                CAST(len(regexp_extract_all(t2, '{i_pat}')) AS BIGINT) AS n_ipv4
         FROM s2
     """
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher-style, Rae et al. 2021 table A1)
+# --------------------------------------------------------------------------
+
+REP_MAX_DUP_LINE_PERMILLE = 300   # Gopher: duplicate line fraction ≤ 0.30
+REP_MAX_DUP_CHAR_PERMILLE = 200   # Gopher: duplicate line char fraction ≤ 0.20
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document line-repetition signals, SQL-exact integers:
+
+    - ``n_lines``: non-empty lines (newline-split, trimmed of " \\t\\r")
+    - ``n_distinct_lines``
+    - ``dup_line_permille``: 1000 * duplicate-occurrence lines / lines
+    - ``dup_char_permille``: 1000 * chars in duplicate occurrences /
+      chars in all kept lines
+
+    The boilerplate/spam gate of the Gopher rules (duplicate line
+    fraction, duplicate line character fraction). Fully vectorized:
+    arrow split + list_parent_indices, one 64-bit line hash, lexsort to
+    find first occurrences — no per-document Python loop. Integer
+    permille (floor) so the DuckDB oracle matches hash-for-hash, like
+    QualityScore above."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from moonray.util import hash_key_array
+
+    n_docs = len(batch)
+    lines = pc.split_pattern(batch[text_col].combine_chunks(), "\n")
+    flat = pc.list_flatten(lines)
+    parent = pc.list_parent_indices(lines)
+    trimmed = pc.utf8_trim(flat, " \t\r")
+    keep = pc.not_equal(trimmed, "")
+    par = parent.to_numpy(zero_copy_only=False)[
+        keep.to_numpy(zero_copy_only=False)]
+    kept = trimmed.filter(keep)
+    lh = hash_key_array(kept)
+    ln = pc.utf8_length(kept).to_numpy(zero_copy_only=False)
+
+    order = np.lexsort((lh, par))
+    sp, sl, sn = par[order], lh[order], ln[order]
+    is_first = np.r_[True, (sp[1:] != sp[:-1]) | (sl[1:] != sl[:-1])] \
+        if len(sp) else np.zeros(0, dtype=bool)
+    n_lines = np.bincount(par, minlength=n_docs).astype(np.int64)
+    n_distinct = np.bincount(sp[is_first], minlength=n_docs).astype(np.int64)
+    dup_chars = np.bincount(sp[~is_first], weights=sn[~is_first],
+                            minlength=n_docs).astype(np.int64)
+    tot_chars = np.bincount(sp, weights=sn, minlength=n_docs).astype(np.int64)
+    denom_l = np.maximum(n_lines, 1)
+    denom_c = np.maximum(tot_chars, 1)
+    return (batch
+            .append_column("n_lines", pa.array(n_lines))
+            .append_column("n_distinct_lines", pa.array(n_distinct))
+            .append_column("dup_line_permille", pa.array(
+                1000 * (n_lines - n_distinct) // denom_l))
+            .append_column("dup_char_permille", pa.array(
+                1000 * dup_chars // denom_c)))
+
+
+def repetition_stats(ds, *, text_col: str = "text", concurrency=None):
+    """documents Dataset → repetition-annotated Dataset (task pool;
+    stateless, doc-local — no shuffle)."""
+    def add(b: pa.Table) -> pa.Table:
+        return repetition_stats_batch(b, text_col)
+
+    add.__name__ = "repetition_stats"
+    return ds.map_batches(add, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=1024)
+
+
+def repetition_filter(ds, *, text_col: str = "text",
+                      max_dup_line_permille: int = REP_MAX_DUP_LINE_PERMILLE,
+                      max_dup_char_permille: int = REP_MAX_DUP_CHAR_PERMILLE,
+                      concurrency=None):
+    """Drop boilerplate/spammy documents by the Gopher repetition gates
+    (both thresholds inclusive keeps)."""
+    import pyarrow.compute as pc
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.less_equal(b["dup_line_permille"], max_dup_line_permille),
+            pc.less_equal(b["dup_char_permille"], max_dup_char_permille)))
+
+    return repetition_stats(ds, text_col=text_col,
+                            concurrency=concurrency).map_batches(
+        keep, batch_format="pyarrow")
+
+
+def repetition_oracle_sql() -> str:
+    """DuckDB equivalent of repetition_stats over the documents view
+    (line split / trim / non-empty, first-occurrence accounting and
+    integer permille all mirrored exactly)."""
+    return r"""
+        WITH raw AS (
+          SELECT doc_id,
+                 trim(unnest(string_split(text, chr(10))),
+                      ' ' || chr(9) || chr(13)) AS line
+          FROM documents
+        ), lines AS (
+          SELECT doc_id, line, length(line) AS n_ch,
+                 row_number() OVER (PARTITION BY doc_id, line
+                                    ORDER BY line) AS occ
+          FROM raw WHERE line <> ''
+        ), per AS (
+          SELECT doc_id,
+                 count(*) AS n_lines,
+                 count(DISTINCT line) AS n_distinct_lines,
+                 sum(CASE WHEN occ > 1 THEN n_ch ELSE 0 END) AS dup_chars,
+                 sum(n_ch) AS tot_chars
+          FROM lines GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+               coalesce(p.n_lines, 0) AS n_lines,
+               coalesce(p.n_distinct_lines, 0) AS n_distinct_lines,
+               coalesce(1000 * (p.n_lines - p.n_distinct_lines)
+                        // greatest(p.n_lines, 1), 0) AS dup_line_permille,
+               coalesce(1000 * p.dup_chars
+                        // greatest(p.tot_chars, 1), 0) AS dup_char_permille
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """

@@ -425,3 +425,99 @@ def repetition_oracle_sql() -> str:
                         // greatest(p.tot_chars, 1), 0) AS dup_char_permille
         FROM documents d LEFT JOIN per p USING (doc_id)
     """
+
+
+NG_TOP_THRESH_PERMILLE = {2: 200, 3: 180, 4: 160}  # Gopher table A1 gates
+
+
+def ngram_repetition_batch(batch: pa.Table, text_col: str = "text",
+                           ns: tuple = (2, 3, 4)) -> pa.Table:
+    """Per-document top-n-gram character coverage (the word-level half
+    of the Gopher repetition rules): for each n, the fraction of token
+    characters covered by the most repetition-heavy n-gram —
+    ``max over grams occurring ≥2 times of (count × gram_chars)``
+    divided by total token chars, as integer permille. Docs built from
+    one phrase stamped over and over score near 1000; natural text
+    scores near 0.
+
+    Tokens are TOKEN_RE words (same token space as QualityScore and the
+    MinHash shingles). The heavy math is vectorized: one 64-bit token
+    hash pass, sequence-sensitive rolling gram hashes (splitmix64
+    chain), rolling char sums via cumsum, lexsort run-length counting,
+    np.maximum.at per-doc reduction."""
+    import numpy as np
+
+    from moonray.util import hash_key_array, splitmix64
+
+    texts = batch[text_col].to_pylist()
+    n_docs = len(texts)
+    tok_lists = [[t.lower() for t in re.findall(TOKEN_RE, x)] for x in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = [t for toks in tok_lists for t in toks]
+    th = (hash_key_array(pa.array(flat, pa.string())) if flat
+          else np.empty(0, np.uint64))
+    lens = np.array([len(t) for t in flat], dtype=np.int64)
+    parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    tot_chars = np.bincount(parent, weights=lens,
+                            minlength=n_docs).astype(np.int64)
+    denom = np.maximum(tot_chars, 1)
+    cs = np.concatenate([[0], np.cumsum(lens)])
+
+    out = batch
+    for n in ns:
+        m = len(th) - n + 1
+        acc = np.zeros(n_docs, dtype=np.int64)
+        if m > 0:
+            g = th[:m] * np.uint64(0x9E3779B97F4A7C15)
+            for j in range(1, n):
+                g = splitmix64(g) ^ th[j:j + m]
+            gchars = (cs[n:] - cs[:-n]).astype(np.int64)
+            valid = parent[:m] == parent[n - 1:]
+            wp, wg, wc = parent[:m][valid], g[valid], gchars[valid]
+            if len(wp):
+                order = np.lexsort((wg, wp))
+                sp, sg, sc = wp[order], wg[order], wc[order]
+                run_start = np.flatnonzero(
+                    np.r_[True, (sp[1:] != sp[:-1]) | (sg[1:] != sg[:-1])])
+                run_len = np.diff(np.r_[run_start, len(sp)])
+                covered = np.where(run_len >= 2,
+                                   run_len * sc[run_start], 0)
+                np.maximum.at(acc, sp[run_start], covered)
+        out = out.append_column(f"top{n}gram_char_permille",
+                                pa.array(1000 * acc // denom))
+    return out
+
+
+def ngram_repetition_stats(ds, *, text_col: str = "text", ns=(2, 3, 4),
+                           concurrency=None):
+    """documents Dataset → top-n-gram coverage columns (task pool,
+    doc-local, no shuffle)."""
+    def add(b: pa.Table) -> pa.Table:
+        return ngram_repetition_batch(b, text_col, tuple(ns))
+
+    add.__name__ = "ngram_repetition_stats"
+    return ds.map_batches(add, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=1024)
+
+
+def ngram_repetition_filter(ds, *, text_col: str = "text",
+                            thresholds: dict | None = None,
+                            concurrency=None):
+    """Drop documents breaching ANY top-n-gram gate (defaults: Gopher's
+    0.20 / 0.18 / 0.16 for n = 2 / 3 / 4, inclusive keeps). Composes
+    with repetition_filter (line gates) for the full rule set."""
+    import pyarrow.compute as pc
+
+    th = dict(NG_TOP_THRESH_PERMILLE if thresholds is None else thresholds)
+    ns = tuple(sorted(th))
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = None
+        for n in ns:
+            part = pc.less_equal(b[f"top{n}gram_char_permille"], th[n])
+            mask = part if mask is None else pc.and_(mask, part)
+        return b.filter(mask)
+
+    return ngram_repetition_stats(ds, text_col=text_col, ns=ns,
+                                  concurrency=concurrency).map_batches(
+        keep, batch_format="pyarrow")

@@ -83,3 +83,59 @@ def test_repetition_empty_and_blank_docs():
     for r in out:
         assert r["n_lines"] == 0 and r["dup_line_permille"] == 0
         assert r["dup_char_permille"] == 0
+
+
+def _brute_topn(text: str, n: int) -> int:
+    import re as _re
+    from collections import Counter
+
+    from moonray.functions.text import TOKEN_RE
+
+    toks = [t.lower() for t in _re.findall(TOKEN_RE, text)]
+    total = sum(len(t) for t in toks)
+    grams = Counter(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    covered = max((c * sum(len(t) for t in g)
+                   for g, c in grams.items() if c >= 2), default=0)
+    return 1000 * covered // max(total, 1)
+
+
+def test_ngram_repetition_matches_bruteforce():
+    import pyarrow.parquet as pq
+
+    from moonray.functions.text import ngram_repetition_batch
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()[:120]
+    # plant heavy phrase-stamped spam + borderline repeats
+    texts += ["buy cheap pills now " * 30,
+              "alpha beta gamma " * 2 + "delta " * 5,
+              "one two one two three one two", "", "single",
+              "a b a b a b a b a b"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = ngram_repetition_batch(t)
+    for n in (2, 3, 4):
+        col = got[f"top{n}gram_char_permille"].to_pylist()
+        want = [_brute_topn(x, n) for x in texts]
+        assert col == want, f"n={n}"
+    # the planted spam must actually trip the Gopher gate (a 4-token
+    # cycle's best 2-gram covers 10/16 of the chars → 625‰, far over
+    # the 200‰ threshold)
+    from moonray.functions.text import NG_TOP_THRESH_PERMILLE
+
+    spam_idx = 120
+    assert got["top2gram_char_permille"][spam_idx].as_py() == 625
+    assert got["top2gram_char_permille"][spam_idx].as_py() \
+        > NG_TOP_THRESH_PERMILLE[2]
+
+
+def test_ngram_repetition_filter_drops_spam():
+    from moonray.functions.text import ngram_repetition_filter
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(
+                      ["free money free money free money free money",
+                       "a perfectly ordinary sentence about nothing much"],
+                      pa.string())})
+    kept = ngram_repetition_filter(rd.from_arrow(t)).to_pandas()
+    assert kept["doc_id"].tolist() == [2]

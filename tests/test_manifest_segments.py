@@ -154,3 +154,43 @@ def test_segment_cache_serves_repeat_loads(tmp_path):
     # cached entries must be safe against caller mutation
     m1["fragments"][0]["rows"] = -1
     assert t.manifest()["fragments"][0]["rows"] == 8
+
+
+def test_aborted_commit_orphan_chunks_swept(tmp_path):
+    """A crash between segment writes and the version publish leaves
+    orphan chunks; they are invisible to readers and expire_snapshots
+    sweeps them (same guarantee the staging GC gives data files)."""
+    t = _mk(str(tmp_path / "tbl"))
+    t.bulk_load(_load(160))
+    v1 = t.latest_version()
+    live = set(_seg_paths(t.root, v1)) | {
+        _raw_manifest(t.root, v1)["dv_state"]["path"]}
+    # simulate the aborted commit: chunks written, version JSON never
+    # published (commit_manifest writes segments before put_if_absent)
+    store = mf._store(t.root)
+    orphan_frags = [{"id": f"orphan-{i}", "path": f"fragments/o{i}.parquet",
+                     "rows": 8, "bytes": 1, "dv": [], "dv_count": 0,
+                     "zones": {}} for i in range(30)]
+    refs, dv_ref = mf._write_segments(store, orphan_frags)
+    orphans = {r["path"] for r in refs} - live
+    assert orphans  # the aborted commit really left new chunks
+    assert t.latest_version() == v1  # readers never see them
+    mf.expire_snapshots(t.root, keep_last=1)
+    on_disk = set(store.list("segments"))
+    assert not (orphans & on_disk)
+    assert live <= on_disk
+    assert t.scan().count() == 160
+
+
+def test_content_addressed_put_tolerates_existing(tmp_path):
+    """Two committers racing on an identical chunk: the second put hits
+    CommitConflict on the SAME content-addressed name and must treat
+    the existing bytes as its own (rebase path of concurrent appends)."""
+    t = _mk(str(tmp_path / "tbl"))
+    store = mf._store(t.root)
+    frags = [{"id": f"x-{i}", "path": f"fragments/x{i}.parquet", "rows": 1,
+              "bytes": 1, "dv": [], "dv_count": 0, "zones": {}}
+             for i in range(10)]
+    refs1, dv1 = mf._write_segments(store, frags)
+    refs2, dv2 = mf._write_segments(store, frags)  # second writer, no raise
+    assert refs1 == refs2 and dv1 == dv2

@@ -64,6 +64,36 @@ _SEG_TARGET = int(os.environ.get("MOONRAY_MANIFEST_SEGMENT_TARGET", "1024"))
 _SEG_CACHE: dict = {}
 _SEG_CACHE_MAX = 512
 
+# chunk-ref reuse: a core entry's content is a pure function of its
+# fragment id (DV state is split out before chunking, rewrites mint new
+# ids — job-uuid-prefixed — and ALTER is metadata-only), so a chunk's
+# content address is determined by its id SEQUENCE alone. Commits look
+# up (root, blake2b(ids)) here and reuse the ref without re-serializing
+# the chunk: both the bytes written AND the hashing become O(changed
+# fragments) per commit (previously bytes were O(changed) but content
+# addressing still re-serialized every chunk, ~6 µs/fragment — see the
+# manifest_bench table in BASELINE.md). A hit still stats the segment
+# object so a ref GC'd by expire_snapshots falls through to a rewrite.
+# MOONRAY_MANIFEST_PARANOID=1 (set by tests/conftest.py) re-serializes
+# every hit and asserts the address matches, enforcing the invariant.
+_CHUNK_REF_CACHE: dict = {}
+_CHUNK_REF_CACHE_MAX = 8192
+
+
+def _chunk_key(store, ids: list) -> tuple:
+    import hashlib
+
+    digest = hashlib.blake2b("\0".join(ids).encode(),
+                             digest_size=16).digest()
+    return (getattr(store, "root", ""), digest)
+
+
+def _remember_chunk(store, ids: list, ref: dict) -> None:
+    if len(_CHUNK_REF_CACHE) >= _CHUNK_REF_CACHE_MAX:
+        _CHUNK_REF_CACHE.clear()  # tiny values; wholesale reset is fine
+    _CHUNK_REF_CACHE[_chunk_key(store, ids)] = {
+        "path": ref["path"], "count": ref["count"]}
+
 
 def _seg_read(store, rel: str) -> list:
     import json
@@ -82,13 +112,14 @@ def _seg_read(store, rel: str) -> list:
     return [dict(e) for e in entries]
 
 
-def _segment_runs(frags: list) -> list[list]:
+def _segment_runs(ids: list) -> list[tuple]:
+    """Content-defined chunk bounds [(a, b), ...] over the id sequence."""
     import numpy as np
     import pyarrow as pa
 
     from moonray.util import hash_key_array
 
-    h = hash_key_array(pa.array([f["id"] for f in frags], pa.string()))
+    h = hash_key_array(pa.array(ids, pa.string()))
     cut_idx = np.flatnonzero((h % np.uint64(_SEG_TARGET)) == 0)
     cap = 4 * _SEG_TARGET  # bound pathological boundary droughts
     bounds, start = [], 0
@@ -99,16 +130,17 @@ def _segment_runs(frags: list) -> list[list]:
             start += cap
         bounds.append(end)
         start = end
-    n = len(frags)
+    n = len(ids)
     while n - start > cap:
         bounds.append(start + cap)
         start += cap
     if start < n:
         bounds.append(n)
     # loop is over boundaries (~n/TARGET), not fragments: the only
-    # O(fragments) commit-side costs left are the vectorized id hash
-    # and json-serializing the chunks for content addressing
-    return [frags[a:b] for a, b in zip([0] + bounds[:-1], bounds)]
+    # O(fragments) commit-side cost left is the vectorized id hash —
+    # chunk serialization is skipped for id-identical chunks via
+    # _CHUNK_REF_CACHE (see _write_segments)
+    return list(zip([0] + bounds[:-1], bounds))
 
 
 def _put_content_addressed(store, kind: str, obj) -> dict:
@@ -142,15 +174,36 @@ def _write_segments(store, frags: list) -> tuple[list[dict], dict]:
     byte-for-byte. DV state stays O(fragments-with-DVs) and is emptied
     every time compaction/clustering folds DVs into rewritten files."""
     dv_state = {}
-    cores = []
+    ids = []
     for f in frags:
-        core = {k: v for k, v in f.items() if k not in ("dv", "dv_count")}
         if f.get("dv") or f.get("dv_count"):
             dv_state[f["id"]] = [list(f.get("dv", [])),
                                  int(f.get("dv_count", 0))]
-        cores.append(core)
-    refs = [_put_content_addressed(store, "seg", run)
-            for run in _segment_runs(cores)]
+        ids.append(f["id"])
+
+    def cores(a: int, b: int) -> list:
+        # built lazily per cache-missed run: on a hit-everywhere commit
+        # no per-entry dict copies happen at all
+        return [{k: v for k, v in f.items() if k not in ("dv", "dv_count")}
+                for f in frags[a:b]]
+
+    paranoid = os.environ.get("MOONRAY_MANIFEST_PARANOID") == "1"
+    refs = []
+    for a, b in _segment_runs(ids):
+        key = _chunk_key(store, ids[a:b])
+        ref = _CHUNK_REF_CACHE.get(key)
+        if ref is not None and store.exists(ref["path"]):
+            if paranoid:
+                fresh = _put_content_addressed(store, "seg", cores(a, b))
+                assert fresh["path"] == ref["path"], (
+                    "chunk-ref invariant violated: an id-identical chunk "
+                    "serialized to a different content address — a core "
+                    "fragment-entry field was mutated under a kept id")
+            refs.append(dict(ref))
+            continue
+        ref = _put_content_addressed(store, "seg", cores(a, b))
+        _remember_chunk(store, ids[a:b], ref)
+        refs.append(dict(ref))
     return refs, _put_content_addressed(store, "dvs", dv_state)
 
 
@@ -164,7 +217,10 @@ def _resolve_fragments(store, seg_refs: list[dict]) -> list:
     else:
         parts = [_seg_read(store, s["path"]) for s in seg_refs]
     out: list = []
-    for p in parts:
+    for s, p in zip(seg_refs, parts):
+        # prime the chunk-ref cache so the FIRST commit after opening a
+        # table already reuses unchanged chunks without re-serializing
+        _remember_chunk(store, [e["id"] for e in p], s)
         out.extend(p)
     return out
 
@@ -225,7 +281,14 @@ def load_manifest(root: str, version: int | None = None) -> dict:
         dv_state = (_seg_read(store, m["dv_state"]["path"])
                     if m.get("dv_state") else {})
         for f in frags:
-            f["dv"], f["dv_count"] = dv_state.get(f["id"], ([], 0))
+            s = dv_state.get(f["id"])
+            if s is None:
+                # None = no DV (dv_paths_of normalizes) — avoids
+                # allocating a fresh empty list per fragment, which at
+                # 10^5+ entries is real GC pressure on every load
+                f["dv"], f["dv_count"] = None, 0
+            else:
+                f["dv"], f["dv_count"] = s
         m["fragments"] = frags
     return m
 

@@ -3,6 +3,11 @@ import os
 import pytest
 import ray
 
+# enforce the chunk-ref invariant (manifest._CHUNK_REF_CACHE: core
+# fragment entries are a pure function of fragment id) on every commit
+# made by the suite — zero production cost, full verification in tests
+os.environ.setdefault("MOONRAY_MANIFEST_PARANOID", "1")
+
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():

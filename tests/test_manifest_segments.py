@@ -194,3 +194,63 @@ def test_content_addressed_put_tolerates_existing(tmp_path):
     refs1, dv1 = mf._write_segments(store, frags)
     refs2, dv2 = mf._write_segments(store, frags)  # second writer, no raise
     assert refs1 == refs2 and dv1 == dv2
+
+
+def test_chunk_ref_cache_skips_serialization_on_append(tmp_path, monkeypatch):
+    """Unchanged chunks are reused from _CHUNK_REF_CACHE without being
+    re-serialized: commit hashing is O(changed fragments), not O(table).
+    Counts _put_content_addressed "seg" calls across an append commit —
+    only the perturbed tail chunk(s) may serialize again."""
+    monkeypatch.setenv("MOONRAY_MANIFEST_PARANOID", "0")  # count real calls
+    t = _mk(str(tmp_path / "tbl"))
+    t.bulk_load(_load(160))
+    v1 = t.latest_version()
+    n_chunks_v1 = len(_seg_paths(t.root, v1))
+    assert n_chunks_v1 >= 4  # enough chunks for reuse to be observable
+
+    calls = []
+    real_put = mf._put_content_addressed
+
+    def counting_put(store, kind, obj):
+        if kind == "seg":
+            calls.append(len(obj))
+        return real_put(store, kind, obj)
+
+    monkeypatch.setattr(mf, "_put_content_addressed", counting_put)
+    t.bulk_load(_load(8, start=160))
+    v2 = t.latest_version()
+    assert t.scan().count() == 168
+    # the prefix chunks carried over byte-for-byte AND were never
+    # re-serialized; only the tail region (bounded chunk count) was
+    reused = set(_seg_paths(t.root, v1)) & set(_seg_paths(t.root, v2))
+    assert len(reused) >= n_chunks_v1 - 2
+    assert len(calls) <= 2
+
+
+def test_chunk_ref_cache_survives_gc_and_fresh_process(tmp_path, monkeypatch):
+    """A cached ref whose segment was GC'd (expire_snapshots) falls
+    through to a rewrite — no dangling pointer; and a fresh process
+    (cache cleared = fresh driver) primes the cache from load."""
+    t = _mk(str(tmp_path / "tbl"))
+    t.bulk_load(_load(160))
+    store = mf._store(t.root)
+    # poison: a cache entry pointing at a deleted segment object
+    ids = [f["id"] for f in t.manifest()["fragments"]][:7]
+    ghost = {"path": "segments/seg-deadbeef.json", "count": 7}
+    mf._CHUNK_REF_CACHE[mf._chunk_key(store, ids)] = ghost
+    refs, _ = mf._write_segments(store, [
+        dict(f) for f in t.manifest()["fragments"]])
+    assert all(store.exists(r["path"]) for r in refs)
+    assert ghost["path"] not in {r["path"] for r in refs}
+
+    # fresh-driver path: clear both caches, load, then an append commit
+    # must still reuse the parent's chunks (cache primed at resolve)
+    mf._CHUNK_REF_CACHE.clear()
+    mf._SEG_CACHE.clear()
+    v1 = t.latest_version()
+    t2 = MoonrayTable(t.root)
+    t2.bulk_load(_load(8, start=160))
+    reused = set(_seg_paths(t.root, v1)) & set(
+        _seg_paths(t.root, t2.latest_version()))
+    assert reused
+    assert t2.scan().count() == 168

@@ -255,7 +255,7 @@ def init_table_dirs(root: str) -> None:
         # (storage.scratch_for) creates its own dirs lazily
         return
     for d in ("versions", "fragments", "dv", "index", "segments", "pins",
-              "floors", "lineage", "staging"):
+              "floors", "lineage", "staging", "jobs"):
         os.makedirs(os.path.join(root, d), exist_ok=True)
 
 
@@ -326,6 +326,21 @@ def commit_manifest(root: str, manifest: dict) -> int:
     # guarantees come from version numbers, not clocks
     manifest.setdefault("committed_at", time.time())
     store = store_for(root)
+    job_id = manifest.get("job_id")
+    if job_id:
+        # job marker BEFORE the version put: find_version_by_job resolves
+        # resume checks from one directory listing instead of reading
+        # every version JSON (O(history) reads at the head of every
+        # merge/maintenance call). Marker-first ordering means a
+        # committed version always has its marker; a marker whose
+        # version put lost the race (or crashed) is validated against
+        # the version JSON's job_id at lookup and skipped.
+        from moonray.commitstore import CommitConflict
+
+        try:
+            store.put_if_absent(_job_marker_rel(job_id, version), b"")
+        except CommitConflict:
+            pass  # same job retrying the same version number
     frags = manifest.get("fragments")
     if frags is not None and len(frags) > _SEG_INLINE_MAX:
         manifest = dict(manifest)
@@ -342,12 +357,49 @@ def commit_manifest(root: str, manifest: dict) -> int:
     return version
 
 
+def _job_marker_rel(job_id: str, version: int) -> str:
+    return os.path.join("jobs", f"{job_id}.v{version:08d}")
+
+
+def _marker_versions(markers: list[str]) -> dict:
+    """{version: marker rel} parsed from jobs/ listing entries."""
+    out = {}
+    for rel in markers:
+        tail = os.path.basename(rel).rsplit(".v", 1)
+        if len(tail) == 2 and tail[1].isdigit():
+            out[int(tail[1])] = rel
+    return out
+
+
 def find_version_by_job(root: str, job_id: str) -> int | None:
-    """Resume support: has job_id already committed a version?"""
+    """Resume support: has job_id already committed a version?
+
+    Fast path (every table committed by current code): one jobs/
+    directory listing + at most one version read per marker candidate —
+    NOT a read of every version JSON, which made the resume check at
+    the head of each merge/maintenance call O(history) store reads.
+    Versions without a marker (legacy tables, or a marker swept by a
+    concurrent expire) are covered by a scan restricted to exactly the
+    unmarked versions."""
     import json
 
     store = _store(root)
-    for v in reversed(list_versions(root)):
+    markers = store.list("jobs")
+    pref = f"{job_id}.v"
+    cands = sorted((int(os.path.basename(rel)[len(pref):])
+                    for rel in markers
+                    if os.path.basename(rel).startswith(pref)
+                    and os.path.basename(rel)[len(pref):].isdigit()),
+                   reverse=True)
+    for v in cands:
+        try:
+            m = json.loads(store.read(_vrel(v)))
+        except (FileNotFoundError, OSError):
+            continue  # marker from an attempt whose version put lost/crashed
+        if m.get("job_id") == job_id:
+            return v
+    marked = _marker_versions(markers)
+    for v in reversed([v for v in list_versions(root) if v not in marked]):
         m = json.loads(store.read(_vrel(v)))
         if m.get("job_id") == job_id:
             return v
@@ -448,6 +500,16 @@ def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
             if rel not in retained_refs and not rel.endswith((".tmp", ".meta.json")):
                 store.delete(rel)
                 removed_files.append(rel)
+    # job markers of expired versions (and of attempts whose version
+    # put never landed) — a swept marker is self-healing: its version,
+    # if retained, shows up as unmarked and the lookup's restricted
+    # scan still finds it
+    for rel in store.list("jobs"):
+        tail = os.path.basename(rel).rsplit(".v", 1)
+        v = int(tail[1]) if len(tail) == 2 and tail[1].isdigit() else None
+        if v is None or v not in keep:
+            store.delete(rel)
+            removed_files.append(rel)
     # staging/lineage GC — the WAL-truncation analogue (reference flushes
     # WAL files whose LSN ≤ the persisted LSN, src/moonlink/src/storage/
     # wal.rs:670-760): a job's staging (shuffle runs, sidecars, resume

@@ -100,7 +100,20 @@ def main(argv=None) -> int:
     tbl(sp)
     sp.add_argument("--output", required=True, help="parquet output dir")
     sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--ref", default=None, help="scan a tagged snapshot")
     sp.add_argument("--columns", default=None)
+
+    sp = sub.add_parser("tag")
+    tbl(sp)
+    sp.add_argument("name")
+    sp.add_argument("--version", type=int, default=None)
+
+    sp = sub.add_parser("untag")
+    tbl(sp)
+    sp.add_argument("name")
+
+    sp = sub.add_parser("tags")
+    tbl(sp)
 
     sp = sub.add_parser("describe")
     tbl(sp)
@@ -258,8 +271,20 @@ def main(argv=None) -> int:
         return 0
     elif args.cmd == "scan":
         cols = args.columns.split(",") if args.columns else None
-        t.scan(version=args.version, columns=cols).write_parquet(args.output)
+        t.scan(version=args.version, ref=args.ref,
+               columns=cols).write_parquet(args.output)
         print(json.dumps({"output": args.output}))
+        return 0
+    elif args.cmd == "tag":
+        v = t.tag(args.name, version=args.version)
+        print(json.dumps({"tag": args.name, "version": v}))
+        return 0
+    elif args.cmd == "untag":
+        t.untag(args.name)
+        print(json.dumps({"untagged": args.name}))
+        return 0
+    elif args.cmd == "tags":
+        print(json.dumps(t.tags()))
         return 0
     elif args.cmd == "describe":
         print(json.dumps(t.describe()))

@@ -419,6 +419,19 @@ def pinned_versions(root: str) -> set[int]:
     return {int(store.read(rel)) for rel in store.list("pins")}
 
 
+def named_tags(root: str) -> dict:
+    """{tag name: version} — the pins whose token carries the ``tag-``
+    prefix (MoonrayTable.tag). Tags ride the pin retention rule in
+    expire_snapshots unchanged."""
+    store = _store(root)
+    out = {}
+    for rel in store.list("pins"):
+        fn = os.path.basename(rel)
+        if fn.startswith("tag-"):
+            out[fn[4:]] = int(store.read(rel))
+    return out
+
+
 def set_floor(root: str, version: int, token: str) -> None:
     """Changelog floor: a CDC consumer (incremental view sync, changes()
     tailer) at offset V needs the manifest RANGE (V, head] intact, not

@@ -412,6 +412,42 @@ class MoonrayTable:
     def unpin(self, token: str) -> None:
         mf.unpin(self.root, token)
 
+    # -------- named refs (the Iceberg tag analogue: a durable
+    # name → version pointer retained across expire_snapshots; our
+    # linear version chain has no branches — tags only) --------
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a snapshot. The tag both resolves (``scan(ref=name)``,
+        ``ref_version``) and PINS its version against expiry, like an
+        Iceberg tag ref with unbounded retention."""
+        self._check_ref_name(name)
+        v = self.latest_version() if version is None else int(version)
+        self.manifest(v)  # must exist (raises otherwise)
+        mf.pin(self.root, v, f"tag-{name}")
+        return v
+
+    def untag(self, name: str) -> None:
+        self._check_ref_name(name)
+        mf.unpin(self.root, f"tag-{name}")
+
+    def tags(self) -> dict[str, int]:
+        return mf.named_tags(self.root)
+
+    def ref_version(self, name: str) -> int:
+        self._check_ref_name(name)
+        tags = mf.named_tags(self.root)
+        if name not in tags:
+            raise KeyError(f"no tag named {name!r} (have: {sorted(tags)})")
+        return tags[name]
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", name or ""):
+            raise ValueError(
+                f"invalid ref name {name!r}: use letters/digits/._- "
+                "(max 128 chars, must start alphanumeric)")
+
     # -------- reference RPC-surface parity (src/moonlink_rpc/src/lib.rs:28-39,
     # src/moonlink_backend/src/lib.rs:37-460) --------
     def scan_begin(self, lsn: int | None = None) -> tuple[int, str]:
@@ -916,7 +952,8 @@ class MoonrayTable:
              predicate_ranges: dict | None = None,
              predicate_in: dict | None = None, exact_filter: bool = False,
              with_internal: bool = False,
-             concurrency=None, as_of: float | None = None):
+             concurrency=None, as_of: float | None = None,
+             ref: str | None = None):
         """Snapshot-isolated scan → lazy Dataset.
 
         - zone-map pruning: fragments whose min/max don't overlap
@@ -939,6 +976,10 @@ class MoonrayTable:
         equality), so its semantics don't depend on exact_filter."""
         import ray.data as rd
 
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass either version= or ref=, not both")
+            version = self.ref_version(ref)
         if version is None and as_of is not None:
             version = self.version_as_of(as_of)
         m = self.manifest(version)

@@ -205,8 +205,13 @@ def test_chunk_ref_cache_skips_serialization_on_append(tmp_path, monkeypatch):
     t = _mk(str(tmp_path / "tbl"))
     t.bulk_load(_load(160))
     v1 = t.latest_version()
-    n_chunks_v1 = len(_seg_paths(t.root, v1))
-    assert n_chunks_v1 >= 4  # enough chunks for reuse to be observable
+    ids_v1 = [f["id"] for f in t.manifest(v1)["fragments"]]
+    runs_v1 = mf._segment_runs(ids_v1)
+    # chunk boundaries are content-defined over random fragment ids, so
+    # chunk counts vary run to run — the cap in _segment_runs guarantees
+    # ≥2 chunks at 20 fragments, which is all reuse needs to be visible
+    assert len(runs_v1) >= 2
+    tail_len = runs_v1[-1][1] - runs_v1[-1][0]  # only run an append perturbs
 
     calls = []
     real_put = mf._put_content_addressed
@@ -220,11 +225,17 @@ def test_chunk_ref_cache_skips_serialization_on_append(tmp_path, monkeypatch):
     t.bulk_load(_load(8, start=160))
     v2 = t.latest_version()
     assert t.scan().count() == 168
-    # the prefix chunks carried over byte-for-byte AND were never
-    # re-serialized; only the tail region (bounded chunk count) was
+    ids_v2 = [f["id"] for f in t.manifest(v2)["fragments"]]
+    n_new = len(ids_v2) - len(ids_v1)
+    # O(changed): entries re-serialized ≤ old tail run + appended ids —
+    # never O(table) (cuts land inside the changed region at random, so
+    # asserting a fixed CHUNK count would flake; entry count is exact)
+    assert sum(calls) <= tail_len + n_new
+    assert sum(calls) < len(ids_v1)
+    # every complete v1 chunk carried over byte-for-byte unserialized;
+    # only the tail run (if not cut-terminated) may be rewritten
     reused = set(_seg_paths(t.root, v1)) & set(_seg_paths(t.root, v2))
-    assert len(reused) >= n_chunks_v1 - 2
-    assert len(calls) <= 2
+    assert len(reused) >= len(runs_v1) - 1 >= 1
 
 
 def test_chunk_ref_cache_survives_gc_and_fresh_process(tmp_path, monkeypatch):

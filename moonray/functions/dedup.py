@@ -146,8 +146,11 @@ class MinHashBands:
                 out.append(np.unique(splitmix64(mixed)))
         return out
 
-    # cap the (num_perm × shingles) intermediate at ~16M u64 = 128 MiB
-    _CHUNK_ELEMS = 16_000_000
+    # cap the (num_perm × shingles) intermediate at ~1M u64 = 8 MiB: the
+    # splitmix64 passes over the matrix are memory-bound, and keeping the
+    # working set L3-resident beats a big-chunk strategy 10× (measured
+    # 1.35 s → 0.12 s for 260k shingles × 64 perms on this box)
+    _CHUNK_ELEMS = 1_000_000
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)

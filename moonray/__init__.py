@@ -19,6 +19,7 @@ SURVEY.md for the structural map) built idiomatically on Ray Data:
 """
 
 from moonray.catalog import MoonrayCatalog  # noqa: F401
+from moonray.clone import clone_table, localize_clone, release_clone  # noqa: F401
 from moonray.merge import merge_into  # noqa: F401
 from moonray.stream import StreamTransaction  # noqa: F401
 from moonray.table import MoonrayTable  # noqa: F401

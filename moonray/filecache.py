@@ -132,9 +132,30 @@ def process_cache() -> FileCache:
     return _CACHE
 
 
+EXT_PREFIX = "ext::"
+
+
+def ext_ref(src_root: str, rel: str) -> str:
+    """Externally-rooted file reference: ``ext::<root>::<rel>``. Written
+    by shallow clones (moonray.clone) into fragment/DV/index entries so
+    a clone's manifest can reference its source table's data files
+    without copying bytes. Already-external refs pass through unchanged
+    (a clone of a clone keeps pointing at wherever the bytes live)."""
+    if rel.startswith(EXT_PREFIX):
+        return rel
+    if "::" in src_root:
+        raise ValueError(f"table root may not contain '::': {src_root!r}")
+    return f"{EXT_PREFIX}{src_root}::{rel}"
+
+
 def data_path(root: str, rel: str) -> str:
     """THE read accessor: local path for ``rel`` under ``root``,
-    transparently caching remote files per worker."""
+    transparently caching remote files per worker. ``ext::<root>::<rel>``
+    refs (shallow clones) resolve against their embedded root instead —
+    recursion keeps remote-root caching intact for cloned files."""
+    if rel.startswith(EXT_PREFIX):
+        src_root, sub = rel[len(EXT_PREFIX):].split("::", 1)
+        return data_path(src_root, sub)
     if not is_remote(root):
         return os.path.join(root, rel)
     scheme = root.split("://", 1)[0]

@@ -115,6 +115,16 @@ def main(argv=None) -> int:
     sp = sub.add_parser("tags")
     tbl(sp)
 
+    sp = sub.add_parser("clone")
+    tbl(sp)
+    sp.add_argument("--dest", required=True, help="clone table root")
+    sp.add_argument("--version", type=int, default=None)
+
+    sp = sub.add_parser("localize")
+    tbl(sp)  # --table = root of the CLONE to localize
+    sp.add_argument("--release-source", default=None,
+                    help="source root whose clone pin to drop afterwards")
+
     sp = sub.add_parser("describe")
     tbl(sp)
 
@@ -285,6 +295,25 @@ def main(argv=None) -> int:
         return 0
     elif args.cmd == "tags":
         print(json.dumps(t.tags()))
+        return 0
+    elif args.cmd == "clone":
+        from moonray.clone import clone_table
+
+        c = clone_table(t, args.dest, version=args.version)
+        print(json.dumps({"clone": args.dest,
+                          "cloned_from": c.manifest()["cloned_from"]}))
+        return 0
+    elif args.cmd == "localize":
+        from moonray.clone import localize_clone, release_clone
+
+        v = localize_clone(t)
+        out = {"localized": t.root, "version": v}
+        if args.release_source:
+            from moonray.table import MoonrayTable
+
+            release_clone(MoonrayTable.open(args.release_source), t.root)
+            out["released_pin_on"] = args.release_source
+        print(json.dumps(out))
         return 0
     elif args.cmd == "describe":
         print(json.dumps(t.describe()))

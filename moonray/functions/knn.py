@@ -404,6 +404,55 @@ class IvfIndex:
             return out, self._stats(probed)
         return out
 
+    def append(self, ds, *, concurrency=None) -> dict:
+        """Incremental add: assign new rows to the FROZEN centroids and
+        land them in the existing bucket directories — no index rebuild,
+        no touch of resident rows (the Lance/FAISS IVF add_with_ids
+        shape). Crash-safe and reader-safe: rows write into a staging
+        dir first and move into the bucket dirs file-by-file
+        (os.replace — atomic on one filesystem), so a concurrent search
+        never opens a partially-written parquet file; staging left by a
+        crashed append is swept at the start of the next one. Appends
+        are SINGLE-WRITER, like every engine write path.
+
+        Distribution-drift caveat: centroids are not retrained. If the
+        appended data shifts the distribution, probe recall degrades —
+        ivf.json tracks n_rows (and n_appended since build) so a caller
+        can decide when a build_ivf_layout rebalance is due."""
+        import glob
+        import json
+        import os
+        import shutil
+        import uuid
+
+        import ray
+
+        vec_col = self.meta["vec_col"]
+        for dead in glob.glob(os.path.join(self.root, "_staging-*")):
+            shutil.rmtree(dead, ignore_errors=True)
+        stage = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:12]}")
+        n = ds.count()
+        ds.map_batches(_assign_bucket_fn(ray.put(self.cent), vec_col),
+                       batch_format="pyarrow", concurrency=concurrency
+                       ).write_parquet(stage, partition_cols=["bucket"])
+        moved = 0
+        for bdir in sorted(glob.glob(os.path.join(stage, "bucket=*"))):
+            dst = os.path.join(self.root, os.path.basename(bdir))
+            os.makedirs(dst, exist_ok=True)
+            for f in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+                os.replace(f, os.path.join(dst, os.path.basename(f)))
+                moved += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        meta = dict(self.meta)
+        meta["n_rows"] = int(meta.get("n_rows", 0)) + int(n)
+        meta["n_appended"] = int(meta.get("n_appended", 0)) + int(n)
+        tmp = os.path.join(self.root, "ivf.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.root, "ivf.json"))
+        self.meta = meta
+        return {"appended_rows": int(n), "files_moved": moved}
+
     def _stats(self, probed: list[int]) -> dict:
         import glob
         import os

@@ -141,3 +141,55 @@ def test_ann_join_exclude_self():
     got = ann_join(ds, idx, k=5, n_probe=3, exclude_self=True).to_pandas()
     assert (got["qid"] != got["nid"]).all()
     assert (got.groupby("qid")["rank"].count() == 5).all()
+
+
+def test_ivf_append_incremental():
+    """append() lands new rows in the existing bucket dirs without a
+    rebuild: appended vectors are findable, I/O pruning still holds,
+    row accounting updates, and stale staging from a crashed append is
+    swept."""
+    import glob
+    import os
+
+    from moonray.functions.knn import IvfIndex, build_ivf_layout
+    from moonray.util import scratch_root
+
+    ds, vecs = _dataset(n=1200)
+    root = scratch_root("mr-ivf-app-")
+    idx = build_ivf_layout(ds, root, n_centroids=16, seed=7)
+    n0 = idx.meta["n_rows"]
+
+    # fresh vectors near existing blobs, ids disjoint from the base set
+    rng = np.random.default_rng(11)
+    new_vecs = vecs[rng.integers(0, len(vecs), 300)] + \
+        0.05 * rng.normal(size=(300, 32))
+    new_tbl = pa.table({
+        "vec_id": pa.array(np.arange(10_000, 10_300), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in new_vecs],
+                              pa.list_(pa.float32())),
+    })
+    # plant crashed-append litter: the next append must sweep it
+    dead = os.path.join(root, "_staging-deadbeef")
+    os.makedirs(dead, exist_ok=True)
+    out = idx.append(rd.from_arrow(new_tbl))
+    assert out["appended_rows"] == 300 and out["files_moved"] >= 1
+    assert not os.path.exists(dead)
+    assert idx.meta["n_rows"] == n0 + 300
+    assert idx.meta["n_appended"] == 300
+    assert not glob.glob(os.path.join(root, "_staging-*"))
+
+    # a reopened index sees the appended rows: querying AT an appended
+    # vector must return its own id among the top hits
+    reopened = IvfIndex.open(root)
+    queries = [(int(10_000 + i), new_vecs[i]) for i in range(8)]
+    res, stats = reopened.search(queries, k=5, n_probe=4,
+                                 exclude_self=False, with_stats=True)
+    by_q = {}
+    for r in res.to_pylist():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["nid"]))
+    for qid, _ in queries:
+        hits = [nid for _, nid in sorted(by_q[qid])]
+        assert qid in hits[:2], (qid, hits)
+    # pruning still holds after append
+    assert stats["buckets_read"] < stats["buckets_total"]
+    assert stats["bytes_read"] < stats["bytes_total"]

@@ -209,6 +209,12 @@ def _q_cdc_wire(sf_dir: str):
     return cdc_wire_replication(sf_dir)
 
 
+def _q_clone_cow(sf_dir: str):
+    from moonray.pipelines.relational import clone_cow_merge
+
+    return clone_cow_merge(sf_dir)
+
+
 def _q_lookup(sf_dir: str):
     from moonray.pipelines.relational import lookup_point_reads
 
@@ -865,6 +871,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs_lsh": _q_near_dups_lsh,
         "knn_cosine_ivf_top10": _q_knn_ivf,
         "ann_join_top10": _q_ann_join,
+        # past-window but SQL-checkable locally (scripts/check_contract
+        # verifies every entry): zero-copy clone + COW merge — result
+        # equals merging into the original; source immutability asserted
+        # inside the pipeline
+        "shallow_clone_cow_merge": _q_clone_cow,
     }
 
 
@@ -1089,4 +1100,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_pairs": _NEAR_DUP_SQL,
         "knn_cosine_top10": _KNN_SQL,
         "cdc_wire_replication": _MERGE_SQL,
+        # merging into a shallow clone must equal merging into the source
+        "shallow_clone_cow_merge": _MERGE_SQL,
     }

@@ -104,6 +104,25 @@ def merge_customer(sf_dir: str, *, maintenance: str | None = None,
     return t.scan()
 
 
+def clone_cow_merge(sf_dir: str):
+    """Shallow-clone pipeline: bulk load customer → zero-copy clone →
+    MERGE the orders-derived CDC into the CLONE → scan the clone. The
+    result equals merging into the original (same MERGE oracle), while
+    the source must remain byte-identical to its bulk load — checked
+    here, not just in pytest. Exercises: ext:: fragment/index refs
+    under scan+merge, COW DV deltas, clone-local new fragments."""
+    from moonray.clone import clone_table
+    from moonray.util import scratch_root
+
+    src = build_customer_table(sf_dir)
+    src_v = src.latest_version()
+    c = clone_table(src, scratch_root("moonray-clone-"))
+    c.merge(_changes_dataset(sf_dir))
+    if src.latest_version() != src_v:
+        raise AssertionError("clone merge leaked a commit into the source")
+    return c.scan()
+
+
 def cdc_wire_replication(sf_dir: str, tx_size: int = 1000):
     """CDC-in through the file-tailing wire connector
     (moonray/sources/cdc_tail.py — the reference postgres_source.rs

@@ -151,3 +151,17 @@ def test_cli_clone_localize_roundtrip(tmp_path, capsys):
     shutil.rmtree(src.root)
     c = MoonrayTable.open(dst)
     assert len(_rows(c)) == 128
+
+
+def test_cluster_and_compact_on_clone(tmp_path):
+    """Maintenance on a clone reads ext fragments and writes local
+    replacements — the localization path piecemeal."""
+    src = _mk(str(tmp_path / "src"), n=256)
+    c = clone_table(src, str(tmp_path / "dst"))
+    expect = _rows(c)
+    c.cluster(cols=("id",))
+    assert _rows(c) == expect
+    # clustering rewrote the data locally; source files no longer needed
+    assert not any(f["path"].startswith(EXT_PREFIX)
+                   for f in c.manifest()["fragments"])
+    assert _rows(src) == expect  # source untouched

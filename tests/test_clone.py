@@ -165,3 +165,13 @@ def test_cluster_and_compact_on_clone(tmp_path):
     assert not any(f["path"].startswith(EXT_PREFIX)
                    for f in c.manifest()["fragments"])
     assert _rows(src) == expect  # source untouched
+
+
+def test_clone_at_tag(tmp_path):
+    src = _mk(str(tmp_path / "src"), n=128)
+    src.tag("golden")
+    src.merge(_changes([1], "later"))
+    c = clone_table(src, str(tmp_path / "dst"), ref="golden")
+    assert _rows(c)[1] == "v1"  # pre-merge snapshot
+    with pytest.raises(ValueError):
+        clone_table(src, str(tmp_path / "dst2"), ref="golden", version=1)

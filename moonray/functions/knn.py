@@ -453,6 +453,47 @@ class IvfIndex:
         self.meta = meta
         return {"appended_rows": int(n), "files_moved": moved}
 
+    def compact_buckets(self, *, min_files: int = 8) -> dict:
+        """Coalesce buckets fragmented by appends: any bucket directory
+        holding ≥ ``min_files`` parquet files is rewritten as one file.
+        Same safety model as append — the consolidated file lands via
+        staging + os.replace BEFORE the old files unlink, and writes are
+        single-writer (run it like engine maintenance, not concurrently
+        with appends). Distributed: one Ray task per oversized bucket;
+        a task reads only its own bucket (no shuffle)."""
+        import glob
+        import os
+        import uuid
+
+        import ray
+
+        todo = []
+        for bdir in sorted(glob.glob(os.path.join(self.root, "bucket=*"))):
+            files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+            if len(files) >= min_files:
+                todo.append((bdir, files))
+
+        @ray.remote
+        def compact_one(bdir: str, files: list) -> int:
+            import pyarrow.parquet as _pq
+
+            from moonray.util import cap_kernel_threads
+
+            cap_kernel_threads()
+            t = pa.concat_tables([_pq.read_table(f) for f in files])
+            out = os.path.join(bdir, f"compacted-{uuid.uuid4().hex[:12]}"
+                                     ".parquet")
+            tmp = out + ".tmp"
+            _pq.write_table(t, tmp)
+            os.replace(tmp, out)  # visible atomically, before unlinks
+            for f in files:
+                os.remove(f)
+            return len(files)
+
+        merged = ray.get([compact_one.remote(b, fs) for b, fs in todo])
+        return {"buckets_compacted": len(todo),
+                "files_removed": int(sum(merged)) - len(todo)}
+
     def _stats(self, probed: list[int]) -> dict:
         import glob
         import os

@@ -193,3 +193,38 @@ def test_ivf_append_incremental():
     # pruning still holds after append
     assert stats["buckets_read"] < stats["buckets_total"]
     assert stats["bytes_read"] < stats["bytes_total"]
+
+
+def test_ivf_compact_buckets_after_appends():
+    import glob
+    import os
+
+    from moonray.functions.knn import IvfIndex, build_ivf_layout
+    from moonray.util import scratch_root
+
+    ds, vecs = _dataset(n=800)
+    root = scratch_root("mr-ivf-cmp-")
+    idx = build_ivf_layout(ds, root, n_centroids=8, seed=7)
+
+    rng = np.random.default_rng(5)
+    for r in range(4):  # four appends fragment the buckets
+        nv = vecs[rng.integers(0, len(vecs), 100)]
+        idx.append(rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(20_000 + r * 100,
+                                         20_100 + r * 100), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in nv],
+                                  pa.list_(pa.float32())),
+        })))
+    queries = [(int(i), vecs[i]) for i in range(6)]
+    before = idx.search(queries, k=10, n_probe=3).to_pylist()
+    n_files_before = len(glob.glob(os.path.join(root, "bucket=*",
+                                                "*.parquet")))
+    out = idx.compact_buckets(min_files=3)
+    assert out["buckets_compacted"] >= 1 and out["files_removed"] >= 1
+    n_files_after = len(glob.glob(os.path.join(root, "bucket=*",
+                                               "*.parquet")))
+    assert n_files_after < n_files_before
+    # identical results: compaction moves bytes, never rows
+    after = idx.search(queries, k=10, n_probe=3).to_pylist()
+    key = lambda r: (r["qid"], r["rank"], r["nid"])
+    assert sorted(before, key=key) == sorted(after, key=key)

@@ -215,6 +215,12 @@ def _q_clone_cow(sf_dir: str):
     return clone_cow_merge(sf_dir)
 
 
+def _q_update_where(sf_dir: str):
+    from moonray.pipelines.relational import update_where_scan
+
+    return update_where_scan(sf_dir)
+
+
 def _q_lookup(sf_dir: str):
     from moonray.pipelines.relational import lookup_point_reads
 
@@ -876,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # equals merging into the original; source immutability asserted
         # inside the pipeline
         "shallow_clone_cow_merge": _q_clone_cow,
+        "update_where_scan": _q_update_where,
     }
 
 
@@ -1102,4 +1109,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_wire_replication": _MERGE_SQL,
         # merging into a shallow clone must equal merging into the source
         "shallow_clone_cow_merge": _MERGE_SQL,
+        "update_where_scan": """
+        SELECT c_custkey, c_name, c_nationkey,
+          CASE WHEN c_acctbal BETWEEN 1000.0 AND 5000.0
+               THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+          CASE WHEN c_acctbal BETWEEN 1000.0 AND 5000.0
+               THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        """,
     }

@@ -104,6 +104,32 @@ def merge_customer(sf_dir: str, *, maintenance: str | None = None,
     return t.scan()
 
 
+def update_where_scan(sf_dir: str, lo: float = 1000.0, hi: float = 5000.0):
+    """Predicate UPDATE: bump acctbal and rewrite the segment for every
+    customer in the balance band, then scan. Exercises
+    table.update_where (scan → set_fn → MERGE upsert) under the SQL
+    UPDATE oracle."""
+    import pyarrow.compute as pc
+
+    t = build_customer_table(sf_dir)
+
+    def pred(b):
+        return pc.and_(pc.greater_equal(b["c_acctbal"], lo),
+                       pc.less_equal(b["c_acctbal"], hi))
+
+    def set_fn(b):
+        return b.set_column(
+            b.column_names.index("c_acctbal"), "c_acctbal",
+            pc.add(b["c_acctbal"], 100.0)).set_column(
+            b.column_names.index("c_mktsegment"), "c_mktsegment",
+            pa.array(["UPDATED"] * len(b), pa.string()))
+
+    t.update_where(pred, set_fn, lsn=7,
+                   predicate_ranges={"c_acctbal": (lo, hi)},
+                   exact_ranges=True)
+    return t.scan()
+
+
 def clone_cow_merge(sf_dir: str):
     """Shallow-clone pipeline: bulk load customer → zero-copy clone →
     MERGE the orders-derived CDC into the CLONE → scan the clone. The

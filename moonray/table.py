@@ -765,6 +765,71 @@ class MoonrayTable:
         return self.merge(ds.map_batches(to_deletes, batch_format="pyarrow"),
                           job_id=job_id)
 
+    def update_where(self, predicate, set_fn, *, lsn: int,
+                     predicate_ranges=None, exact_ranges: bool = False,
+                     job_id: str | None = None) -> int:
+        """UPDATE ... SET ... WHERE — completes the DML family (append /
+        delete_where / merge). Matched rows are read once (zone-pruned
+        scan, ALL columns — the replacement row must be whole),
+        transformed by ``set_fn(batch) -> batch`` (same schema, any
+        non-key values changed), and re-enter the normal MERGE upsert
+        path: the old version is DV-deleted by key, the new row appends
+        — batch-atomic visibility, last-writer-wins, idempotent resume
+        all hold unchanged. The reference expresses updates only as CDC
+        delete+insert pairs (moonlink_sink.rs); this derives them from
+        a predicate instead of a wire stream.
+
+        Key columns MUST be unchanged by ``set_fn`` — the upsert
+        deletes by the NEW key, so a mutated key would orphan the old
+        row. Checked per batch, loud ValueError. ``predicate_ranges`` /
+        ``exact_ranges`` follow delete_where's contract (the hint must
+        cover the predicate's true region)."""
+        self._assert_writable("update_where")
+        import pyarrow.compute as pc
+
+        from moonray.identity import key_cols_of
+
+        m = self.manifest()
+        kcols = key_cols_of(m)
+        if not kcols:
+            raise ValueError("identity='none' tables are append-only; "
+                             "update_where is not allowed")
+        if m.get("identity") == "full_row":
+            raise ValueError("identity='full_row' rows have no non-key "
+                             "columns to update; use delete_where + append")
+        schema = self.schema()
+
+        def to_upserts(b: pa.Table) -> pa.Table:
+            mask = predicate(b)
+            if not isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                import numpy as np
+
+                mask = pa.array(np.asarray(mask, dtype=bool))
+            hit = b.filter(mask)
+            new = set_fn(hit)
+            if len(new) != len(hit):
+                raise ValueError("set_fn must return exactly the rows it "
+                                 f"was given ({len(hit)} in, {len(new)} out)")
+            for kc in kcols:
+                if not (len(hit) == 0
+                        or pc.all(pc.equal(new[kc], hit[kc])).as_py()):
+                    raise ValueError(
+                        f"set_fn mutated key column {kc!r}: the upsert "
+                        "deletes by the NEW key and would orphan the old "
+                        "row. Delete + insert explicitly instead.")
+            n = len(new)
+            cols = {"op": pa.array(["I"] * n, pa.string()),
+                    "lsn": pa.array([lsn] * n, pa.int64())}
+            for f in schema:
+                cols[f.name] = new[f.name].cast(f.type)
+            return pa.table(cols)
+
+        to_upserts.__name__ = "predicate_updates"
+        ds = self.scan(predicate_ranges=predicate_ranges,
+                       exact_filter=exact_ranges)
+        return self.merge(ds.map_batches(to_upserts, batch_format="pyarrow"),
+                          job_id=job_id)
+
     def delete_range(self, ranges: dict, *, lsn: int,
                      job_id: str | None = None) -> int:
         """DELETE rows inside closed per-column ranges — the safe

@@ -55,15 +55,23 @@ def clone_table(src: MoonrayTable, dst_root: str, *,
             raise ValueError("pass version or ref, not both")
         version = src.ref_version(ref)
     v = src.latest_version() if version is None else int(version)
-    m = src.manifest(v)  # raises if the version is gone
-    # pin BEFORE building the clone: a concurrent expire on src must
-    # not drop v's files between read and pin
-    mf.pin(src.root, v, _clone_token(dst_root))
+    # dst check BEFORE the pin: the pin token derives from dst_root, so
+    # pin-then-fail here would collide with (and on cleanup, destroy)
+    # the retention pin of whatever clone already lives at dst
     try:
         mf.latest_version(dst_root)
         raise ValueError(f"destination already has a table: {dst_root}")
     except FileNotFoundError:
         pass
+    # pin BEFORE reading the manifest: a concurrent expire on src must
+    # not drop v's files between read and pin; if v was already expired
+    # the load below fails and the (fresh, unshared) pin is removed
+    mf.pin(src.root, v, _clone_token(dst_root))
+    try:
+        m = src.manifest(v)
+    except BaseException:
+        mf.unpin(src.root, _clone_token(dst_root))
+        raise
 
     frags = []
     for f in m["fragments"]:

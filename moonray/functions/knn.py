@@ -431,15 +431,19 @@ class IvfIndex:
         for dead in glob.glob(os.path.join(self.root, "_staging-*")):
             shutil.rmtree(dead, ignore_errors=True)
         stage = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:12]}")
-        n = ds.count()
         ds.map_batches(_assign_bucket_fn(ray.put(self.cent), vec_col),
                        batch_format="pyarrow", concurrency=concurrency
                        ).write_parquet(stage, partition_cols=["bucket"])
-        moved = 0
+        moved, n = 0, 0
+        import pyarrow.parquet as _pq
+
         for bdir in sorted(glob.glob(os.path.join(stage, "bucket=*"))):
             dst = os.path.join(self.root, os.path.basename(bdir))
             os.makedirs(dst, exist_ok=True)
             for f in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+                # row count from the footer: a ds.count() would execute
+                # the whole upstream pipeline a second time
+                n += _pq.ParquetFile(f).metadata.num_rows
                 os.replace(f, os.path.join(dst, os.path.basename(f)))
                 moved += 1
         shutil.rmtree(stage, ignore_errors=True)

@@ -179,6 +179,16 @@ def main(argv=None) -> int:
     sp.add_argument("--lsn", type=int, required=True)
     sp.add_argument("--job-id", default=None)
 
+    sp = sub.add_parser("update-range")
+    tbl(sp)
+    sp.add_argument("--ranges-json", required=True,
+                    help='{"col": [lo, hi], ...} — update rows where every '
+                         "col is inside its closed range (conjunction)")
+    sp.add_argument("--set-json", required=True,
+                    help='{"col": constant, ...} — non-key columns only')
+    sp.add_argument("--lsn", type=int, required=True)
+    sp.add_argument("--job-id", default=None)
+
     sp = sub.add_parser("sync")
     tbl(sp)
     sp.add_argument("--into", required=True, help="destination table root")
@@ -363,6 +373,11 @@ def main(argv=None) -> int:
             raise SystemExit("delete-range: empty --ranges-json would be "
                              "an unconditional full-table delete; refuse")
         v = t.delete_range(ranges, lsn=args.lsn, job_id=args.job_id)
+    elif args.cmd == "update-range":
+        ranges = {c: (lo, hi)
+                  for c, (lo, hi) in json.loads(args.ranges_json).items()}
+        v = t.update_range(ranges, json.loads(args.set_json),
+                           lsn=args.lsn, job_id=args.job_id)
     elif args.cmd == "sync":
         from moonray.sync import sync_incremental
 

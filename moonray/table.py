@@ -830,6 +830,51 @@ class MoonrayTable:
         return self.merge(ds.map_batches(to_upserts, batch_format="pyarrow"),
                           job_id=job_id)
 
+    def update_range(self, ranges: dict, set_values: dict, *, lsn: int,
+                     job_id: str | None = None) -> int:
+        """UPDATE rows inside closed per-column ranges to constant
+        values — the safe primary form of ``update_where``: predicate
+        and pruning hint derive from one ``{col: (lo, hi)}`` spec (like
+        ``delete_range``), and ``set_values`` is a plain
+        ``{col: constant}`` dict, so the key-immutability guard is
+        checkable up front. The jobs CLI ``update-range`` wraps this."""
+        import pyarrow.compute as pc
+
+        from moonray.identity import key_cols_of
+
+        if not ranges:
+            raise ValueError("empty ranges would be an unconditional "
+                             "full-table update; refuse")
+        if not set_values:
+            raise ValueError("set_values is empty — nothing to update")
+        bad = set(set_values) & set(key_cols_of(self.manifest()))
+        if bad:
+            raise ValueError(f"set_values touches key columns {sorted(bad)}")
+        schema = self.schema()
+        missing = set(set_values) - set(schema.names)
+        if missing:
+            raise ValueError(f"unknown columns {sorted(missing)}")
+        ranges = {c: (lo, hi) for c, (lo, hi) in ranges.items()}
+
+        def pred(b, ranges=ranges):
+            mask = None
+            for c, (lo, hi) in ranges.items():
+                m = pc.and_(pc.greater_equal(b[c], lo),
+                            pc.less_equal(b[c], hi))
+                mask = m if mask is None else pc.and_(mask, m)
+            return mask
+
+        def set_fn(b, sv=dict(set_values)):
+            for c, val in sv.items():
+                f = schema.field(c)
+                b = b.set_column(b.column_names.index(c), c,
+                                 pa.array([val] * len(b), f.type))
+            return b
+
+        return self.update_where(pred, set_fn, lsn=lsn,
+                                 predicate_ranges=ranges, exact_ranges=True,
+                                 job_id=job_id)
+
     def delete_range(self, ranges: dict, *, lsn: int,
                      job_id: str | None = None) -> int:
         """DELETE rows inside closed per-column ranges — the safe

@@ -83,3 +83,29 @@ def test_update_where_rejects_key_mutation_and_row_count(tmp_path):
     with pytest.raises(Exception, match="exactly the rows"):
         t.update_where(pred, lambda b: b.slice(0, max(0, len(b) - 1)),
                        lsn=61)
+
+
+def test_update_range_and_cli(tmp_path, capsys):
+    import json
+
+    from moonray.jobs.__main__ import main
+
+    t = _mk(str(tmp_path / "t"), n=128)
+    with pytest.raises(ValueError, match="key columns"):
+        t.update_range({"score": (0.0, 5.0)}, {"id": 9}, lsn=70)
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_range({"score": (0.0, 5.0)}, {"nope": 9}, lsn=70)
+    t.update_range({"score": (10.0, 19.0)}, {"grp": "band"}, lsn=70)
+    got = _by_id(t)
+    assert all(got[i][0] == "band" for i in range(10, 20))
+    assert got[5][0] in ("a", "b")
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run("update-range", "--table", t.root,
+              "--ranges-json", '{"score": [30, 39]}',
+              "--set-json", '{"grp": "cli"}', "--lsn", "71")
+    got = _by_id(t)
+    assert all(got[i][0] == "cli" for i in range(30, 40))

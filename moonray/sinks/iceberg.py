@@ -322,6 +322,25 @@ def _dv_state(frag: dict) -> str:
     return hashlib.sha256(json.dumps(paths).encode()).hexdigest()[:12]
 
 
+def _ref_map(table, snapshots: list, current_sid: int) -> dict:
+    """Iceberg refs for an export: ``main`` plus one tag ref per
+    moonray tag whose version has an exported snapshot (moonray tags →
+    Iceberg tag refs; refreshed on every export so renames/untags
+    propagate; tags of never-exported versions are skipped). Iceberg
+    readers resolve them natively and expire_iceberg_snapshots retains
+    ref'd snapshots per spec."""
+    from moonray import manifest as _mf
+
+    refs = {"main": {"snapshot-id": current_sid, "type": "branch"}}
+    by_ver = {s["summary"].get("moonray-version"): s["snapshot-id"]
+              for s in snapshots}
+    for name, v_tag in _mf.named_tags(table.root).items():
+        sid = by_ver.get(str(v_tag))
+        if sid is not None and name != "main":
+            refs[name] = {"snapshot-id": sid, "type": "tag"}
+    return refs
+
+
 def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
     """Export the moonray snapshot at ``version`` (default latest) into
     the Iceberg v3 table at ``dest``; returns the Iceberg metadata
@@ -377,7 +396,27 @@ def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
 
     if meta is not None and not to_add and not to_remove and not dv_changed \
             and schema_id == meta["current-schema-id"]:
-        return meta["_hint_version"]
+        # no data/schema change — but tag/untag alone must still
+        # publish: refs drift gets a metadata-only rewrite (same
+        # snapshots, new refs map), else `t.tag(); export` is a no-op
+        want_refs = _ref_map(table, meta["snapshots"],
+                             meta["current-snapshot-id"])
+        if want_refs == meta.get("refs", {}):
+            return meta["_hint_version"]
+        next_v = meta["_hint_version"] + 1
+        new_meta = {k: v for k, v in meta.items() if k != "_hint_version"}
+        new_meta["refs"] = want_refs
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        mpath = os.path.join(_meta_dir(dest), f"v{next_v}.metadata.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f, indent=1)
+        os.replace(tmp, mpath)
+        tmp = _hint_path(dest) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(next_v))
+        os.replace(tmp, _hint_path(dest))
+        return next_v
 
     root = table.root
     pq_schema = _with_parquet_field_ids(schema, ice_schema["fields"])
@@ -561,6 +600,7 @@ def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
         "next-row-id": next_row_id + added_rows,
         "refs": {"main": {"snapshot-id": snap_id, "type": "branch"}},
     }
+    new_meta["refs"] = _ref_map(table, new_meta["snapshots"], snap_id)
     mpath = os.path.join(_meta_dir(dest), f"v{next_meta_v}.metadata.json")
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
@@ -599,6 +639,14 @@ def expire_iceberg_snapshots(dest: str, *, keep_last: int = 1) -> dict:
             all(s["snapshot-id"] != cur for s in kept):
         kept += [s for s in snaps if s["snapshot-id"] == cur]
     kept_ids = {s["snapshot-id"] for s in kept}
+    # spec retention: snapshots referenced by refs (tags/branches)
+    # always survive expiry
+    ref_ids = {r["snapshot-id"] for r in meta.get("refs", {}).values()}
+    for s in snaps:
+        if s["snapshot-id"] in ref_ids and s["snapshot-id"] not in kept_ids:
+            kept.append(s)
+            kept_ids.add(s["snapshot-id"])
+    kept.sort(key=lambda s: s["sequence-number"])
     dropped = [s for s in snaps if s["snapshot-id"] not in kept_ids]
     if not dropped:
         return {"dropped_snapshots": 0, "deleted_files": 0,

@@ -122,7 +122,7 @@ class IcebergDatasource(Datasource):
     decode + positional filter run inside the task (see module doc)."""
 
     def __init__(self, dest: str, columns=None, snapshot_id=None,
-                 ranges=None, metadata_location=None):
+                 ranges=None, metadata_location=None, ref=None):
         if metadata_location is not None:
             # catalog-resolved read: honor the LoadTableResult's pinned
             # metadata file (immutable) instead of the version hint —
@@ -135,6 +135,14 @@ class IcebergDatasource(Datasource):
             meta = load_table_metadata(dest)
         if meta is None:
             raise FileNotFoundError(f"no Iceberg table at {dest}")
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            refs = meta.get("refs", {})
+            if ref not in refs:
+                raise KeyError(f"no ref {ref!r} in table metadata "
+                               f"(have: {sorted(refs)})")
+            snapshot_id = refs[ref]["snapshot-id"]
         data, deletes = _replay_entries(meta, snapshot_id)
         self._dest = dest
         self._columns = list(columns) if columns is not None else None
@@ -191,7 +199,7 @@ class IcebergDatasource(Datasource):
 
 
 def read_iceberg_dataset(dest: str, *, columns=None, snapshot_id=None,
-                         ranges=None, metadata_location=None):
+                         ranges=None, metadata_location=None, ref=None):
     """Exported Iceberg table → lazy Dataset.
 
     ``columns`` prunes at the parquet read — DV subtraction is
@@ -205,9 +213,12 @@ def read_iceberg_dataset(dest: str, *, columns=None, snapshot_id=None,
     ``metadata_location`` pins an exact metadata file instead of the
     version hint — the catalog-resolved read path
     (iceberg_catalog.IcebergRestCatalog.read_dataset).
+    ``ref`` resolves a named ref from the metadata (moonray tags export
+    as Iceberg tag refs) to its snapshot — time travel by name.
     """
     import ray.data
 
     return ray.data.read_datasource(
         IcebergDatasource(dest, columns=columns, snapshot_id=snapshot_id,
-                          ranges=ranges, metadata_location=metadata_location))
+                          ranges=ranges, metadata_location=metadata_location,
+                          ref=ref))

@@ -289,3 +289,76 @@ def test_time_travel_ranges_use_snapshot_schema_ids(tmp_path):
     assert sorted(got["id"].to_pylist()) == list(range(10, 21))
     assert pc.min(got["score"]).as_py() == 10.0
     assert pc.max(got["score"]).as_py() == 20.0
+
+
+def test_tag_refs_export_read_and_expiry(tmp_path):
+    """moonray tags export as Iceberg tag refs: readable by name, kept
+    across export refresh, retained by Iceberg-side snapshot expiry,
+    and dropped from refs after untag + re-export."""
+    from moonray.sinks.iceberg import expire_iceberg_snapshots, \
+        load_table_metadata
+
+    t = _mk_with_dvs(tmp_path / "tbl")
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    t.tag("golden")  # tags the just-exported version
+
+    # table moves on; re-export picks up the tag AND the new snapshot
+    t.merge(rd.from_items(
+        [{"id": i, "name": "late", "score": 9.9, "op": "U", "lsn": 900 + i}
+         for i in range(0, 10)]))
+    export_iceberg(t, dest)
+    meta = load_table_metadata(dest)
+    assert meta["refs"]["golden"]["type"] == "tag"
+    golden_sid = meta["refs"]["golden"]["snapshot-id"]
+    assert golden_sid != meta["current-snapshot-id"]
+
+    by_ref = _df(pa.concat_tables(list(read_iceberg_dataset(
+        dest, ref="golden").iter_batches(batch_format="pyarrow"))))
+    by_sid = _df(pa.concat_tables(list(read_iceberg_dataset(
+        dest, snapshot_id=golden_sid).iter_batches(
+        batch_format="pyarrow"))))
+    assert by_ref.equals(by_sid)
+    assert "late" not in set(by_ref["name"])
+
+    # expiry keeps the tagged snapshot even with keep_last=1
+    expire_iceberg_snapshots(dest, keep_last=1)
+    meta = load_table_metadata(dest)
+    assert golden_sid in {s["snapshot-id"] for s in meta["snapshots"]}
+    still = _df(pa.concat_tables(list(read_iceberg_dataset(
+        dest, ref="golden").iter_batches(batch_format="pyarrow"))))
+    assert still.equals(by_ref)
+
+    # untag + re-export (with a real change) drops the ref
+    t.untag("golden")
+    t.merge(rd.from_items(
+        [{"id": 0, "name": "z", "score": 0.1, "op": "U", "lsn": 2000}]))
+    export_iceberg(t, dest)
+    meta = load_table_metadata(dest)
+    assert "golden" not in meta["refs"]
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        read_iceberg_dataset(dest, ref="golden")
+
+
+def test_tag_only_change_still_publishes(tmp_path):
+    """tag/untag with NO data change must still refresh refs (the
+    export early-return path gets a metadata-only rewrite)."""
+    from moonray.sinks.iceberg import load_table_metadata
+
+    t = _mk_with_dvs(tmp_path / "tbl")
+    dest = str(tmp_path / "ice")
+    v1 = export_iceberg(t, dest)
+    t.tag("rc")
+    v2 = export_iceberg(t, dest)
+    assert v2 == v1 + 1  # metadata-only bump
+    meta = load_table_metadata(dest)
+    assert meta["refs"]["rc"]["type"] == "tag"
+    assert meta["snapshots"] == load_table_metadata(dest)["snapshots"]
+    # idempotent: same tags, same data → no new metadata version
+    assert export_iceberg(t, dest) == v2
+    t.untag("rc")
+    v3 = export_iceberg(t, dest)
+    assert v3 == v2 + 1
+    assert "rc" not in load_table_metadata(dest)["refs"]

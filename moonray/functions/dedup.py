@@ -126,16 +126,24 @@ class MinHashBands:
         self.seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
 
     def _shingle_hashes_batch(self, texts: list[str], n: int = 3) -> list[np.ndarray]:
-        tok_lists = [[t.lower() for t in TOKEN_RE.findall(x)] for x in texts]
-        flat = [t for toks in tok_lists for t in toks]
-        if flat:
-            th = hash_key_array(pa.array(flat, pa.string()))
+        # tokenization vectorized (polars lowercase + extract_all, one
+        # explode) — hash VALUES are unchanged vs the per-row findall
+        # loop because the same token strings reach the same
+        # hash_key_array; only the Python-level token lists are gone
+        import polars as pl
+
+        toks = (pl.Series(texts, dtype=pl.String).str.to_lowercase()
+                .str.extract_all("[a-z0-9]+"))
+        lens = toks.list.len().cast(pl.Int64).to_numpy()
+        flat = toks.explode().drop_nulls()
+        if len(flat):
+            th = hash_key_array(flat.to_arrow().cast(pa.string()))
         else:
             th = np.empty(0, np.uint64)
         out, off = [], 0
-        for toks in tok_lists:
-            h = th[off:off + len(toks)]
-            off += len(toks)
+        for ln in lens.tolist():
+            h = th[off:off + ln]
+            off += ln
             if len(h) == 0:
                 out.append(np.zeros(1, np.uint64))
             elif len(h) < n:

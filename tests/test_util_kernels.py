@@ -61,3 +61,47 @@ def test_hash_key_array_pinned_values():
     h = hash_key_array(pa.array([0, 1, 42], pa.int64()))
     np.testing.assert_array_equal(
         h, _splitmix64_reference(np.array([0, 1, 42], dtype=np.uint64)))
+
+
+def test_minhash_shingle_hashes_match_loop_tokenizer():
+    """_shingle_hashes_batch's polars tokenization must reach hash
+    values identical to the original per-row findall loop (band hashes
+    derive from these)."""
+    import re
+
+    import pyarrow as pa
+
+    from moonray.functions.dedup import TOKEN_RE, MinHashBands
+    from moonray.util import splitmix64 as _sm
+
+    def loop_impl(mb, texts, n=3):
+        tok_lists = [[t.lower() for t in TOKEN_RE.findall(x)] for x in texts]
+        flat = [t for toks in tok_lists for t in toks]
+        th = (hash_key_array(pa.array(flat, pa.string())) if flat
+              else np.empty(0, np.uint64))
+        C1, C2, C3 = (np.uint64(0x9E3779B97F4A7C15),
+                      np.uint64(0xC2B2AE3D27D4EB4F),
+                      np.uint64(0x165667B19E3779F9))
+        out, off = [], 0
+        for toks in tok_lists:
+            h = th[off:off + len(toks)]
+            off += len(toks)
+            if len(h) == 0:
+                out.append(np.zeros(1, np.uint64))
+            elif len(h) < n:
+                out.append(_sm(np.array(
+                    [np.bitwise_xor.reduce(h * C1)], np.uint64)))
+            else:
+                mixed = (h[:-2] * C1) ^ (h[1:-1] * C2) ^ (h[2:] * C3)
+                out.append(np.unique(_sm(mixed)))
+        return out
+
+    texts = ["", "one", "two words", "The QUICK brown fox the quick",
+             "naïve café 模型 mixed 123abc tokens here and more of them",
+             "a b a b a b a b", "x" * 500 + " y z w"]
+    mb = MinHashBands("text", "doc_id", 64, 16)
+    got = mb._shingle_hashes_batch(texts)
+    want = loop_impl(mb, texts)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)

@@ -109,3 +109,47 @@ def test_update_range_and_cli(tmp_path, capsys):
               "--set-json", '{"grp": "cli"}', "--lsn", "71")
     got = _by_id(t)
     assert all(got[i][0] == "cli" for i in range(30, 40))
+
+
+# ---- model-based property test: a sequence of random range-updates
+# applied to the table and to an in-memory model must stay identical ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def upd_state(tmp_path_factory):
+    root = tmp_path_factory.mktemp("updprop") / "tbl"
+    t = MoonrayTable.create(
+        str(root), key_col="id",
+        schema=pa.schema([("id", pa.int64()), ("grp", pa.string()),
+                          ("score", pa.float64())]),
+        zone_cols=("score",), index_partitions=4, rows_per_fragment=32)
+    n = 200
+    t.bulk_load(rd.from_arrow(pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "grp": pa.array(["g"] * n),
+        "score": pa.array([float((i * 13) % 97) for i in range(n)]),
+    })))
+    model = {i: ("g", float((i * 13) % 97)) for i in range(n)}
+    return {"t": t, "model": model, "lsn": 100}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lo=st.integers(min_value=-10, max_value=110),
+       width=st.integers(min_value=0, max_value=60),
+       tag=st.sampled_from(["a", "b", "c"]),
+       bump=st.integers(min_value=-3, max_value=3))
+def test_update_range_lockstep_with_model(upd_state, lo, width, tag, bump):
+    t, model = upd_state["t"], upd_state["model"]
+    upd_state["lsn"] += 1
+    lsn = upd_state["lsn"]
+    lo_f, hi_f = float(lo), float(lo + width)
+    t.update_range({"score": (lo_f, hi_f)},
+                   {"grp": tag, "score": float(bump)}, lsn=lsn)
+    for i, (g, s) in model.items():
+        if lo_f <= s <= hi_f:
+            model[i] = (tag, float(bump))
+    assert _by_id(t) == model

@@ -513,6 +513,91 @@ def _record_scaling(out: dict) -> None:
         pass
 
 
+def run_micro() -> dict:
+    """Analogues of the reference's criterion microbench suite
+    (src/moonlink/benches/bench_write.rs:26-260,
+    microbench_index_stress.rs:9-53) on the same shapes: 3-col schema
+    (id int32 PK, name utf8, age int32), 1M-row write / streaming write
+    / streaming delete, 10M-entry index build + probe. The reference
+    publishes no absolute numbers (benchmark.md:1-19), so these record
+    OUR envelope against its harness definitions in BASELINE.md."""
+    import shutil
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moonray import MoonrayTable
+
+    _init_ray(NUM_CPUS)
+    _warmup()
+    base = "/dev/shm/mr-micro" if os.path.isdir("/dev/shm") else "/tmp/mr-micro"
+    shutil.rmtree(base, ignore_errors=True)
+    schema = pa.schema([("id", pa.int32()), ("name", pa.string()),
+                        ("age", pa.int32())])
+    out: dict = {}
+    N = 1_000_000
+
+    def rows_ds(n: int, start: int = 0) -> rd.Dataset:
+        ids = np.arange(start, start + n, dtype=np.int32)
+        return rd.from_arrow(pa.table({
+            "id": ids,
+            "name": pa.array(np.char.add("user-", ids.astype(str))),
+            "age": pa.array((ids % 90).astype(np.int32)),
+        }))
+
+    # write_1m_rows: bulk append + flush (bench_write.rs:26-107)
+    t = MoonrayTable.create(f"{base}/w", key_col="id", schema=schema,
+                            rows_per_fragment=262_144, index_partitions=16)
+    src = rows_ds(N).materialize()  # synthesis excluded, like criterion
+    t0 = time.time()
+    t.bulk_load(src)
+    out["write_1m_rows_s"] = round(time.time() - t0, 3)
+
+    # stream_write_1m_rows: one streaming xact, batched appends + commit
+    t2 = MoonrayTable.create(f"{base}/s", key_col="id", schema=schema,
+                             rows_per_fragment=262_144, index_partitions=16)
+    t0 = time.time()
+    x = t2.stream_begin("micro-xact")
+    for lo in range(0, N, 250_000):
+        x.append(rows_ds(min(250_000, N - lo), start=lo))
+    x.commit(lsn=N)
+    out["stream_write_1m_rows_s"] = round(time.time() - t0, 3)
+
+    # stream_delete_1m_rows: delete every PK in a stream xact
+    t0 = time.time()
+    x = t2.stream_begin("micro-del")
+    for lo in range(0, N, 250_000):
+        n = min(250_000, N - lo)
+        x.delete(rd.from_arrow(pa.table({
+            "id": pa.array(np.arange(lo, lo + n, dtype=np.int32))})))
+    x.commit(lsn=2 * N)
+    out["stream_delete_1m_rows_s"] = round(time.time() - t0, 3)
+    assert t2.scan().count() == 0
+
+    # build_index_10m_entries / search: the write table's GlobalIndex
+    # analogue at 10M entries, then a 1k-key probe
+    M = 10_000_000
+    t3 = MoonrayTable.create(f"{base}/i", key_col="id", schema=schema,
+                             rows_per_fragment=1_048_576,
+                             index_partitions=32)
+    src10 = rows_ds(M).materialize()
+    t0 = time.time()
+    t3.bulk_load(src10)
+    out["build_10m_rows_with_index_s"] = round(time.time() - t0, 3)
+    keys = np.random.default_rng(7).integers(0, M, 1000).tolist()
+    t0 = time.time()
+    hit = t3.lookup(keys, columns=["id", "age"])
+    out["search_1k_of_10m_entries_s"] = round(time.time() - t0, 3)
+    assert hit.num_rows == len(set(keys))
+    out["write_1m_rows_per_s"] = round(N / out["write_1m_rows_s"], 1)
+    shutil.rmtree(base, ignore_errors=True)
+    return {"metric": "microbench (reference bench_write/index_stress "
+                      "analogues)", "value": out["write_1m_rows_per_s"],
+            "unit": "rows/s", "queries": out, "num_cpus": NUM_CPUS}
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling-worker" in sys.argv:
@@ -520,6 +605,8 @@ def main() -> None:
         out = None
     elif "--scaling" in sys.argv:
         out = run_scaling()
+    elif "--micro" in sys.argv:
+        out = run_micro()
     else:
         out = run_full_bench()
     if out is not None:

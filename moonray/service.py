@@ -495,14 +495,22 @@ class MoonrayService:
                 400, f"bad ranges/in spec: {ex}") from ex
         token = None
         pin = q.get("pin", ["0"])[0] in ("1", "true")
+        if "ref" in q and ("lsn" in q or "version" in q):
+            raise ServiceError(400, "pass ref OR version/lsn, not both")
         if "lsn" in q:
             version, token = t.scan_begin(lsn=int(q["lsn"][0]))
             if not pin:
                 t.scan_end(token)
                 token = None
         else:
-            version = int(q["version"][0]) if "version" in q \
-                else t.latest_version()
+            if "ref" in q:
+                try:
+                    version = t.ref_version(q["ref"][0])
+                except KeyError as ex:
+                    raise ServiceError(404, str(ex)) from ex
+            else:
+                version = int(q["version"][0]) if "version" in q \
+                    else t.latest_version()
             if pin:
                 from moonray.util import new_job_id
 

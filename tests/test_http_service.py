@@ -409,3 +409,34 @@ def test_scanplan_bad_pruning_spec_is_400_and_leaks_no_pin(svc):
     st3, plan3 = _call("GET", f"{svc}/tables/zp2/scanplan?ranges="
                        + quote(_json.dumps({"v": [0, 3]})))
     assert st3 == 200 and plan3["fragments"]
+
+
+def test_scanplan_by_ref(svc):
+    """?ref= resolves a named tag server-side; unknown refs 404; ref
+    with version/lsn is a 400."""
+    _call("POST", f"{svc}/tables/refs1", {
+        "schema": [["id", "int64"], ["name", "string"]],
+        "key_col": "id", "rows_per_fragment": 4, "index_partitions": 2,
+    })
+    _call("POST", f"{svc}/ingest/refs1", {
+        "operation": "insert",
+        "data": [{"id": i, "name": f"n{i}"} for i in range(8)]})
+
+    from moonray.table import MoonrayTable
+
+    st, info = _call("GET", f"{svc}/tables/refs1/scanplan")
+    t = MoonrayTable.open(info["root"])
+    tagged_v = t.tag("rel")
+
+    _call("POST", f"{svc}/ingest/refs1", {
+        "operation": "insert", "data": [{"id": 100, "name": "late"}]})
+
+    st, plan = _call("GET", f"{svc}/tables/refs1/scanplan?ref=rel")
+    assert st == 200 and plan["version"] == tagged_v
+    st, cur = _call("GET", f"{svc}/tables/refs1/scanplan")
+    assert st == 200 and cur["version"] > tagged_v
+
+    st, _ = _call("GET", f"{svc}/tables/refs1/scanplan?ref=nope")
+    assert st == 404
+    st, _ = _call("GET", f"{svc}/tables/refs1/scanplan?ref=rel&version=1")
+    assert st == 400

@@ -198,3 +198,33 @@ def test_remote_warehouse_catalog(tmp_path):
     assert not cat.table_exists("docs")
     assert MockCommitStore(wh).list("docs") == []
     _shutil.rmtree(scratch_for(root), ignore_errors=True)
+
+
+def test_clone_from_remote_root(committed_table, tmp_path):
+    """A LOCAL clone of a table whose root is an object store: ext
+    refs embed the mock:// root, reads recurse through the worker file
+    cache, COW writes stay local."""
+    import ray.data as rd
+
+    from moonray.clone import clone_table
+
+    root, local = committed_table
+    remote = MoonrayTable.open("mock://" + root)
+    c = clone_table(remote, str(tmp_path / "local-clone"))
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(c.scan().take_all(), key=key) == \
+        sorted(local.scan().take_all(), key=key)
+    # COW write on the clone never touches the remote source
+    v_src = remote.latest_version()
+    c.merge(rd.from_arrow(pa.table({
+        "op": pa.array(["U"], pa.string()),
+        "lsn": pa.array([99], pa.int64()),
+        "id": pa.array([30], pa.int64()),
+        "payload": pa.array([b"cow"], pa.binary()),
+        "size": pa.array([3], pa.int32()),
+    })))
+    assert remote.latest_version() == v_src
+    got = {r["id"]: r["payload"] for r in c.scan().take_all()}
+    assert got[30] == b"cow"
+    # point lookup rides the remote index files through ext refs
+    assert c.lookup([30])["payload"][0].as_py() == b"cow"

@@ -125,6 +125,11 @@ def main(argv=None) -> int:
     sp.add_argument("--release-source", default=None,
                     help="source root whose clone pin to drop afterwards")
 
+    sp = sub.add_parser("restore")
+    tbl(sp)
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--ref", default=None, help="restore to a tagged snapshot")
+
     sp = sub.add_parser("describe")
     tbl(sp)
 
@@ -324,6 +329,14 @@ def main(argv=None) -> int:
             release_clone(MoonrayTable.open(args.release_source), t.root)
             out["released_pin_on"] = args.release_source
         print(json.dumps(out))
+        return 0
+    elif args.cmd == "restore":
+        if (args.version is None) == (args.ref is None):
+            raise SystemExit("restore: pass exactly one of --version/--ref")
+        target = (args.version if args.version is not None
+                  else t.ref_version(args.ref))
+        v = t.restore(target)
+        print(json.dumps({"restored_to": target, "version": v}))
         return 0
     elif args.cmd == "describe":
         print(json.dumps(t.describe()))

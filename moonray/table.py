@@ -902,6 +902,50 @@ class MoonrayTable:
                                  predicate_ranges=ranges, exact_ranges=True,
                                  job_id=job_id)
 
+    def restore(self, version: int, *, job_id: str | None = None) -> int:
+        """ROLLBACK to an earlier retained snapshot (Iceberg
+        rollback-to-snapshot / Delta RESTORE): commits a NEW version
+        whose logical state — fragments, DV refs, index, schema,
+        column defaults — is the old version's, byte-for-byte. History
+        stays linear and append-only: the bad commits remain time-
+        travelable until expiry, and the restored state's files are
+        re-referenced by the new head so expire_snapshots keeps them.
+        ``commit_lsn`` never goes backwards (it keeps the current
+        head's — LSN-visible reads must stay monotone). The commit op
+        is ``restore``: the changelog surfaces it as a FULL replacement
+        (delete every parent-live row, insert every restored-live row)
+        because fragment diffing would miss rows a DV-shrink
+        resurrects."""
+        self._assert_writable("restore")
+        job_id = job_id or new_job_id()
+        prev = mf.find_version_by_job(self.root, job_id)
+        if prev is not None:
+            return prev
+        cur = self.manifest()
+        old = self.manifest(version)  # raises if expired
+        if old["version"] == cur["version"]:
+            return cur["version"]
+        m = {
+            "version": cur["version"] + 1,
+            "parent": cur["version"],
+            "op": "restore",
+            "commit_lsn": cur["commit_lsn"],
+            "job_id": job_id,
+            "key_col": old["key_col"],
+            "key_cols": old.get("key_cols"),
+            "identity": old.get("identity", "keys"),
+            "zone_cols": old["zone_cols"],
+            "index": {"num_partitions": old["index"]["num_partitions"],
+                      "partitions": {p: list(v) for p, v in
+                                     old["index"]["partitions"].items()}},
+            "fragments": [dict(f) for f in old["fragments"]],
+            "rows_per_fragment": old["rows_per_fragment"],
+            "schema_ipc": old["schema_ipc"],
+            "column_defaults": dict(old.get("column_defaults", {})),
+            "stats": {"restored_from": old["version"]},
+        }
+        return mf.commit_manifest(self.root, m)
+
     def stream_begin(self, xid: str):
         """Open a streaming transaction (multi-batch xact staged outside
         the table; commit folds atomically, abort discards — reference:
@@ -1287,6 +1331,23 @@ class MoonrayTable:
             parent = self.manifest(child["parent"])
             pfr = {f["id"]: f for f in parent["fragments"]}
             cfr = {f["id"]: f for f in child["fragments"]}
+            if child.get("op") == "restore":
+                # rollback commit: full replacement — fragment diffing
+                # would miss rows that a DV SHRINK resurrects. Entries
+                # identical on both sides (same id + same DV refs)
+                # contribute nothing and are skipped.
+                same = {fid for fid, f in pfr.items()
+                        if fid in cfr
+                        and dv_paths_of(f) == dv_paths_of(cfr[fid])}
+                for fid, f in pfr.items():
+                    if fid not in same:
+                        units.append({"kind": "delete", "path": f["path"],
+                                      "dv": dv_paths_of(f), "v": v})
+                for fid, f in cfr.items():
+                    if fid not in same:
+                        units.append({"kind": "insert", "path": f["path"],
+                                      "dv": dv_paths_of(f), "v": v})
+                continue
             for fid, f in cfr.items():
                 if fid not in pfr:
                     units.append({"kind": "insert", "path": f["path"],
@@ -1323,8 +1384,10 @@ class MoonrayTable:
             for u in batch.to_pylist():
                 kind = u["kind"]
                 if kind == "insert":
-                    t = _read_fragment(root, u["path"], [], user_schema,
-                                       defaults, False)
+                    # dv is [] for born-in-step fragments; restore
+                    # inserts carry the restored state's DV refs
+                    t = _read_fragment(root, u["path"], list(u["dv"]),
+                                       user_schema, defaults, False)
                     ct = "insert"
                 elif kind == "delete":
                     # rows live at the parent (old DV filtered out)

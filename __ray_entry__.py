@@ -221,6 +221,12 @@ def _q_update_where(sf_dir: str):
     return update_where_scan(sf_dir)
 
 
+def _q_restore(sf_dir: str):
+    from moonray.pipelines.relational import restore_rollback_scan
+
+    return restore_rollback_scan(sf_dir)
+
+
 def _q_lookup(sf_dir: str):
     from moonray.pipelines.relational import lookup_point_reads
 
@@ -883,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inside the pipeline
         "shallow_clone_cow_merge": _q_clone_cow,
         "update_where_scan": _q_update_where,
+        "restore_rollback_scan": _q_restore,
     }
 
 
@@ -1117,4 +1124,6 @@ def oracle_sql() -> dict[str, str]:
                THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
         FROM customer
         """,
+        # rollback undoes the corrupting merge entirely
+        "restore_rollback_scan": _CUSTOMER_SQL,
     }

@@ -130,6 +130,35 @@ def update_where_scan(sf_dir: str, lo: float = 1000.0, hi: float = 5000.0):
     return t.scan()
 
 
+def restore_rollback_scan(sf_dir: str):
+    """Rollback pipeline: bulk load customer → tag → apply a bad merge
+    (scrambles balances, deletes a band) → restore to the tag → scan.
+    The result must equal the pristine customer table (resurrected
+    deletes included)."""
+    import pyarrow.compute as pc
+
+    t = build_customer_table(sf_dir)
+    t.tag("pre-incident")
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keep = b.select(["c_custkey", "c_name", "c_nationkey",
+                         "c_acctbal", "c_mktsegment"])
+        ck = keep["c_custkey"].to_numpy(zero_copy_only=False)
+        ops = np.where(ck % 7 < 2, "D", "U")
+        n = len(keep)
+        return (keep
+                .append_column("op", pa.array(ops.tolist(), pa.string()))
+                .append_column("lsn", pa.array([9_000_000] * n, pa.int64()))
+                .set_column(3, "c_acctbal",
+                            pc.multiply(keep["c_acctbal"], -1.0)))
+
+    t.merge(t.scan().map_batches(corrupt, batch_format="pyarrow"))
+    t.restore(t.ref_version("pre-incident"))
+    return t.scan()
+
+
 def clone_cow_merge(sf_dir: str):
     """Shallow-clone pipeline: bulk load customer → zero-copy clone →
     MERGE the orders-derived CDC into the CLONE → scan the clone. The

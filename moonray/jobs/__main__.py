@@ -133,6 +133,10 @@ def main(argv=None) -> int:
     sp = sub.add_parser("describe")
     tbl(sp)
 
+    sp = sub.add_parser("fsck")
+    tbl(sp)
+    sp.add_argument("--metadata-only", action="store_true")
+
     sp = sub.add_parser("lookup")
     tbl(sp)
     sp.add_argument("--keys-json", required=True,
@@ -341,6 +345,10 @@ def main(argv=None) -> int:
     elif args.cmd == "describe":
         print(json.dumps(t.describe()))
         return 0
+    elif args.cmd == "fsck":
+        rep = t.fsck(deep=not args.metadata_only)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 3
     elif args.cmd == "lookup":
         keys = [tuple(k) if isinstance(k, list) else k
                 for k in json.loads(args.keys_json)]

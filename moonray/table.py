@@ -346,6 +346,15 @@ class MoonrayTable:
     def versions(self) -> list[int]:
         return mf.list_versions(self.root)
 
+    def fsck(self, *, deep: bool = True, concurrency=None) -> dict:
+        """Table-integrity verification (moonray.fsck): manifest claims
+        vs file reality — missing/duplicated refs, footer row counts,
+        DV range/cardinality, zone-map containment, key nulls. Deep
+        pass is one Ray task per fragment over thin columns only."""
+        from moonray.fsck import fsck
+
+        return fsck(self, deep=deep, concurrency=concurrency)
+
     def describe(self, version: int | None = None) -> dict:
         """TableSnapshotStatus analogue (reference:
         src/moonlink/src/storage/mooncake_table/table_status.rs:5-14)."""

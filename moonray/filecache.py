@@ -148,14 +148,24 @@ def ext_ref(src_root: str, rel: str) -> str:
     return f"{EXT_PREFIX}{src_root}::{rel}"
 
 
+def split_ext_ref(rel: str) -> tuple[str, str] | None:
+    """(embedded root, sub-rel) for an ``ext::`` ref, else None — the
+    ONE decoder for the clone-ref format (data_path and fsck both
+    resolve through it)."""
+    if not rel.startswith(EXT_PREFIX):
+        return None
+    src_root, sub = rel[len(EXT_PREFIX):].split("::", 1)
+    return src_root, sub
+
+
 def data_path(root: str, rel: str) -> str:
     """THE read accessor: local path for ``rel`` under ``root``,
     transparently caching remote files per worker. ``ext::<root>::<rel>``
     refs (shallow clones) resolve against their embedded root instead —
     recursion keeps remote-root caching intact for cloned files."""
-    if rel.startswith(EXT_PREFIX):
-        src_root, sub = rel[len(EXT_PREFIX):].split("::", 1)
-        return data_path(src_root, sub)
+    ext = split_ext_ref(rel)
+    if ext is not None:
+        return data_path(*ext)
     if not is_remote(root):
         return os.path.join(root, rel)
     scheme = root.split("://", 1)[0]

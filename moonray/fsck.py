@@ -147,12 +147,12 @@ def fsck(table, *, deep: bool = True, concurrency=None) -> dict:
 
 
 def _ref_exists(store, root: str, rel: str) -> bool:
-    from moonray.filecache import EXT_PREFIX
+    from moonray.filecache import split_ext_ref
 
-    if rel.startswith(EXT_PREFIX):
+    ext = split_ext_ref(rel)
+    if ext is not None:
         # externally-rooted ref (shallow clone): check at its own root
-        src_root, sub = rel[len(EXT_PREFIX):].split("::", 1)
         from moonray.commitstore import store_for
 
-        return _ref_exists(store_for(src_root), src_root, sub)
+        return _ref_exists(store_for(ext[0]), ext[0], ext[1])
     return store.exists(rel)

@@ -28,6 +28,11 @@ from moonray.util import (as_fn, default_buckets, hash_key_array,
                           list_to_matrix, splitmix64)
 
 TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+# canonical lower-cased tokenization = lower(text) then [a-z0-9]+ runs:
+# the order every SQL oracle expresses (regexp_extract_all(lower(..)));
+# tokenize-then-lower diverges on chars whose lowercase folds into
+# ASCII (Kelvin K→k, İ→i̇) and is therefore NOT used anywhere
+_LOWER_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
 # ---------------- exact dedup ----------------
@@ -91,7 +96,11 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 # ---------------- MinHash + LSH ----------------
 
 def _shingle_set(text: str, n: int = 3) -> list[int]:
-    toks = [t.lower() for t in TOKEN_RE.findall(text)]
+    # canonical tokenization: LOWER then extract [a-z0-9]+ — the order
+    # every SQL oracle uses (regexp_extract_all(lower(text), ...)) and
+    # the only one expressible there; tokenize-then-lower diverges on
+    # characters whose lowercase folds into ASCII (e.g. Kelvin K → k)
+    toks = _LOWER_TOKEN_RE.findall(text.lower())
     if len(toks) < n:
         shingles = {" ".join(toks)} if toks else {""}
     else:
@@ -127,9 +136,10 @@ class MinHashBands:
 
     def _shingle_hashes_batch(self, texts: list[str], n: int = 3) -> list[np.ndarray]:
         # tokenization vectorized (polars lowercase + extract_all, one
-        # explode) — hash VALUES are unchanged vs the per-row findall
-        # loop because the same token strings reach the same
-        # hash_key_array; only the Python-level token lists are gone
+        # explode) — the canonical lower-then-extract order (see
+        # _LOWER_TOKEN_RE): matches every SQL oracle and _shingle_set /
+        # SimHash64, and reaches the same hash_key_array values as the
+        # serial form for the same token strings
         import polars as pl
 
         toks = (pl.Series(texts, dtype=pl.String).str.to_lowercase()
@@ -763,7 +773,7 @@ class SimHash64:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        tok_lists = [[t.lower() for t in TOKEN_RE.findall(x)] for x in texts]
+        tok_lists = [_LOWER_TOKEN_RE.findall(x.lower()) for x in texts]
         counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
         flat = [t for toks in tok_lists for t in toks]
         votes = np.zeros((len(texts), 64), dtype=np.int64)

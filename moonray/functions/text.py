@@ -43,13 +43,20 @@ def _token_stats_columns(texts: pa.ChunkedArray | pa.Array,
     exploded ONCE and language/stopword membership is a single is_in +
     bincount per language, not a Python set probe per token.
 
-    Returns (n_tokens, uniq_tokens, punct_count, token_chars, lowered
-    polars Series, scores) — scores is an (n, len(LANG_ORDER)) int64
-    occurrence-count matrix when lang_scores else just the en-stopword
-    occurrence counts. Semantics are byte-identical to the loop spec
-    (pinned by tests/test_text_vectorized.py) and to the DuckDB oracle:
-    token_chars == alnum-char count because tokens partition exactly
-    the alphanumeric characters."""
+    Returns (n_tokens_raw, n_tokens_low, uniq_tokens, punct_count,
+    token_chars, lowered polars Series, scores) — scores is an
+    (n, len(LANG_ORDER)) int64 occurrence-count matrix when lang_scores
+    else just the en-stopword occurrence counts.
+
+    TWO token counts because the SQL oracles mix streams: TextStats'
+    oracle counts tokens on the ORIGINAL text
+    (regexp_extract_all(text, '[A-Za-z0-9]+')) while QualityScore's
+    counts the LOWERED stream (len of regexp_extract_all(lower(text),
+    '[a-z0-9]+')). The two differ exactly on characters whose lowercase
+    folds into ASCII (Kelvin K → k, İ → i+U+0307) — each stage must use
+    ITS oracle's count or the driver hash-compare breaks on such
+    inputs. token_chars == alnum-char count of the original text
+    (tokens partition exactly the alphanumeric characters)."""
     import numpy as np
     import polars as pl
 
@@ -57,13 +64,14 @@ def _token_stats_columns(texts: pa.ChunkedArray | pa.Array,
         texts = texts.combine_chunks()
     s = pl.from_arrow(texts)
     low = s.str.to_lowercase()
-    n_tokens = s.str.count_matches(TOKEN_RE).cast(pl.Int64).to_numpy()
+    n_tokens_raw = s.str.count_matches(TOKEN_RE).cast(pl.Int64).to_numpy()
     punct_count = s.str.count_matches(PUNCT_RE).cast(pl.Int64).to_numpy()
     token_chars = s.str.count_matches("[A-Za-z0-9]").cast(pl.Int64).to_numpy()
     toks = low.str.extract_all("[a-z0-9]+")
+    n_tokens_low = toks.list.len().cast(pl.Int64).to_numpy()
     uniq_tokens = toks.list.n_unique().cast(pl.Int64).to_numpy()
     # empty docs: n_unique counts nothing, matches len(set()) == 0
-    uniq_tokens = np.where(n_tokens == 0, 0, uniq_tokens)
+    uniq_tokens = np.where(n_tokens_low == 0, 0, uniq_tokens)
 
     n = len(s)
     ex = pl.DataFrame({"i": pl.int_range(0, n, eager=True),
@@ -75,7 +83,8 @@ def _token_stats_columns(texts: pa.ChunkedArray | pa.Array,
         hit = ex["tok"].is_in(list(LANG_STOPWORDS[lang])).to_numpy()
         if hit.any():
             scores[:, j] = np.bincount(ii[hit], minlength=n)
-    return n_tokens, uniq_tokens, punct_count, token_chars, low, scores
+    return (n_tokens_raw, n_tokens_low, uniq_tokens, punct_count,
+            token_chars, low, scores)
 
 
 class TextStats:
@@ -88,7 +97,9 @@ class TextStats:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        (n_tokens, uniq_tokens, punct_count, token_chars, low,
+        # n_tokens on the ORIGINAL text — this stage's SQL oracle says
+        # len(regexp_extract_all(text, TOKEN_RE)); uniq/lang on lowered
+        (n_tokens, _n_low, uniq_tokens, punct_count, token_chars, low,
          scores) = _token_stats_columns(batch["text"], lang_scores=True)
         # first-strict-max over LANG_ORDER == np.argmax first-win ties
         lang_pred = np.array(LANG_ORDER)[np.argmax(scores, axis=1)]
@@ -129,7 +140,9 @@ class QualityScore:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        (n_tok, uniq, _punct, tchars, _low,
+        # n_tokens on the LOWERED stream — this stage's SQL oracle says
+        # len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        (_n_raw, n_tok, uniq, _punct, tchars, _low,
          scores) = _token_stats_columns(batch["text"], lang_scores=False)
         denom = np.maximum(n_tok, 1)
         sw_pm = 1000 * scores[:, 0] // denom
@@ -480,7 +493,9 @@ def ngram_repetition_batch(batch: pa.Table, text_col: str = "text",
 
     texts = batch[text_col].to_pylist()
     n_docs = len(texts)
-    tok_lists = [[t.lower() for t in re.findall(TOKEN_RE, x)] for x in texts]
+    # canonical lower-then-extract order (same as every SQL oracle and
+    # dedup._shingle_set; tokenize-then-lower diverges on case folds)
+    tok_lists = [re.findall(r"[a-z0-9]+", x.lower()) for x in texts]
     counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
     flat = [t for toks in tok_lists for t in toks]
     th = (hash_key_array(pa.array(flat, pa.string())) if flat

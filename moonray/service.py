@@ -508,6 +508,8 @@ class MoonrayService:
                     version = t.ref_version(q["ref"][0])
                 except KeyError as ex:
                     raise ServiceError(404, str(ex)) from ex
+                except ValueError as ex:  # malformed ref name is a 400
+                    raise ServiceError(400, str(ex)) from ex
             else:
                 version = int(q["version"][0]) if "version" in q \
                     else t.latest_version()

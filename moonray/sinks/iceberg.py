@@ -407,6 +407,13 @@ def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
         new_meta = {k: v for k, v in meta.items() if k != "_hint_version"}
         new_meta["refs"] = want_refs
         new_meta["last-updated-ms"] = int(time.time() * 1000)
+        # like every other metadata rewrite: the predecessor joins the
+        # metadata-log (history inspection must not see a gap)
+        new_meta["metadata-log"] = meta["metadata-log"] + [{
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(
+                _meta_dir(dest), f"v{meta['_hint_version']}.metadata.json"),
+        }]
         mpath = os.path.join(_meta_dir(dest), f"v{next_v}.metadata.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:

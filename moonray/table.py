@@ -456,6 +456,10 @@ class MoonrayTable:
             raise ValueError(
                 f"invalid ref name {name!r}: use letters/digits/._- "
                 "(max 128 chars, must start alphanumeric)")
+        if name == "main":
+            # Iceberg reserves 'main' for the branch head; a tag named
+            # main would be silently unexportable as an Iceberg ref
+            raise ValueError("'main' is reserved for the branch head")
 
     # -------- reference RPC-surface parity (src/moonlink_rpc/src/lib.rs:28-39,
     # src/moonlink_backend/src/lib.rs:37-460) --------

@@ -91,7 +91,7 @@ def _brute_topn(text: str, n: int) -> int:
 
     from moonray.functions.text import TOKEN_RE
 
-    toks = [t.lower() for t in _re.findall(TOKEN_RE, text)]
+    toks = _re.findall(r"[a-z0-9]+", text.lower())  # canonical order
     total = sum(len(t) for t in toks)
     grams = Counter(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
     covered = max((c * sum(len(t) for t in g)

@@ -4,6 +4,8 @@ that make SimHash useful — identical docs collide, near-identical docs
 stay within a small radius, unrelated docs sit near 32 bits apart.
 """
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
@@ -14,7 +16,7 @@ from moonray.util import hash_key_array
 
 def _reference_simhash(text: str) -> int:
     """Per-doc reference: one token at a time, explicit vote loop."""
-    toks = [t.lower() for t in TOKEN_RE.findall(text)]
+    toks = re.findall(r"[a-z0-9]+", text.lower())  # canonical order
     votes = np.zeros(64, dtype=np.int64)
     for t in toks:
         h = int(hash_key_array(pa.array([t], pa.string()))[0])

@@ -75,7 +75,9 @@ def test_minhash_shingle_hashes_match_loop_tokenizer():
     from moonray.util import splitmix64 as _sm
 
     def loop_impl(mb, texts, n=3):
-        tok_lists = [[t.lower() for t in TOKEN_RE.findall(x)] for x in texts]
+        # canonical order: lower THEN extract — pinned including on
+        # chars whose lowercase folds into ASCII (Kelvin K below)
+        tok_lists = [re.findall(r"[a-z0-9]+", x.lower()) for x in texts]
         flat = [t for toks in tok_lists for t in toks]
         th = (hash_key_array(pa.array(flat, pa.string())) if flat
               else np.empty(0, np.uint64))
@@ -98,7 +100,8 @@ def test_minhash_shingle_hashes_match_loop_tokenizer():
 
     texts = ["", "one", "two words", "The QUICK brown fox the quick",
              "naïve café 模型 mixed 123abc tokens here and more of them",
-             "a b a b a b a b", "x" * 500 + " y z w"]
+             "a b a b a b a b", "x" * 500 + " y z w",
+             "the Kthe end", "İstanbul is large"]
     mb = MinHashBands("text", "doc_id", 64, 16)
     got = mb._shingle_hashes_batch(texts)
     want = loop_impl(mb, texts)

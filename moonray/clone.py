@@ -63,14 +63,45 @@ def clone_table(src: MoonrayTable, dst_root: str, *,
         raise ValueError(f"destination already has a table: {dst_root}")
     except FileNotFoundError:
         pass
-    # pin BEFORE reading the manifest: a concurrent expire on src must
-    # not drop v's files between read and pin; if v was already expired
-    # the load below fails and the (fresh, unshared) pin is removed
-    mf.pin(src.root, v, _clone_token(dst_root))
+    # pin + GC-epoch handshake: an expire computing its retained set
+    # re-reads pins until stable (manifest.expire_snapshots), so a pin
+    # it observes is safe — the remaining race is an expire already
+    # PAST its final pin read. gc_epoch detects that: if the epoch is
+    # quiescent (begin == end) and unchanged across pin + manifest
+    # load, no such expire ran and nothing needs verification; else we
+    # wait for the expire to finish deleting and verify every file the
+    # manifest references is still present (unpin + raise if not).
+    import time as _time
+
+    token = _clone_token(dst_root)
+    epoch0 = mf.gc_epoch(src.root)
+    mf.pin(src.root, v, token)
     try:
         m = src.manifest(v)
+        epoch1 = mf.gc_epoch(src.root)
+        if epoch1 != epoch0 or epoch0[0] != epoch0[1]:
+            for _ in range(600):  # wait out the in-flight expire
+                b, e = mf.gc_epoch(src.root)
+                if b == e:
+                    break
+                _time.sleep(0.1)
+            from moonray.commitstore import store_for
+            from moonray.filecache import split_ext_ref
+
+            def gone(rel: str) -> bool:
+                ext = split_ext_ref(rel)
+                if ext is not None:
+                    return not store_for(ext[0]).exists(ext[1])
+                return not store_for(src.root).exists(rel)
+
+            missing = sorted(r for r in mf.referenced_files(m) if gone(r))
+            if missing:
+                raise FileNotFoundError(
+                    f"version {v} lost {len(missing)} files to a "
+                    f"concurrent expire_snapshots (first: {missing[0]}); "
+                    "re-run clone_table against a retained version")
     except BaseException:
-        mf.unpin(src.root, _clone_token(dst_root))
+        mf.unpin(src.root, token)
         raise
 
     frags = []

@@ -61,7 +61,11 @@ def _normalize_queries(queries):
 
 def _topk_reduce(rows, q_ids, k: int, exclude_self: bool) -> pa.Table:
     """Driver-side final reduce over per-block candidates (Q × k ×
-    n_blocks rows — tiny). rank 1-based, ordered (sim DESC, nid ASC)."""
+    n_blocks rows — tiny). rank 1-based, ordered (sim DESC, nid ASC).
+    Duplicate (qid, nid) candidates collapse to their best sim — block
+    overlap (e.g. the bounded crash window between an IVF bucket
+    compaction's publish and its original-file unlinks) must never
+    occupy two ranks."""
     out_q, out_n, out_r = [], [], []
     by_q: dict[int, list] = {}
     for r in rows:
@@ -71,8 +75,16 @@ def _topk_reduce(rows, q_ids, k: int, exclude_self: bool) -> pa.Table:
         if exclude_self:
             cands = [c for c in cands if c[1] != qid]
         cands.sort(key=lambda c: (-c[0], c[1]))
-        for rank, (_sim, nid) in enumerate(cands[:k], start=1):
+        seen: set = set()
+        rank = 0
+        for _sim, nid in cands:
+            if nid in seen:
+                continue
+            seen.add(nid)
+            rank += 1
             out_q.append(qid); out_n.append(nid); out_r.append(rank)
+            if rank == k:
+                break
     return pa.table({"qid": pa.array(out_q, pa.int64()),
                      "nid": pa.array(out_n, pa.int64()),
                      "rank": pa.array(out_r, pa.int64())})
@@ -428,6 +440,7 @@ class IvfIndex:
         import ray
 
         vec_col = self.meta["vec_col"]
+        self.recover_buckets()  # finish any crashed compaction first
         for dead in glob.glob(os.path.join(self.root, "_staging-*")):
             shutil.rmtree(dead, ignore_errors=True)
         stage = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:12]}")
@@ -457,20 +470,59 @@ class IvfIndex:
         self.meta = meta
         return {"appended_rows": int(n), "files_moved": moved}
 
+    def recover_buckets(self) -> int:
+        """Finish (or discard) compactions interrupted by a crash, by
+        replaying their journals: a ``*.folded.json`` whose compacted
+        parquet EXISTS deletes the listed originals it folded (the
+        duplicate-exposure window closes); one whose parquet never
+        published is litter and is removed. Called automatically at the
+        start of compact_buckets and append; safe to call any time the
+        single maintenance writer holds the layout. Returns the number
+        of journals replayed."""
+        import glob
+        import json
+        import os
+
+        n = 0
+        for j in glob.glob(os.path.join(self.root, "bucket=*",
+                                        "*.folded.json")):
+            bdir = os.path.dirname(j)
+            with open(j) as f:
+                plan = json.load(f)
+            if os.path.exists(os.path.join(bdir, plan["compacted"])):
+                for name in plan["folded"]:
+                    p = os.path.join(bdir, name)
+                    if os.path.exists(p):
+                        os.remove(p)
+            else:
+                tmp = os.path.join(bdir, plan["compacted"] + ".tmp")
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+            os.remove(j)
+            n += 1
+        return n
+
     def compact_buckets(self, *, min_files: int = 8) -> dict:
         """Coalesce buckets fragmented by appends: any bucket directory
         holding ≥ ``min_files`` parquet files is rewritten as one file.
-        Same safety model as append — the consolidated file lands via
-        staging + os.replace BEFORE the old files unlink, and writes are
-        single-writer (run it like engine maintenance, not concurrently
-        with appends). Distributed: one Ray task per oversized bucket;
-        a task reads only its own bucket (no shuffle)."""
+
+        Crash protocol (single maintenance writer, like engine
+        maintenance): per bucket, 1) write the consolidated parquet as
+        ``.tmp``; 2) durably journal ``{compacted, folded}`` as
+        ``compacted-X.folded.json``; 3) publish via os.replace;
+        4) delete the folded originals; 5) remove the journal. A crash
+        in 1-2 leaves invisible litter; in 3-5 it leaves DUPLICATE rows
+        visible until ``recover_buckets`` (run automatically at the
+        next compact/append) replays the journal — and search results
+        stay correct even in that window because every top-k reduce
+        dedups (qid, nid) candidates."""
         import glob
         import os
         import uuid
 
         import ray
 
+        self.recover_buckets()
         todo = []
         for bdir in sorted(glob.glob(os.path.join(self.root, "bucket=*"))):
             files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
@@ -479,19 +531,29 @@ class IvfIndex:
 
         @ray.remote
         def compact_one(bdir: str, files: list) -> int:
+            import json as _json
             import pyarrow.parquet as _pq
 
             from moonray.util import cap_kernel_threads
 
             cap_kernel_threads()
             t = pa.concat_tables([_pq.read_table(f) for f in files])
-            out = os.path.join(bdir, f"compacted-{uuid.uuid4().hex[:12]}"
-                                     ".parquet")
-            tmp = out + ".tmp"
-            _pq.write_table(t, tmp)
-            os.replace(tmp, out)  # visible atomically, before unlinks
+            name = f"compacted-{uuid.uuid4().hex[:12]}.parquet"
+            out = os.path.join(bdir, name)
+            _pq.write_table(t, out + ".tmp")
+            jpath = os.path.join(bdir, name.replace(".parquet",
+                                                    ".folded.json"))
+            with open(jpath + ".tmp", "w") as f:
+                _json.dump({"compacted": name,
+                            "folded": [os.path.basename(x) for x in files]},
+                           f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(jpath + ".tmp", jpath)   # journal BEFORE publish
+            os.replace(out + ".tmp", out)       # publish
             for f in files:
                 os.remove(f)
+            os.remove(jpath)
             return len(files)
 
         merged = ray.get([compact_one.remote(b, fs) for b, fs in todo])
@@ -643,7 +705,16 @@ def ann_join(left_ds, index: "IvfIndex", *, k: int = 10, n_probe: int = 4,
                              "rank": pa.array([], pa.int64())})
         idx = pc.sort_indices(grp, sort_keys=[("sim", "descending"),
                                               ("nid", "ascending")])
-        grp = grp.take(idx[:k])
+        grp = grp.take(idx)
+        # first occurrence per nid only (best sim after the sort):
+        # duplicate candidates from overlapping layout files must not
+        # occupy two ranks (see _topk_reduce)
+        nids = grp["nid"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(nids, return_index=True)
+        mask = np.zeros(len(nids), dtype=bool)
+        mask[first] = True
+        sel = np.flatnonzero(mask)[:k]
+        grp = grp.take(pa.array(sel))
         return pa.table({"qid": grp["qid"], "nid": grp["nid"],
                          "rank": pa.array(np.arange(1, len(grp) + 1))})
 

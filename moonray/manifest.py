@@ -474,6 +474,23 @@ def referenced_files(manifest: dict) -> set[str]:
     return refs
 
 
+def gc_epoch(root: str) -> tuple[int, int]:
+    """(begin, end) GC-epoch counters: expire_snapshots bumps ``begin``
+    before computing its retained set and ``end`` after its last
+    delete. A reader that observes begin == end with the same values
+    before and after taking a pin knows no expire ran concurrently —
+    the handshake clone_table uses to make pin-then-read race-free."""
+    store = _store(root)
+
+    def rd(name: str) -> int:
+        try:
+            return int(store.read_pointer(os.path.join("gc", name)))
+        except FileNotFoundError:
+            return 0
+
+    return rd("begin"), rd("end")
+
+
 def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
     """True snapshot expiry (the reference has no distinct operator — it
     removes replaced files at each Iceberg commit, see
@@ -482,21 +499,35 @@ def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
 
     Retains: the newest ``keep_last`` versions, every pinned version,
     and ``keep_versions``. Deletes older manifest files and any data/DV/
-    index file not referenced by a retained manifest."""
+    index file not referenced by a retained manifest.
+
+    Concurrent-pin safety: the pin set is re-read after the retained
+    set is computed and the computation restarts if it changed (a pin
+    that lands mid-compute — e.g. clone_table on another driver — must
+    retain its version), bracketed by the gc_epoch counters so pinners
+    can detect an expire that was already past its final pin read."""
     import json
 
     store = _store(root)
+    epoch = gc_epoch(root)[0] + 1
+    store.set_pointer(os.path.join("gc", "begin"), str(epoch))
     versions = list_versions(root)
     cur = latest_version(root)
-    keep = set(versions[-keep_last:]) | {cur} | set(keep_versions) | pinned_versions(root)
-    floors = floor_versions(root)
-    if floors:
-        lo = min(floors)
-        keep |= {v for v in versions if v >= lo}
-    keep = {v for v in keep if v in versions}
-    retained_refs: set[str] = set()
-    for v in keep:
-        retained_refs |= referenced_files(load_manifest(root, v))
+    pins = pinned_versions(root)
+    while True:
+        keep = set(versions[-keep_last:]) | {cur} | set(keep_versions) | pins
+        floors = floor_versions(root)
+        if floors:
+            lo = min(floors)
+            keep |= {v for v in versions if v >= lo}
+        keep = {v for v in keep if v in versions}
+        retained_refs: set[str] = set()
+        for v in keep:
+            retained_refs |= referenced_files(load_manifest(root, v))
+        now = pinned_versions(root)
+        if now == pins:
+            break
+        pins = now  # a pin landed mid-compute; recompute with it
     removed_manifests, removed_files = [], []
     committed_jobs: set[str] = set()
     expired_jobs: set[str] = set()
@@ -544,6 +575,7 @@ def expire_snapshots(root: str, keep_last: int = 2, keep_versions=()) -> dict:
         for fn in os.listdir(lineage):
             if fn.endswith(".jsonl") and fn[:-6] in expired_jobs:
                 os.remove(os.path.join(lineage, fn))
+    store.set_pointer(os.path.join("gc", "end"), str(epoch))
     return {
         "kept_versions": sorted(keep),
         "removed_versions": removed_manifests,

@@ -175,3 +175,60 @@ def test_clone_at_tag(tmp_path):
     assert _rows(c)[1] == "v1"  # pre-merge snapshot
     with pytest.raises(ValueError):
         clone_table(src, str(tmp_path / "dst2"), ref="golden", version=1)
+
+
+def test_clone_expire_race_detected_via_gc_epoch(tmp_path):
+    """The pin-vs-expire race: if an expire was already past its final
+    pin read when the clone pinned, the GC epoch moved and clone_table
+    verifies the files — detecting loss instead of committing dangling
+    ext refs. Simulated by expiring + deleting BETWEEN epoch read and
+    pin (the worst interleaving)."""
+    from moonray import manifest as mf
+    from moonray.clone import _clone_token
+
+    src = _mk(str(tmp_path / "src"))
+    v = src.latest_version()
+    src.merge(_changes(list(range(0, 300, 3)), "newer"))
+    src.optimize("full")
+
+    # worst interleaving, hand-driven: read epoch (quiescent), then an
+    # expire runs to completion (it never sees the pin), THEN pin+load
+    epoch0 = mf.gc_epoch(src.root)
+    src.expire_snapshots(keep_last=1)  # deletes v's manifest AND files
+    with pytest.raises((FileNotFoundError, KeyError, Exception)):
+        clone_table(src, str(tmp_path / "dst"), version=v)
+    # the failed clone left no pin behind
+    import os
+
+    assert not os.path.exists(os.path.join(
+        src.root, "pins", _clone_token(str(tmp_path / "dst"))))
+    # epoch advanced, so a clone that DID span the window would verify
+    assert mf.gc_epoch(src.root) > epoch0
+
+
+def test_expire_recomputes_when_pin_lands_mid_compute(tmp_path, monkeypatch):
+    """A pin landing between expire's pin read and its delete phase is
+    honored: the retained-set loop re-reads pins and restarts."""
+    from moonray import manifest as mf
+
+    src = _mk(str(tmp_path / "src"))
+    v = src.latest_version()
+    src.merge(_changes(list(range(0, 300, 3)), "newer"))
+    src.optimize("full")
+
+    real = mf.referenced_files
+    fired = {"done": False}
+
+    def inject(manifest):
+        # first call = mid-compute; land a pin exactly there
+        if not fired["done"]:
+            fired["done"] = True
+            mf.pin(src.root, v, "late-pin")
+        return real(manifest)
+
+    monkeypatch.setattr(mf, "referenced_files", inject)
+    src.expire_snapshots(keep_last=1)
+    monkeypatch.setattr(mf, "referenced_files", real)
+    # v survived: manifest retained and all its files readable
+    assert v in src.versions()
+    assert src.scan(version=v).count() == 300

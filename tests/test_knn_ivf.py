@@ -228,3 +228,52 @@ def test_ivf_compact_buckets_after_appends():
     after = idx.search(queries, k=10, n_probe=3).to_pylist()
     key = lambda r: (r["qid"], r["rank"], r["nid"])
     assert sorted(before, key=key) == sorted(after, key=key)
+
+
+def test_compact_crash_window_recovers_and_results_stay_correct():
+    """Simulate a crash between a compaction's publish and its
+    original-file unlinks: duplicates are visible but (a) search
+    results are identical (dup-tolerant reduces), and (b) the next
+    append/compact replays the journal and removes the duplicates."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from moonray.functions.knn import build_ivf_layout
+    from moonray.util import scratch_root
+
+    ds, vecs = _dataset(n=600)
+    root = scratch_root("mr-ivf-crash-")
+    idx = build_ivf_layout(ds, root, n_centroids=8, seed=7)
+    queries = [(int(i), vecs[i]) for i in range(6)]
+    before = idx.search(queries, k=10, n_probe=3).to_pylist()
+
+    # hand-craft the crash state in one bucket: a consolidated copy of
+    # the bucket's files PLUS the originals PLUS the journal
+    bdir = sorted(glob.glob(os.path.join(root, "bucket=*")))[0]
+    files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+    import pyarrow.parquet as pq
+
+    merged = pa.concat_tables([pq.read_table(f) for f in files])
+    name = "compacted-deadbeef.parquet"
+    pq.write_table(merged, os.path.join(bdir, name))
+    with open(os.path.join(bdir, name.replace(".parquet",
+                                              ".folded.json")), "w") as f:
+        json.dump({"compacted": name,
+                   "folded": [os.path.basename(x) for x in files]}, f)
+
+    # (a) duplicates visible, results unchanged
+    during = idx.search(queries, k=10, n_probe=3).to_pylist()
+    key = lambda r: (r["qid"], r["rank"], r["nid"])
+    assert sorted(during, key=key) == sorted(before, key=key)
+
+    # (b) recovery replays the journal: originals gone, journal gone
+    assert idx.recover_buckets() == 1
+    left = {os.path.basename(p)
+            for p in glob.glob(os.path.join(bdir, "*.parquet"))}
+    assert name in left
+    assert not (left & {os.path.basename(x) for x in files})
+    assert not glob.glob(os.path.join(bdir, "*.folded.json"))
+    after = idx.search(queries, k=10, n_probe=3).to_pylist()
+    assert sorted(after, key=key) == sorted(before, key=key)

@@ -219,6 +219,21 @@ class MoonrayCatalog:
             self._reg.delete(name)
             raise
 
+    def register_table(self, name: str, root: str) -> MoonrayTable:
+        """Register an EXISTING table root under a catalog name (e.g. a
+        shallow clone or an imported table) — the catalog analogue of
+        Iceberg registerTable. Raises if the root holds no table."""
+        t = MoonrayTable.open(root)  # must exist
+        m = t.manifest()
+        self._reg.insert(name, {
+            "root": root,
+            "key_col": m.get("key_col"),
+            "key_cols": m.get("key_cols"),
+            "identity": m.get("identity", "keys"),
+            "config": {},
+        })
+        return t
+
     def set_table_meta(self, name: str, key: str, value) -> None:
         """Attach a JSON-serializable metadata entry to a registered
         table (e.g. a Kafka topic's Avro schema) — the analogue of the
@@ -251,8 +266,20 @@ class MoonrayCatalog:
     def drop_table(self, name: str) -> None:
         """Registry removal FIRST (the table disappears atomically),
         then best-effort data deletion — mirroring the reference's
-        DropTable event ordering."""
+        DropTable event ordering. Dropping a shallow CLONE releases its
+        retention pin on the source (best-effort), so the source's
+        expire_snapshots stops keeping files for a table that no
+        longer exists."""
         entry = self._reg.delete(name)
+        try:
+            from moonray import manifest as mf
+            from moonray.clone import release_clone_at
+
+            src = mf.load_manifest(entry["root"]).get("cloned_from")
+            if src:
+                release_clone_at(src["root"], entry["root"])
+        except Exception:
+            pass  # best-effort: a missing/cold source must not block drop
         if self._remote:
             from moonray.commitstore import store_for
             from moonray.storage import scratch_for

@@ -142,8 +142,14 @@ def release_clone(src: MoonrayTable, dst_root: str) -> None:
     """Drop the source-version pin held for the clone at ``dst_root``.
     Call when the clone is deleted or fully localized — after this, a
     source ``expire_snapshots`` may delete files the clone still
-    references."""
-    mf.unpin(src.root, _clone_token(dst_root))
+    references. Idempotent (unpin of a missing pin is a no-op)."""
+    release_clone_at(src.root, dst_root)
+
+
+def release_clone_at(src_root: str, dst_root: str) -> None:
+    """release_clone by roots — used by catalog drop_table, which knows
+    only the ``cloned_from`` record."""
+    mf.unpin(src_root, _clone_token(dst_root))
 
 
 def localize_clone(clone: MoonrayTable) -> int:

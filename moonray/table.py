@@ -617,6 +617,10 @@ class MoonrayTable:
                 "stats": {"new_fragments": len(new_frags),
                           "replaced_fragments": len(replaced_frag_ids),
                           "dv_updates": len(dv_updates or {})},
+                # clone lineage survives every commit: drop_table needs
+                # it to release the source retention pin
+                **({"cloned_from": parent["cloned_from"]}
+                   if "cloned_from" in parent else {}),
             }
 
         rebase_safe = (op == "append" and not replaced_frag_ids
@@ -956,6 +960,8 @@ class MoonrayTable:
             "schema_ipc": old["schema_ipc"],
             "column_defaults": dict(old.get("column_defaults", {})),
             "stats": {"restored_from": old["version"]},
+            **({"cloned_from": cur["cloned_from"]}
+               if "cloned_from" in cur else {}),
         }
         return mf.commit_manifest(self.root, m)
 

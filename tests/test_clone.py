@@ -232,3 +232,23 @@ def test_expire_recomputes_when_pin_lands_mid_compute(tmp_path, monkeypatch):
     # v survived: manifest retained and all its files readable
     assert v in src.versions()
     assert src.scan(version=v).count() == 300
+
+
+def test_catalog_drop_releases_clone_pin(tmp_path):
+    """Dropping a registered clone releases its source pin — including
+    after further commits on the clone (cloned_from survives commits)."""
+    import os
+
+    from moonray.catalog import MoonrayCatalog
+    from moonray.clone import _clone_token
+
+    src = _mk(str(tmp_path / "src"), n=128)
+    cat = MoonrayCatalog(str(tmp_path / "cat"))
+    c = clone_table(src, str(tmp_path / "cat" / "c1"))
+    cat.register_table("c1", c.root)
+    c.merge(_changes([1], "x"))           # lineage must survive commits
+    assert "cloned_from" in c.manifest()
+    pin = os.path.join(src.root, "pins", _clone_token(c.root))
+    assert os.path.exists(pin)
+    cat.drop_table("c1")
+    assert not os.path.exists(pin)

@@ -323,15 +323,18 @@ def main(argv=None) -> int:
                           "cloned_from": c.manifest()["cloned_from"]}))
         return 0
     elif args.cmd == "localize":
-        from moonray.clone import localize_clone, release_clone
+        from moonray.clone import localize_clone, release_clone_at
 
         v = localize_clone(t)
         out = {"localized": t.root, "version": v}
-        if args.release_source:
-            from moonray.table import MoonrayTable
-
-            release_clone(MoonrayTable.open(args.release_source), t.root)
-            out["released_pin_on"] = args.release_source
+        # source root from the flag, else from the clone's own lineage
+        # (cloned_from survives commits) — a localized clone should not
+        # leave a retention pin behind by default
+        src_root = args.release_source or \
+            t.manifest().get("cloned_from", {}).get("root")
+        if src_root:
+            release_clone_at(src_root, t.root)
+            out["released_pin_on"] = src_root
         print(json.dumps(out))
         return 0
     elif args.cmd == "restore":

@@ -227,6 +227,17 @@ def _q_restore(sf_dir: str):
     return restore_rollback_scan(sf_dir)
 
 
+def _q_agg_view(sf_dir: str):
+    """Incremental aggregate-view maintenance: build a per-nation
+    (count, sum, min, max of acctbal cents) view of customer, MERGE the
+    CDC round into the SOURCE, then sync the view through the changelog
+    only — O(changed groups), never a source rescan (min/max deletes
+    rescan only their affected groups via predicate_in pruning)."""
+    from moonray.pipelines.relational import aggregate_view_scan
+
+    return aggregate_view_scan(sf_dir)
+
+
 def _q_lookup(sf_dir: str):
     from moonray.pipelines.relational import lookup_point_reads
 
@@ -890,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shallow_clone_cow_merge": _q_clone_cow,
         "update_where_scan": _q_update_where,
         "restore_rollback_scan": _q_restore,
+        "incremental_agg_view": _q_agg_view,
     }
 
 
@@ -1126,4 +1138,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rollback undoes the corrupting merge entirely
         "restore_rollback_scan": _CUSTOMER_SQL,
+        # the incrementally-maintained aggregate view must equal a full
+        # recompute over the post-merge source state
+        "incremental_agg_view": """
+        SELECT c_nationkey, count(*) AS cnt,
+               CAST(sum(cents) AS BIGINT) AS bal_cents,
+               min(cents) AS bal_min, max(cents) AS bal_max
+        FROM (SELECT c_nationkey,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+              FROM (""" + _MERGE_SQL + """))
+        GROUP BY c_nationkey
+        """,
     }

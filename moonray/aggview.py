@@ -1,0 +1,473 @@
+"""Incremental aggregate-view maintenance: materialized GROUP BY views
+kept in sync through the changelog in O(changed rows) per round.
+
+Extends the table→table composition in ``sync.py`` (CDC-out feeding
+CDC-in, the reference's pg_replicate → moonlink_sink shape) from
+row-level views to *aggregate* views: the destination is a MoonrayTable
+keyed on the group columns whose rows are running aggregates of the
+source. Each sync round reads only ``src.changes(last, cur)``, never
+rescans the source, and merges one row per *changed group* — the
+incremental-view-maintenance story a warehouse runs as a triggered MV
+refresh, expressed over the engine's own changelog.
+
+Aggregate algebra per round (classic IVM):
+
+- ``count`` / ``sum`` are self-maintainable under insert AND delete:
+  each change contributes a signed delta (+1/-1, +x/-x); deltas fold
+  per group inside ``map_batches`` (Arrow ``group_by`` combiner), then
+  one thin Ray groupby nets them globally. The merged row is
+  ``stored + delta``; a group whose count reaches 0 is deleted from
+  the view.
+- ``min`` / ``max`` are self-maintainable under inserts (the extreme
+  can only improve) but NOT under deletes: when a deleted value ties
+  the stored extreme the true new extreme is unknown without data (the
+  extreme's multiplicity isn't stored). Those groups — and only those —
+  are recomputed by a *rescan of the affected groups*:
+  ``src.scan(cur, predicate_in={group: affected})`` zone/row-group
+  prunes to fragments that can contain them, so the rescan reads
+  O(affected groups' data), not the table. Derived (transform-made)
+  group columns can't prune the scan — only physical group columns
+  feed ``predicate_in``; exact membership is filtered after.
+
+Scale contract: every shuffle carries thin rows (group key + partial
+aggregates). Per-round driver-side state is the folded delta table and
+the point-lookup of stored group rows — both O(changed groups), the
+same order as the MERGE planner's own driver state. The affected-group
+rescan is the only data-proportional step and is bounded by the groups
+whose stored extreme was deleted that round.
+
+Exactly-once: the last-synced source version is a durable pointer in
+the destination root and each round's MERGE runs under a job_id derived
+from the (last, cur] window — a crash between merge-commit and
+pointer-advance replays into the idempotent-merge path (the job marker
+short-circuits before the recomputed — now stale — delta values could
+apply). A changelog floor pinned on the source (``manifest.set_floor``)
+keeps the needed manifests across routine snapshot expiry.
+
+Float sums are accepted but order-dependent across partials; for
+bit-exact parity with a SQL oracle aggregate fixed-point integers (the
+engine's cents convention) derived via ``transform=``. Integer sums
+use int64 arithmetic end-to-end (no float round-trip).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KINDS = ("count", "sum", "min", "max")
+
+
+def _plan(aggs: dict):
+    """Validate {out_col: (kind, src_col|None)} → [(out, kind, col)]."""
+    plan = []
+    for out, (kind, col) in aggs.items():
+        if kind not in _KINDS:
+            raise ValueError(f"unsupported aggregate kind {kind!r} "
+                             f"(supported: {_KINDS})")
+        if kind == "count":
+            plan.append((out, "count", None))
+        elif col is None:
+            raise ValueError(f"{kind} aggregate {out!r} needs a source column")
+        else:
+            plan.append((out, kind, col))
+    if not any(k == "count" for _o, k, _c in plan):
+        raise ValueError("aggs must include a ('count', None) column — "
+                         "group liveness (count reaching 0) drives row "
+                         "deletion from the view")
+    return plan
+
+
+def _pointer_name(state_key: str) -> str:
+    import os
+
+    return os.path.join("aggview", state_key)
+
+
+def _floor_token(dst_root: str, state_key: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256(f"{dst_root}|{state_key}".encode()).hexdigest()[:16]
+    return f"aggview-{h}"
+
+
+def _probe_types(src, transform) -> dict:
+    """Dtypes of transform-derived columns from an empty batch — keeps
+    the view schema a pure function of the spec."""
+    if transform is None:
+        return {}
+    probed = transform(src.schema().empty_table())
+    return {f.name: f.type for f in probed.schema}
+
+
+def _col_type(name: str, src_schema: pa.Schema, derived: dict):
+    if name in derived:
+        return derived[name]
+    return src_schema.field(name).type
+
+
+def _out_schema(group_cols, plan, src_schema: pa.Schema,
+                derived: dict) -> pa.Schema:
+    fields = [pa.field(g, _col_type(g, src_schema, derived))
+              for g in group_cols]
+    for out, kind, col in plan:
+        if kind == "count":
+            typ = pa.int64()
+        else:
+            typ = _col_type(col, src_schema, derived)
+            if kind == "sum":
+                # SQL sum() widens: integer sums are int64, float
+                # sums float64 — also the overflow-safe running type
+                typ = pa.int64() if pa.types.is_integer(typ) \
+                    else pa.float64()
+        fields.append(pa.field(out, typ))
+    return pa.schema(fields)
+
+
+def _read_columns(group_cols, plan, src_schema, transform,
+                  transform_columns):
+    """Columns to prune the scan/changelog read to. With a transform we
+    can't know its inputs — the caller narrows via transform_columns."""
+    if transform is not None:
+        if transform_columns is None:
+            return None  # transform inputs unknown: read everything
+        cols = list(transform_columns)
+    else:
+        cols = []
+    names = set(src_schema.names)
+    for c in list(group_cols) + [c for _o, _k, c in plan if c]:
+        if c in names and c not in cols:
+            cols.append(c)
+    return cols
+
+
+def _partial_kernel(group_cols, plan, transform, *, signed: bool):
+    """Per-batch combiner: thin (group, partial-agg) rows via one Arrow
+    group_by. ``signed`` reads change_type and emits ±deltas for
+    count/sum plus separate inserted/deleted extremes for min/max;
+    unsigned is the initial-build / rescan shape."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if transform is not None:
+            b = transform(b)
+        cols: dict = {g: b[g] for g in group_cols}
+        specs = []
+        sign = None
+        if signed:
+            ins = pc.equal(b["change_type"], "insert").combine_chunks()
+            sign = np.where(ins.to_numpy(zero_copy_only=False), 1, -1)
+        for out, kind, col in plan:
+            if kind == "count":
+                cols[f"_p_{out}"] = pa.array(
+                    sign if signed else np.ones(len(b), np.int64),
+                    pa.int64())
+                specs.append((f"_p_{out}", "sum"))
+            elif kind == "sum":
+                v = b[col].combine_chunks()
+                arr = v.to_numpy(zero_copy_only=False)
+                valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+                if pa.types.is_floating(v.type):
+                    arr = np.where(valid, np.asarray(arr, np.float64), 0.0)
+                else:
+                    arr = np.where(valid, arr, 0).astype(np.int64)
+                cols[f"_p_{out}"] = pa.array(
+                    arr * sign if signed else arr)
+                specs.append((f"_p_{out}", "sum"))
+            elif signed:
+                # min/max under CDC: inserted extremes can only improve
+                # the stored extreme; deleted extremes only *invalidate*
+                # it (rescan detection). Nulls mask the other side out —
+                # Arrow min/max skip them.
+                ins_mask = pa.array(sign > 0)
+                nulls = pa.nulls(len(b), b[col].type)
+                cols[f"_pi_{out}"] = pc.if_else(ins_mask, b[col], nulls)
+                cols[f"_pd_{out}"] = pc.if_else(ins_mask, nulls, b[col])
+                specs.append((f"_pi_{out}", kind))
+                specs.append((f"_pd_{out}", kind))
+            else:
+                cols[f"_p_{out}"] = b[col]
+                specs.append((f"_p_{out}", kind))
+        t = pa.table(cols)
+        g = t.group_by(group_cols, use_threads=False).aggregate(specs)
+        ren = {f"{name}_{fn}": name for name, fn in specs}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
+
+    partial.__name__ = "aggview_partial"
+    return partial
+
+
+def _fold(ds, group_cols, plan, *, signed: bool):
+    """Global net of the per-batch partials: one thin Ray groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    aggs = []
+    for out, kind, _c in plan:
+        if kind in ("count", "sum"):
+            aggs.append(Sum(f"_p_{out}", alias_name=f"_p_{out}"))
+        else:
+            cls = Min if kind == "min" else Max
+            if signed:
+                aggs.append(cls(f"_pi_{out}", alias_name=f"_pi_{out}"))
+                aggs.append(cls(f"_pd_{out}", alias_name=f"_pd_{out}"))
+            else:
+                aggs.append(cls(f"_p_{out}", alias_name=f"_p_{out}"))
+    return ds.groupby(list(group_cols)).aggregate(*aggs)
+
+
+def _collect(ds) -> pa.Table | None:
+    tbls = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536)]
+    return pa.concat_tables(tbls, promote_options="permissive") \
+        if tbls else None
+
+
+def _cast_deltas(deltas: pa.Table, group_cols, plan, src_schema,
+                 derived) -> pa.Table:
+    """Pin the folded delta table's dtypes: an all-null Min/Max partial
+    comes back null-typed (join-incompatible), and Sum may widen."""
+    want: dict = {g: _col_type(g, src_schema, derived) for g in group_cols}
+    for out, kind, col in plan:
+        if kind == "count":
+            want[f"_p_{out}"] = pa.int64()
+        elif kind == "sum":
+            t = _col_type(col, src_schema, derived)
+            want[f"_p_{out}"] = (pa.int64() if pa.types.is_integer(t)
+                                 else pa.float64())
+        else:
+            t = _col_type(col, src_schema, derived)
+            want[f"_pi_{out}"] = t
+            want[f"_pd_{out}"] = t
+            want[f"_p_{out}"] = t  # unsigned (rescan/build) shape
+    return pa.table({c: deltas[c].cast(want[c]) if c in want else deltas[c]
+                     for c in deltas.column_names})
+
+
+def _full_aggregate(src, version, group_cols, plan, transform, derived,
+                    transform_columns, *, predicate_in=None):
+    """Distributed full (re)aggregation at a pinned version → folded
+    thin Dataset with the final out-column names and dtypes."""
+    cols = _read_columns(group_cols, plan, src.schema(), transform,
+                         transform_columns)
+    ds = src.scan(version, columns=cols, predicate_in=predicate_in)
+    folded = _fold(ds.map_batches(
+        _partial_kernel(group_cols, plan, transform, signed=False),
+        batch_format="pyarrow"), group_cols, plan, signed=False)
+    schema = _out_schema(group_cols, plan, src.schema(), derived)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        out = {g: b[g].cast(schema.field(g).type) for g in group_cols}
+        for outc, _k, _c in plan:
+            out[outc] = b[f"_p_{outc}"].cast(schema.field(outc).type)
+        return pa.table(out)
+
+    finalize.__name__ = "aggview_finalize"
+    return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+def build_aggregate_view(src, root: str, *, group_cols, aggs: dict,
+                         transform=None, transform_columns=None,
+                         state_key: str = "agg",
+                         index_partitions: int = 16,
+                         rows_per_fragment: int | None = None):
+    """Create the view table at ``root`` (keyed on ``group_cols``),
+    full-build it from a pinned snapshot of ``src``, and set the sync
+    pointer so the first ``sync_aggregate`` continues from exactly that
+    version.
+
+    ``aggs``: {out_col: (kind, src_col|None)}, kinds count/sum/min/max;
+    a count column is mandatory (it drives group-death deletes).
+    ``transform(batch) -> batch`` derives extra columns (fixed-point
+    cents, day-bucketed timestamps, ...) before aggregation; it is
+    applied identically to the initial scan, every changelog round, and
+    affected-group rescans. ``transform_columns`` names the source
+    columns the transform reads so scans stay column-pruned."""
+    from moonray import manifest as mf
+    from moonray.commitstore import store_for
+    from moonray.table import MoonrayTable
+
+    plan = _plan(aggs)
+    derived = _probe_types(src, transform)
+    cur = src.latest_version()
+    # floor BEFORE reading so concurrent expiry can't drop (cur, ...]
+    mf.set_floor(src.root, cur, _floor_token(root, state_key))
+    schema = _out_schema(group_cols, plan, src.schema(), derived)
+    kw: dict = {"index_partitions": index_partitions}
+    if rows_per_fragment:
+        kw["rows_per_fragment"] = rows_per_fragment
+    if len(group_cols) > 1:
+        kw["key_cols"] = list(group_cols)
+    else:
+        kw["key_col"] = group_cols[0]
+    dst = MoonrayTable.create(root, schema=schema, **kw)
+    dst.bulk_load(_full_aggregate(src, cur, group_cols, plan, transform,
+                                  derived, transform_columns))
+    store_for(dst.root).set_pointer(_pointer_name(state_key), str(cur))
+    return dst
+
+
+def sync_aggregate(src, dst, *, group_cols, aggs: dict, transform=None,
+                   transform_columns=None, state_key: str = "agg",
+                   stats: dict | None = None) -> int:
+    """Apply source commits in (last_synced, src.latest] to the
+    aggregate view and advance the pointer. Returns dst's new version.
+    ``stats`` (optional dict) is filled with round observability:
+    ``changed_groups``, ``rescanned_groups``, ``deleted_groups``."""
+    import pyarrow.compute as pc
+
+    from moonray import manifest as mf
+    from moonray.commitstore import store_for
+
+    plan = _plan(aggs)
+    derived = _probe_types(src, transform)
+    group_cols = list(group_cols)
+    store = store_for(dst.root)
+    try:
+        last = int(store.read_pointer(_pointer_name(state_key)))
+    except FileNotFoundError:
+        raise RuntimeError(
+            "aggregate view has no sync pointer — create it with "
+            "build_aggregate_view (a full build at a pinned version)")
+    cur = src.latest_version()
+    mf.set_floor(src.root, last, _floor_token(dst.root, state_key))
+    if cur <= last:
+        return dst.latest_version()
+
+    try:
+        deltas = _collect(_fold(
+            src.changes(last, cur).map_batches(
+                _partial_kernel(group_cols, plan, transform, signed=True),
+                batch_format="pyarrow"),
+            group_cols, plan, signed=True))
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"aggregate sync (state_key={state_key!r}) needs source "
+            f"manifests ({last}, {cur}] but at least one is expired: {e}. "
+            "Resync required: rebuild the view with build_aggregate_view."
+        ) from e
+    if deltas is not None:
+        deltas = _cast_deltas(deltas, group_cols, plan, src.schema(),
+                              derived)
+    if deltas is None or len(deltas) == 0:
+        store.set_pointer(_pointer_name(state_key), str(cur))
+        mf.set_floor(src.root, cur, _floor_token(dst.root, state_key))
+        return dst.latest_version()
+
+    # stored rows for exactly the changed groups — index-served point
+    # reads, O(changed groups)
+    keycols = [deltas[g] for g in group_cols]
+    keys = (keycols[0].to_pylist() if len(group_cols) == 1
+            else list(zip(*[c.to_pylist() for c in keycols])))
+    stored = dst.lookup(keys)
+    schema = dst.schema()
+    stored = stored.rename_columns(
+        [c if c in group_cols else f"_s_{c}" for c in stored.column_names])
+    j = deltas.join(stored, keys=group_cols, join_type="left outer")
+
+    cnt_out = next(o for o, k, _c in plan if k == "count")
+    exists = pc.is_valid(j[f"_s_{cnt_out}"]).to_numpy(zero_copy_only=False)
+    old_cnt = np.where(exists, pc.fill_null(j[f"_s_{cnt_out}"], 0)
+                       .to_numpy(zero_copy_only=False), 0).astype(np.int64)
+    new_cnt = old_cnt + np.asarray(
+        pc.fill_null(j[f"_p_{cnt_out}"], 0)
+        .to_numpy(zero_copy_only=False), np.int64)
+    if (new_cnt < 0).any():
+        raise RuntimeError("aggregate view out of sync: a group's count "
+                           "went negative (was the view built from a "
+                           "different source or spec?)")
+    dead = new_cnt == 0
+    rescan_mask = np.zeros(len(j), dtype=bool)
+
+    new_cols: dict = {g: j[g] for g in group_cols}
+    for out, kind, _c in plan:
+        typ = schema.field(out).type
+        if kind == "count":
+            new_cols[out] = pa.array(new_cnt, typ)
+        elif kind == "sum":
+            s = pc.fill_null(j[f"_s_{out}"], 0)
+            p = pc.fill_null(j[f"_p_{out}"], 0)
+            if pa.types.is_integer(typ):
+                new = (np.asarray(s.to_numpy(zero_copy_only=False), np.int64)
+                       + np.asarray(p.to_numpy(zero_copy_only=False),
+                                    np.int64))
+            else:
+                new = (np.asarray(s.to_numpy(zero_copy_only=False),
+                                  np.float64)
+                       + np.asarray(p.to_numpy(zero_copy_only=False),
+                                    np.float64))
+            new_cols[out] = pa.array(new).cast(typ)
+        else:
+            s = j[f"_s_{out}"]
+            ins = j[f"_pi_{out}"]
+            dele = j[f"_pd_{out}"]
+            # the stored extreme survives unless a deleted value TIES it
+            # (live rows were all >= min / <= max, so a tie is the only
+            # way the extreme can leave; multiplicity unknown → rescan)
+            cmp = pc.less_equal if kind == "min" else pc.greater_equal
+            tie = pc.fill_null(cmp(dele, s), False)
+            tie = tie.combine_chunks().to_numpy(zero_copy_only=False)
+            rescan_mask |= np.asarray(tie, bool) & exists & ~dead
+            best = (pc.min_element_wise if kind == "min"
+                    else pc.max_element_wise)
+            new_cols[out] = best(s, ins).cast(typ)  # arrow skips nulls
+
+    # net-zero groups that never existed (insert+delete inside one
+    # window) are a no-op, not a delete of a missing key
+    keep = ~(dead & ~exists)
+    ops_tbl = pa.table({
+        "op": pa.array(np.where(dead, "D", "I"), pa.string()),
+        "lsn": pa.array(np.full(len(j), cur, np.int64()), pa.int64()),
+        **{f.name: new_cols[f.name].cast(f.type) for f in schema},
+    }).filter(pa.array(keep))
+
+    n_rescan = int(rescan_mask.sum())
+    if n_rescan:
+        # exact extremes for groups whose stored extreme was deleted:
+        # recompute ONLY those groups at the target version. predicate_in
+        # prunes fragments/row-groups by containment on PHYSICAL group
+        # columns (derived ones can't prune); exact membership is
+        # re-filtered against the affected set below.
+        affected = pa.table(
+            {g: j[g].filter(pa.array(rescan_mask)) for g in group_cols})
+        phys = set(src.schema().names)
+        pin = {g: affected[g].to_pylist() for g in group_cols
+               if g in phys} or None
+        exact = _collect(_full_aggregate(
+            src, cur, group_cols, plan, transform, derived,
+            transform_columns, predicate_in=pin))
+        if exact is not None and len(exact):
+            want = set(zip(*[affected[g].to_pylist() for g in group_cols]))
+            got = list(zip(*[exact[g].to_pylist() for g in group_cols]))
+            exact = exact.filter(pa.array([k in want for k in got]))
+            exact = exact.rename_columns(
+                [c if c in group_cols else f"_x_{c}"
+                 for c in exact.column_names])
+            exact = exact.append_column("_x__hit",
+                                        pa.array([True] * len(exact)))
+            ops_tbl = ops_tbl.join(exact, keys=group_cols,
+                                   join_type="left outer")
+            # hit-marker, NOT coalesce: a recomputed extreme that is
+            # legitimately NULL (all remaining values null) must replace
+            # the stale merged value
+            hit = pc.fill_null(ops_tbl["_x__hit"], False)
+            fixed = {
+                out: pc.if_else(
+                    hit, ops_tbl[f"_x_{out}"].cast(schema.field(out).type),
+                    ops_tbl[out])
+                for out, kind, _c in plan if kind in ("min", "max")}
+            ops_tbl = pa.table({
+                c: fixed.get(c, ops_tbl[c])
+                for c in ["op", "lsn", *[f.name for f in schema]]})
+
+    import ray.data as rd
+
+    v = dst.merge(rd.from_arrow(ops_tbl),
+                  job_id=f"aggsync-{state_key}-{last}-{cur}")
+    store.set_pointer(_pointer_name(state_key), str(cur))
+    mf.set_floor(src.root, cur, _floor_token(dst.root, state_key))
+    if stats is not None:
+        stats["changed_groups"] = len(j)
+        stats["rescanned_groups"] = n_rescan
+        stats["deleted_groups"] = int(dead.sum())
+    return v

@@ -130,6 +130,37 @@ def update_where_scan(sf_dir: str, lo: float = 1000.0, hi: float = 5000.0):
     return t.scan()
 
 
+def aggregate_view_scan(sf_dir: str):
+    """Incremental aggregate-view maintenance end-to-end: full-build a
+    per-nation (count, sum/min/max of half-up acctbal cents) view of
+    customer at the loaded version, MERGE the orders-derived CDC round
+    into the SOURCE, then sync_aggregate the view through the changelog
+    — one merged row per changed group; min/max deletes rescan only
+    affected nations (predicate_in pruning). Returns the view scan,
+    which must equal a full recompute over post-merge customer."""
+    import pyarrow.compute as pc
+
+    from moonray.aggview import build_aggregate_view, sync_aggregate
+    from moonray.util import scratch_root
+
+    src = build_customer_table(sf_dir)
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            b["c_acctbal"], 100.0), 0.5)), pa.int64())
+        return b.append_column("acctbal_cents", c)
+
+    aggs = {"cnt": ("count", None), "bal_cents": ("sum", "acctbal_cents"),
+            "bal_min": ("min", "acctbal_cents"),
+            "bal_max": ("max", "acctbal_cents")}
+    kw = dict(group_cols=["c_nationkey"], aggs=aggs, transform=cents,
+              transform_columns=["c_acctbal"])
+    dst = build_aggregate_view(src, scratch_root("moonray-aggview-"), **kw)
+    src.merge(_changes_dataset(sf_dir))
+    sync_aggregate(src, dst, **kw)
+    return dst.scan()
+
+
 def restore_rollback_scan(sf_dir: str):
     """Rollback pipeline: bulk load customer → tag → apply a bad merge
     (scrambles balances, deletes a band) → restore to the tag → scan.

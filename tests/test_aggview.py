@@ -1,0 +1,279 @@
+"""Incremental aggregate-view maintenance (moonray/aggview.py).
+
+Oracle: full recompute of the aggregate from the source's current scan
+(pandas groupby) after every sync round — the view must match it
+value-for-value while only ever reading the changelog + affected-group
+rescans. Covers count/sum/min/max algebra under insert/update/delete,
+group death, the tie-triggered extreme rescan (and its absence), null
+handling, composite and transform-derived group columns, and
+crash-replay idempotence via the windowed merge job_id."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from moonray.aggview import build_aggregate_view, sync_aggregate
+from moonray.table import MoonrayTable
+
+AGGS = {"cnt": ("count", None), "sum_x": ("sum", "x"),
+        "min_x": ("min", "x"), "max_x": ("max", "x")}
+
+
+def _mk_src(root, rows):
+    schema = pa.schema([("id", pa.int64()), ("g", pa.int64()),
+                        ("x", pa.int64())])
+    t = MoonrayTable.create(root, key_col="id", schema=schema,
+                            zone_cols=("g",), rows_per_fragment=32,
+                            index_partitions=4)
+    ids, gs, xs = zip(*rows)
+    t.bulk_load(rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()), "g": pa.array(gs, pa.int64()),
+        "x": pa.array(xs, pa.int64())})))
+    return t
+
+
+def _merge(t, ops, lsn):
+    """ops: list of (op, id, g, x)."""
+    o, i, g, x = zip(*ops)
+    t.merge(rd.from_arrow(pa.table({
+        "op": pa.array(o, pa.string()),
+        "lsn": pa.array([lsn] * len(o), pa.int64()),
+        "id": pa.array(i, pa.int64()),
+        "g": pa.array(list(g), pa.int64()),
+        "x": pa.array(list(x), pa.int64()),
+    })), job_id=f"chg-{lsn}")
+
+
+def _oracle(src) -> pd.DataFrame:
+    df = pa.concat_tables(src.scan().iter_batches(
+        batch_format="pyarrow", batch_size=8192)).to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=["g", "cnt", "sum_x", "min_x", "max_x"])
+    out = df.groupby("g").agg(
+        cnt=("x", "size"), sum_x=("x", "sum"),
+        min_x=("x", "min"), max_x=("x", "max")).reset_index()
+    return out.sort_values("g", ignore_index=True)
+
+
+def _view_df(dst) -> pd.DataFrame:
+    tbls = list(dst.scan().iter_batches(batch_format="pyarrow",
+                                        batch_size=8192))
+    if not tbls:
+        return pd.DataFrame(columns=["g", "cnt", "sum_x", "min_x", "max_x"])
+    df = pa.concat_tables(tbls).to_pandas()
+    return df[["g", "cnt", "sum_x", "min_x", "max_x"]] \
+        .sort_values("g", ignore_index=True)
+
+
+def _check(src, dst):
+    got, want = _view_df(dst), _oracle(src)
+    pd.testing.assert_frame_equal(
+        got.astype({"cnt": "int64", "sum_x": "int64"}),
+        want.astype({"cnt": "int64", "sum_x": "int64"}))
+
+
+def test_count_sum_minmax_rounds(tmp_path):
+    src = _mk_src(str(tmp_path / "src"),
+                  [(i, i % 3, 10 * i) for i in range(30)])
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS)
+    _check(src, dst)
+
+    # round 1: inserts into existing + a brand-new group
+    _merge(src, [("I", 100, 0, 5), ("I", 101, 7, 1), ("I", 102, 7, 2)],
+           lsn=1)
+    stats = {}
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS, stats=stats)
+    _check(src, dst)
+    assert stats["rescanned_groups"] == 0  # inserts never rescan
+
+    # round 2: update (D+I shape through merge) + delete a non-extreme
+    _merge(src, [("U", 100, 0, 7), ("D", 4, 0, 0)], lsn=2)
+    stats = {}
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS, stats=stats)
+    _check(src, dst)
+
+
+def test_extreme_delete_triggers_rescan_only_then(tmp_path):
+    src = _mk_src(str(tmp_path / "src"),
+                  [(1, 0, 5), (2, 0, 9), (3, 0, 14), (4, 1, 3)])
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS)
+
+    # delete group 0's min row (x=5): stored min must be recomputed
+    _merge(src, [("D", 1, 0, 0)], lsn=1)
+    stats = {}
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS, stats=stats)
+    assert stats["rescanned_groups"] == 1
+    _check(src, dst)
+
+    # delete a middle row (x=9 is now between 9..14? x=9 IS the new min)
+    # → use group with non-extreme member: add rows first
+    _merge(src, [("I", 10, 1, 1), ("I", 11, 1, 8)], lsn=2)
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS)
+    _merge(src, [("D", 4, 1, 0)], lsn=3)  # x=3: between min 1 and max 8
+    stats = {}
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS, stats=stats)
+    assert stats["rescanned_groups"] == 0
+    _check(src, dst)
+
+
+def test_group_death_removes_row(tmp_path):
+    src = _mk_src(str(tmp_path / "src"), [(1, 5, 1), (2, 5, 2), (3, 6, 3)])
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS)
+    _merge(src, [("D", 1, 5, 0), ("D", 2, 5, 0)], lsn=1)
+    stats = {}
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS, stats=stats)
+    assert stats["deleted_groups"] == 1
+    got = _view_df(dst)
+    assert got["g"].tolist() == [6]
+    _check(src, dst)
+
+
+def test_insert_plus_delete_same_window_is_noop(tmp_path):
+    src = _mk_src(str(tmp_path / "src"), [(1, 0, 1)])
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS)
+    # group 9 is born and dies inside one sync window → no D op for a
+    # key the view never had
+    _merge(src, [("I", 50, 9, 5)], lsn=1)
+    _merge(src, [("D", 50, 9, 0)], lsn=2)
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS)
+    _check(src, dst)
+
+
+def test_replay_after_crash_is_idempotent(tmp_path):
+    from moonray.aggview import _pointer_name
+    from moonray.commitstore import store_for
+
+    src = _mk_src(str(tmp_path / "src"),
+                  [(i, i % 2, i) for i in range(10)])
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS)
+    _merge(src, [("I", 90, 0, 50), ("D", 2, 0, 0)], lsn=1)
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS)
+    want = _view_df(dst)
+
+    # crash between merge-commit and pointer-advance: pointer rolls
+    # back, the replayed round recomputes (stale) deltas but the
+    # windowed job_id short-circuits the merge
+    store = store_for(dst.root)
+    store.set_pointer(_pointer_name("agg"), "1")
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS)
+    pd.testing.assert_frame_equal(_view_df(dst), want)
+    _check(src, dst)
+
+
+def test_composite_group_cols(tmp_path):
+    schema = pa.schema([("id", pa.int64()), ("a", pa.string()),
+                        ("b", pa.int64()), ("x", pa.int64())])
+    src = MoonrayTable.create(str(tmp_path / "src"), key_col="id",
+                              schema=schema, rows_per_fragment=32,
+                              index_partitions=4)
+    src.bulk_load(rd.from_arrow(pa.table({
+        "id": pa.array(range(12), pa.int64()),
+        "a": pa.array(["p", "q"] * 6, pa.string()),
+        "b": pa.array([i % 3 for i in range(12)], pa.int64()),
+        "x": pa.array(range(0, 120, 10), pa.int64())})))
+    aggs = {"cnt": ("count", None), "sum_x": ("sum", "x"),
+            "min_x": ("min", "x")}
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["a", "b"], aggs=aggs)
+    src.merge(rd.from_arrow(pa.table({
+        "op": pa.array(["D", "I"], pa.string()),
+        "lsn": pa.array([1, 1], pa.int64()),
+        "id": pa.array([0, 100], pa.int64()),
+        "a": pa.array(["p", "p"], pa.string()),
+        "b": pa.array([0, 0], pa.int64()),
+        "x": pa.array([0, 999], pa.int64())})), job_id="c1")
+    stats = {}
+    sync_aggregate(src, dst, group_cols=["a", "b"], aggs=aggs, stats=stats)
+    # id=0 had x=0, the (p,0) min → rescan
+    assert stats["rescanned_groups"] == 1
+
+    df = pa.concat_tables(src.scan().iter_batches(
+        batch_format="pyarrow", batch_size=8192)).to_pandas()
+    want = df.groupby(["a", "b"]).agg(
+        cnt=("x", "size"), sum_x=("x", "sum"),
+        min_x=("x", "min")).reset_index() \
+        .sort_values(["a", "b"], ignore_index=True)
+    got = pa.concat_tables(dst.scan().iter_batches(
+        batch_format="pyarrow", batch_size=8192)).to_pandas()[
+        ["a", "b", "cnt", "sum_x", "min_x"]] \
+        .sort_values(["a", "b"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"cnt": "int64", "sum_x": "int64", "min_x": "int64"}),
+        want.astype({"cnt": "int64", "sum_x": "int64", "min_x": "int64"}))
+
+
+def test_transform_derived_group_and_value(tmp_path):
+    """Derived group (val bucket) + derived fixed-point value column;
+    the rescan path must run the transform too."""
+    import pyarrow.compute as pc
+
+    schema = pa.schema([("id", pa.int64()), ("price", pa.float64())])
+    src = MoonrayTable.create(str(tmp_path / "src"), key_col="id",
+                              schema=schema, rows_per_fragment=32,
+                              index_partitions=4)
+    prices = [1.25, 2.50, 3.75, 10.10, 11.20, 0.05]
+    src.bulk_load(rd.from_arrow(pa.table({
+        "id": pa.array(range(6), pa.int64()),
+        "price": pa.array(prices, pa.float64())})))
+
+    def tf(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            b["price"], 100.0), 0.5)), pa.int64())
+        bucket = pc.cast(pc.floor(pc.divide(b["price"], 10.0)), pa.int64())
+        return b.append_column("cents", cents).append_column(
+            "bucket", bucket)
+
+    aggs = {"cnt": ("count", None), "cents_sum": ("sum", "cents"),
+            "cents_min": ("min", "cents")}
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["bucket"], aggs=aggs,
+                               transform=tf, transform_columns=["price"])
+
+    # delete the bucket-0 min (0.05) → derived-group rescan (no
+    # physical pruning available, membership filtered post-transform)
+    src.merge(rd.from_arrow(pa.table({
+        "op": pa.array(["D"], pa.string()),
+        "lsn": pa.array([1], pa.int64()),
+        "id": pa.array([5], pa.int64()),
+        "price": pa.array([0.0], pa.float64())})), job_id="d1")
+    stats = {}
+    sync_aggregate(src, dst, group_cols=["bucket"], aggs=aggs,
+                   transform=tf, transform_columns=["price"], stats=stats)
+    assert stats["rescanned_groups"] == 1
+
+    got = pa.concat_tables(dst.scan().iter_batches(
+        batch_format="pyarrow", batch_size=8192)).to_pandas() \
+        .sort_values("bucket", ignore_index=True)
+    df = pd.DataFrame({"price": [1.25, 2.50, 3.75, 10.10, 11.20]})
+    df["cents"] = np.floor(df.price * 100 + 0.5).astype(np.int64)
+    df["bucket"] = np.floor(df.price / 10).astype(np.int64)
+    want = df.groupby("bucket").agg(
+        cnt=("cents", "size"), cents_sum=("cents", "sum"),
+        cents_min=("cents", "min")).reset_index()
+    pd.testing.assert_frame_equal(
+        got[["bucket", "cnt", "cents_sum", "cents_min"]].astype("int64"),
+        want.astype("int64"))
+
+
+def test_requires_count_column(tmp_path):
+    src = _mk_src(str(tmp_path / "src"), [(1, 0, 1)])
+    with pytest.raises(ValueError, match="count"):
+        build_aggregate_view(src, str(tmp_path / "v"), group_cols=["g"],
+                             aggs={"s": ("sum", "x")})
+
+
+def test_sync_without_build_pointer_raises(tmp_path):
+    src = _mk_src(str(tmp_path / "src"), [(1, 0, 1)])
+    schema = pa.schema([("g", pa.int64()), ("cnt", pa.int64())])
+    dst = MoonrayTable.create(str(tmp_path / "view"), key_col="g",
+                              schema=schema)
+    with pytest.raises(RuntimeError, match="no sync pointer"):
+        sync_aggregate(src, dst, group_cols=["g"],
+                       aggs={"cnt": ("count", None)})

@@ -227,6 +227,29 @@ def _q_restore(sf_dir: str):
     return restore_rollback_scan(sf_dir)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup over the embeddings table with
+    FIXED centroids (the vec_id<8 rows) so assignment and the
+    within-cluster earlier-id drop rule are SQL-oracle-checkable. The
+    scale path is identical with trained centroids: vectors shuffle
+    once by cluster, prune is chunked per cluster."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from moonray.functions.dedup import semantic_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 8)]) \
+        .sort_by("vec_id")
+    cents = np.stack([np.asarray(v, np.float64)
+                      for v in head["embedding"].to_pylist()])
+    return semantic_dedup(ds, threshold=0.3, centroids=cents)
+
+
 def _q_agg_view(sf_dir: str):
     """Incremental aggregate-view maintenance: build a per-nation
     (count, sum, min, max of acctbal cents) view of customer, MERGE the
@@ -902,11 +925,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_where_scan": _q_update_where,
         "restore_rollback_scan": _q_restore,
         "incremental_agg_view": _q_agg_view,
+        "semantic_dedup_keep": _q_semantic_dedup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from moonray.functions.dedup import line_dedup_oracle_sql
+    from moonray.functions.dedup import (line_dedup_oracle_sql,
+                                         semantic_dedup_oracle_sql)
     from moonray.functions.pack import pack_sequences_oracle_sql
     from moonray.functions.sample import stratified_sample_oracle_sql
     from moonray.functions.text import (quality_filter_oracle_sql,
@@ -1138,6 +1163,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rollback undoes the corrupting merge entirely
         "restore_rollback_scan": _CUSTOMER_SQL,
+        # cluster-then-prune semantic dedup with fixed centroids is
+        # fully SQL-expressible (assignment argmax + earlier-id NOT
+        # EXISTS within cluster)
+        "semantic_dedup_keep": semantic_dedup_oracle_sql(0.3, range(8)),
         # the incrementally-maintained aggregate view must equal a full
         # recompute over the post-merge source state
         "incremental_agg_view": """

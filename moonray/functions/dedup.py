@@ -1090,3 +1090,134 @@ def line_dedup_oracle_sql(text_expr: str = "text", sep_sql: str = "chr(10)") -> 
                string_agg(line, {sep_sql} ORDER BY ord) AS text
         FROM keep GROUP BY doc_id
     """
+
+
+# ---------------- semantic dedup (SemDeDup-style) ----------------
+
+def _assign_clusters_fn(cent_ref, id_col: str, vec_col: str):
+    """Task-based broadcast stage: nearest-centroid assignment by cosine
+    (argmax breaks ties toward the lowest centroid index). Centroids are
+    ray.put once and resolved node-locally per task."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray
+
+        cent = ray.get(cent_ref)            # (k, d), unit-normalized
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             vec_col: batch[vec_col]})
+        vecs = list_to_matrix(batch[vec_col])
+        vecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        cluster = np.argmax(vecs @ cent.T, axis=1).astype(np.int64)
+        return pa.table({id_col: batch[id_col],
+                         "cluster": pa.array(cluster, pa.int64()),
+                         vec_col: batch[vec_col]})
+
+    assign.__name__ = "assign_clusters"
+    return assign
+
+
+def semantic_dedup(ds, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.95,
+                   n_clusters: int = 16, centroids=None,
+                   sample_size: int = 4096, iters: int = 10,
+                   seed: int = 0, chunk: int = 1024):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings by nearest centroid, then
+    within each cluster drop every row that has an EARLIER row (lower
+    id) with cosine similarity ≥ ``threshold``. Returns the survivors'
+    (id, cluster) — a lazy Dataset.
+
+    Drop rule: ``dropped[j] = any(cos(i, j) >= threshold for i < j)``
+    over ALL earlier cluster members (kept or not). This is
+    order-independent and deterministic — slightly more aggressive than
+    the greedy keep-set variant on chains (a~b, b~c, a≁c drops both b
+    and c) and exactly expressible as a SQL NOT EXISTS for oracling.
+
+    Scale contract: each vector moves exactly ONCE (the cluster
+    shuffle); the per-cluster prune is O(n_c²) *compute* but only
+    O(n_c × chunk) *memory* (column-chunked matmul). Cross-cluster
+    near-dups are missed by design — that is SemDeDup's recall/cost
+    trade; size ``n_clusters`` so clusters fit a worker
+    (n_clusters ≈ corpus_rows / target_cluster_rows).
+
+    ``centroids``: pass a fixed (k, d) array for reproducible/oracled
+    assignments; default trains seeded spherical k-means on a bounded
+    driver-side sample (≤ ``sample_size`` rows, same recipe as the IVF
+    layout builder in knn.py)."""
+    import ray
+
+    from moonray.functions.knn import _kmeans_centroids
+
+    if centroids is None:
+        sample = ds.select_columns([vec_col]).limit(sample_size) \
+            .take_all()
+        mat = np.stack([np.asarray(r[vec_col], np.float64)
+                        for r in sample])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                          1e-12)
+        centroids = _kmeans_centroids(mat, n_clusters, iters, seed)
+    cent = np.asarray(centroids, np.float64)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                             1e-12)
+    cent_ref = ray.put(cent)
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        _assign_clusters_fn(cent_ref, id_col, vec_col),
+        batch_format="pyarrow")
+
+    def prune(group: pa.Table) -> pa.Table:
+        order = np.argsort(group[id_col].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        g = group.take(pa.array(order))
+        n = len(g)
+        if n <= 1:
+            return g.select([id_col, "cluster"])
+        m = list_to_matrix(g[vec_col])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                           1e-12)
+        dropped = np.zeros(n, dtype=bool)
+        rows = np.arange(n)
+        for c0 in range(0, n, chunk):
+            c1 = min(c0 + chunk, n)
+            sims = m @ m[c0:c1].T                     # (n, c1-c0)
+            earlier = rows[:, None] < np.arange(c0, c1)[None, :]
+            dropped[c0:c1] = ((sims >= threshold) & earlier).any(axis=0)
+        return g.filter(pa.array(~dropped)).select([id_col, "cluster"])
+
+    prune.__name__ = "semdedup_prune"
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow")
+
+
+def semantic_dedup_oracle_sql(threshold: float, centroid_ids,
+                              table: str = "embeddings") -> str:
+    """DuckDB equivalent of semantic_dedup with FIXED centroids taken
+    from the corpus rows ``centroid_ids`` (cluster index = position in
+    the sorted centroid-id list, matching the Python argmax order)."""
+    ids = sorted(centroid_ids)
+    idlist = ", ".join(str(i) for i in ids)
+    return f"""
+        WITH cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cid,
+                 CAST(embedding AS DOUBLE[]) AS cvec
+          FROM {table} WHERE vec_id IN ({idlist})
+        ),
+        assign AS (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                 (SELECT cid FROM cent
+                  ORDER BY list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), cvec) DESC, cid
+                  LIMIT 1) AS cluster
+          FROM {table} e
+        )
+        SELECT a.vec_id, a.cluster FROM assign a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM assign b
+          WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+            AND list_cosine_similarity(a.v, b.v) >= {threshold}
+        )
+    """

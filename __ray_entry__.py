@@ -227,6 +227,12 @@ def _q_restore(sf_dir: str):
     return restore_rollback_scan(sf_dir)
 
 
+def _q_bloom_scan(sf_dir: str):
+    from moonray.pipelines.relational import bloom_point_scan
+
+    return bloom_point_scan(sf_dir)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup over the embeddings table with
     FIXED centroids (the vec_id<8 rows) so assignment and the
@@ -926,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "restore_rollback_scan": _q_restore,
         "incremental_agg_view": _q_agg_view,
         "semantic_dedup_keep": _q_semantic_dedup,
+        "bloom_point_scan": _q_bloom_scan,
     }
 
 
@@ -1167,6 +1174,11 @@ def oracle_sql() -> dict[str, str]:
         # fully SQL-expressible (assignment argmax + earlier-id NOT
         # EXISTS within cluster)
         "semantic_dedup_keep": semantic_dedup_oracle_sql(0.3, range(8)),
+        # bloom pruning may only change I/O, never rows
+        "bloom_point_scan": _CUSTOMER_SQL + """
+        WHERE c_name IN ('Customer#000000007', 'Customer#000000311',
+                         'Customer#000000888')
+        """,
         # the incrementally-maintained aggregate view must equal a full
         # recompute over the post-merge source state
         "incremental_agg_view": """

@@ -1,0 +1,231 @@
+"""Per-fragment bloom-filter column indexes (secondary, non-key).
+
+The key index (keyindex.py) serves point reads on the PRIMARY key; an
+equality / IN-list predicate on any other high-cardinality column can
+only zone-prune by min/max containment — nearly useless once the table
+is clustered on a different axis. This module adds the lakehouse answer
+(Delta's bloom-filter file index; Iceberg's puffin blob stats): one
+immutable bloom sidecar per fragment per indexed column, consulted at
+scan planning to drop fragments that PROVABLY contain none of the
+queried values.
+
+Correctness is conservative end-to-end, so the index can never change
+results — only I/O:
+
+- a fragment with no sidecar (never indexed, or written after the last
+  build) is always kept;
+- a bloom hit is "maybe present" (fpp-bounded false positives); the
+  exact ``is_in`` filter ALWAYS still runs inside the read tasks
+  (table.scan's predicate_in contract);
+- sidecars are keyed by the immutable fragment path, so a stale
+  ``index.json`` (cached copy on a remote root, concurrent rebuild) is
+  still *valid* for every fragment it mentions — staleness only costs
+  pruning power, never rows;
+- deleted rows stay in their fragment's bloom (false positives only);
+  compaction/cluster outputs are new paths → unindexed → kept until the
+  next ``build_bloom_index`` round.
+
+Scale: the build is one Ray task per fragment batch reading ONLY the
+indexed column; sidecars are ~1.2 KiB per 1k rows at fpp=1% (bits
+rounded to a power of two for mask-modulo). The consult ships the
+queried values' 64-bit hashes to thin Ray tasks that read sidecars
+through the worker file cache — O(fragments/chunk) tasks, each a few
+KiB of I/O — and falls back to a driver loop below a small fragment
+count. Hashing is ``util.hash_key_array`` (splitmix64 / polars), the
+same deterministic lanes the key index uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_MAX_K = 16
+_DISTRIBUTED_MIN_FRAGS = 17  # below this a driver loop beats task launch
+
+
+def _index_rel(col: str) -> str:
+    return f"colindex/{col}/index.json"
+
+
+def _params(n_rows: int, fpp: float) -> tuple[int, int]:
+    n = max(1, int(n_rows))
+    bits = -n * math.log(fpp) / (math.log(2) ** 2)
+    bits = max(64, 1 << int(math.ceil(math.log2(bits))))
+    k = max(1, round(bits / n * math.log(2)))
+    return bits, min(k, _MAX_K)
+
+
+def _h2(h64: np.ndarray) -> np.ndarray:
+    from moonray.util import splitmix64
+
+    return splitmix64(h64 ^ _GOLD) | np.uint64(1)
+
+
+def _build_bits(h64: np.ndarray, bits: int, k: int) -> bytes:
+    bs = np.zeros(bits // 8, np.uint8)
+    h2 = _h2(h64)
+    mask = np.uint64(bits - 1)
+    for j in range(k):
+        pos = (h64 + np.uint64(j) * h2) & mask
+        np.bitwise_or.at(bs, (pos >> np.uint64(3)).astype(np.int64),
+                         (np.uint64(1) << (pos & np.uint64(7)))
+                         .astype(np.uint8))
+    return bs.tobytes()
+
+
+def _any_maybe(bloom: bytes, h64: np.ndarray, bits: int, k: int) -> bool:
+    """True iff at least one queried hash has all k bits set."""
+    bs = np.frombuffer(bloom, np.uint8)
+    h2 = _h2(h64)
+    mask = np.uint64(bits - 1)
+    alive = np.ones(len(h64), bool)
+    for j in range(k):
+        pos = (h64[alive] + np.uint64(j) * h2[alive]) & mask
+        hit = (bs[(pos >> np.uint64(3)).astype(np.int64)]
+               >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        nxt = np.zeros(len(h64), bool)
+        nxt[np.flatnonzero(alive)[hit.astype(bool)]] = True
+        alive = nxt
+        if not alive.any():
+            return False
+    return True
+
+
+def _hash_values(values, typ: pa.DataType) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(values), typ)
+    if arr.type != typ:
+        arr = arr.cast(typ)
+    arr = pc.drop_null(arr)
+    from moonray.util import hash_key_array
+
+    return hash_key_array(arr) if len(arr) else np.array([], np.uint64)
+
+
+def load_index(root: str, col: str) -> dict | None:
+    """The column's index manifest, or None. Read through the worker
+    file cache on remote roots — a stale copy is correctness-safe (see
+    module docstring), so no freshness machinery is needed."""
+    import json
+
+    from moonray.filecache import data_path
+
+    try:
+        with open(data_path(root, _index_rel(col))) as f:
+            return json.load(f)
+    except (FileNotFoundError, OSError):
+        return None
+
+
+def build_bloom_index(table, col: str, *, fpp: float = 0.01,
+                      batch_frags: int = 16) -> dict:
+    """(Re)build the bloom index for ``col``: one Ray task per
+    ``batch_frags`` fragments lacking a sidecar, each reading only the
+    indexed column. The refreshed ``index.json`` lists exactly the
+    current manifest's live fragments (dead entries drop; their sidecar
+    files are orphaned until fsck/GC). Returns a summary dict."""
+    import ray
+
+    from moonray.storage import publish_bytes
+
+    schema = table.schema()
+    if col not in schema.names:
+        raise ValueError(f"no column {col!r} in table schema")
+    m = table.manifest()
+    frags = m["fragments"]
+    prior = load_index(table.root, col) or {"frags": {}}
+    have = prior["frags"]
+    todo = [f for f in frags if f["path"] not in have]
+
+    @ray.remote(num_cpus=1)
+    def _index_batch(root, col, metas, fpp):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from moonray.filecache import data_path
+        from moonray.util import hash_key_array
+
+        out = {}
+        for f in metas:
+            t = pq.read_table(data_path(root, f["path"]), columns=[col])
+            vals = pc.drop_null(t[col].combine_chunks())
+            bits, k = _params(len(vals), fpp)
+            h = hash_key_array(vals) if len(vals) else \
+                np.array([], np.uint64)
+            rel = f"colindex/{col}/{f['path'].replace('/', '_')}.bloom"
+            publish_bytes(root, rel, _build_bits(h, bits, k))
+            out[f["path"]] = {"bloom": rel, "bits": bits, "k": k}
+        return out
+
+    refs = [_index_batch.remote(table.root, col,
+                                todo[i:i + batch_frags], fpp)
+            for i in range(0, len(todo), batch_frags)]
+    built: dict = {}
+    for r in ray.get(refs):
+        built.update(r)
+
+    live = {f["path"] for f in frags}
+    entries = {p: e for p, e in {**have, **built}.items() if p in live}
+    import json
+
+    publish_bytes(table.root, _index_rel(col), json.dumps(
+        {"col": col, "fpp": fpp, "frags": entries},
+        sort_keys=True).encode())
+    return {"col": col, "built": len(built), "indexed": len(entries),
+            "fragments": len(frags)}
+
+
+def prune_fragments(root: str, frags: list, predicate_in: dict,
+                    schema: pa.Schema) -> list:
+    """Drop fragments whose bloom proves NO queried value can be
+    present, for every predicate_in column that has an index.
+    Conservative: unindexed columns/fragments keep everything."""
+    import ray
+
+    for col, values in predicate_in.items():
+        if len(frags) == 0:
+            break
+        if col not in schema.names:
+            continue
+        idx = load_index(root, col)
+        if not idx or not idx.get("frags"):
+            continue
+        h = _hash_values(values, schema.field(col).type)
+        if len(h) == 0:
+            continue
+        entries = idx["frags"]
+        candidates = [(i, entries[f["path"]]) for i, f in enumerate(frags)
+                      if f["path"] in entries]
+        if not candidates:
+            continue
+        if len(candidates) < _DISTRIBUTED_MIN_FRAGS:
+            keep_idx = {
+                i for i, e in candidates
+                if _maybe_local(root, e, h)}
+        else:
+            @ray.remote(num_cpus=0.5)
+            def _consult(root, chunk, h):
+                return [i for i, e in chunk if _maybe_local(root, e, h)]
+
+            chunk_n = 64
+            refs = [_consult.remote(root, candidates[i:i + chunk_n], h)
+                    for i in range(0, len(candidates), chunk_n)]
+            keep_idx = {i for part in ray.get(refs) for i in part}
+        covered = {i for i, _e in candidates}
+        frags = [f for i, f in enumerate(frags)
+                 if i not in covered or i in keep_idx]
+    return frags
+
+
+def _maybe_local(root: str, entry: dict, h: np.ndarray) -> bool:
+    from moonray.filecache import data_path
+
+    with open(data_path(root, entry["bloom"]), "rb") as f:
+        bloom = f.read()
+    return _any_maybe(bloom, h, entry["bits"], entry["k"])

@@ -161,6 +161,19 @@ def aggregate_view_scan(sf_dir: str):
     return dst.scan()
 
 
+def bloom_point_scan(sf_dir: str):
+    """Secondary-index point reads on a NON-key column: bulk load
+    customer, bloom-index c_name (colindex.py — Delta bloom file index
+    analogue), then scan with an IN-list predicate. Zone maps can't
+    prune c_name (not a zone column, high cardinality); the bloom
+    sidecars drop every fragment that provably lacks the queried names
+    and the in-task is_in filter keeps the result exact."""
+    t = build_customer_table(sf_dir)
+    t.build_column_index("c_name")
+    names = [f"Customer#{k:09d}" for k in (7, 311, 888)]
+    return t.scan(predicate_in={"c_name": names})
+
+
 def restore_rollback_scan(sf_dir: str):
     """Rollback pipeline: bulk load customer → tag → apply a bad merge
     (scrambles balances, deletes a band) → restore to the tag → scan.

@@ -995,6 +995,16 @@ class MoonrayTable:
 
         return maintenance.cluster(self, cols=cols, **kw)
 
+    def build_column_index(self, col: str, *, fpp: float = 0.01) -> dict:
+        """(Re)build the per-fragment bloom index for a NON-key column
+        (Delta bloom file index / Iceberg puffin stats analogue —
+        colindex.py). scan(predicate_in={col: ...}) then drops
+        fragments that provably lack every queried value. Incremental:
+        only fragments without a sidecar are read."""
+        from moonray import colindex
+
+        return colindex.build_bloom_index(self, col, fpp=fpp)
+
     def maintenance_due(self, **kw) -> dict:
         """Which background-maintenance passes the reference's trigger
         policy would fire right now (metadata-only; see
@@ -1126,7 +1136,7 @@ class MoonrayTable:
              predicate_in: dict | None = None, exact_filter: bool = False,
              with_internal: bool = False,
              concurrency=None, as_of: float | None = None,
-             ref: str | None = None):
+             ref: str | None = None, use_column_index: bool = True):
         """Snapshot-isolated scan → lazy Dataset.
 
         - zone-map pruning: fragments whose min/max don't overlap
@@ -1157,13 +1167,22 @@ class MoonrayTable:
             version = self.version_as_of(as_of)
         m = self.manifest(version)
         frags = m["fragments"]
+        user_schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
         if predicate_ranges:
             frags = [f for f in frags if _zones_overlap(f["zones"], predicate_ranges)]
         if predicate_in:
             frags = [f for f in frags
                      if _zones_contain_any(f["zones"], predicate_in)]
+            if use_column_index and frags:
+                # bloom-sidecar pruning (build_column_index): drops
+                # fragments that PROVABLY lack every queried value;
+                # conservative — unindexed fragments/columns all keep,
+                # and the in-task is_in filter still runs regardless
+                from moonray import colindex
+
+                frags = colindex.prune_fragments(self.root, frags,
+                                                 predicate_in, user_schema)
         frags = [f for f in frags if f["dv_count"] < f["rows"]]
-        user_schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
         if not frags:
             cols = columns or user_schema.names
             empty = pa.table({c: pa.array([], user_schema.field(c).type) for c in cols})

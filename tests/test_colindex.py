@@ -1,0 +1,145 @@
+"""Bloom-filter column index sidecars (moonray/colindex.py): pruning
+power, end-to-end scan correctness, conservative behavior for unindexed
+fragments/missing indexes, the distributed consult path, incremental
+rebuild, and the remote (mock://) root."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from moonray import colindex
+from moonray.table import MoonrayTable
+
+
+def _mk(root, n=1000, rpf=64):
+    schema = pa.schema([("id", pa.int64()), ("name", pa.string()),
+                        ("v", pa.int64())])
+    t = MoonrayTable.create(root, key_col="id", schema=schema,
+                            rows_per_fragment=rpf, index_partitions=4)
+    t.bulk_load(rd.from_arrow(pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "name": pa.array([f"user-{i:05d}" for i in range(n)], pa.string()),
+        "v": pa.array(range(n), pa.int64())})))
+    return t
+
+
+def _ids(ds):
+    return sorted(r["id"] for b in ds.iter_batches(batch_format="pyarrow",
+                                                   batch_size=8192)
+                  for r in b.to_pylist())
+
+
+def test_prunes_fragments_and_scan_stays_exact(tmp_path):
+    t = _mk(str(tmp_path / "t"))
+    summary = t.build_column_index("name")
+    assert summary["indexed"] == summary["fragments"] == 16
+    want = [7, 900]
+    got = _ids(t.scan(predicate_in={"name": ["user-00007", "user-00900"]}))
+    assert got == want
+    pruned = colindex.prune_fragments(
+        t.root, t.manifest()["fragments"],
+        {"name": ["user-00007", "user-00900"]}, t.schema())
+    # the two values live in two distinct fragments; fpp=1% could keep
+    # a couple more, never fewer
+    assert 2 <= len(pruned) <= 4
+    # no-index scan agrees (use_column_index off)
+    assert _ids(t.scan(predicate_in={"name": ["user-00007", "user-00900"]},
+                       use_column_index=False)) == want
+
+
+def test_unindexed_new_fragments_are_kept(tmp_path):
+    t = _mk(str(tmp_path / "t"))
+    t.build_column_index("name")
+    # new rows after the build: their fragments have no sidecar
+    t.merge(rd.from_arrow(pa.table({
+        "op": pa.array(["I"], pa.string()),
+        "lsn": pa.array([1], pa.int64()),
+        "id": pa.array([5000], pa.int64()),
+        "name": pa.array(["brand-new"], pa.string()),
+        "v": pa.array([1], pa.int64())})), job_id="m1")
+    assert _ids(t.scan(predicate_in={"name": ["brand-new"]})) == [5000]
+    # incremental rebuild: only the new fragment is read
+    s = t.build_column_index("name")
+    assert s["built"] == 1
+    assert _ids(t.scan(predicate_in={"name": ["brand-new"]})) == [5000]
+
+
+def test_missing_index_is_noop(tmp_path):
+    t = _mk(str(tmp_path / "t"), n=200)
+    want = _ids(t.scan(predicate_in={"name": ["user-00003"]}))
+    assert want == [3]
+    assert colindex.load_index(t.root, "name") is None
+
+
+def test_distributed_consult_path(tmp_path):
+    # 32 fragments > _DISTRIBUTED_MIN_FRAGS → ray-task consult
+    t = _mk(str(tmp_path / "t"), n=2048, rpf=64)
+    t.build_column_index("name")
+    frags = t.manifest()["fragments"]
+    assert len(frags) >= colindex._DISTRIBUTED_MIN_FRAGS
+    vals = ["user-00000", "user-01024", "user-02000"]
+    pruned = colindex.prune_fragments(t.root, frags, {"name": vals},
+                                      t.schema())
+    assert 3 <= len(pruned) <= 6
+    assert _ids(t.scan(predicate_in={"name": vals})) == [0, 1024, 2000]
+
+
+def test_no_false_negatives_bulk(tmp_path):
+    """Every present value must survive pruning (bloom has no false
+    negatives by construction) — probe every 17th row."""
+    t = _mk(str(tmp_path / "t"), n=1000)
+    t.build_column_index("name")
+    for i in range(0, 1000, 17):
+        got = _ids(t.scan(predicate_in={"name": [f"user-{i:05d}"]}))
+        assert got == [i], f"row {i} lost"
+
+
+def test_absent_value_prunes_everything(tmp_path):
+    t = _mk(str(tmp_path / "t"), n=500)
+    t.build_column_index("name")
+    pruned = colindex.prune_fragments(
+        t.root, t.manifest()["fragments"],
+        {"name": ["nope-1", "nope-2"]}, t.schema())
+    # fpp=1% per fragment per value → almost surely all pruned; allow 1
+    assert len(pruned) <= 1
+    assert _ids(t.scan(predicate_in={"name": ["nope-1"]})) == []
+
+
+def test_int_column_index(tmp_path):
+    t = _mk(str(tmp_path / "t"), n=600)
+    t.build_column_index("v")
+    assert _ids(t.scan(predicate_in={"v": [123, 456]})) == [123, 456]
+    pruned = colindex.prune_fragments(
+        t.root, t.manifest()["fragments"], {"v": [123]}, t.schema())
+    # v is monotone with the fragment layout → zone maps would also
+    # prune; the bloom must agree (1 fragment + fpp slack)
+    assert len(pruned) <= 2
+
+
+def test_compaction_outputs_unindexed_until_rebuild(tmp_path):
+    t = _mk(str(tmp_path / "t"), n=512, rpf=32)
+    t.build_column_index("name")
+    t.optimize("data", target_bytes=1 << 22, min_group=2)
+    # compacted fragments are new paths → no sidecars → kept (correct)
+    assert _ids(t.scan(predicate_in={"name": ["user-00100"]})) == [100]
+    s = t.build_column_index("name")
+    assert s["built"] >= 1
+    assert _ids(t.scan(predicate_in={"name": ["user-00100"]})) == [100]
+
+
+def test_remote_root(tmp_path):
+    t = _mk(str(tmp_path / "t"), n=300)
+    remote = MoonrayTable.open("mock://" + t.root)
+    remote.build_column_index("name")
+    assert _ids(remote.scan(predicate_in={"name": ["user-00042"]})) == [42]
+    pruned = colindex.prune_fragments(
+        remote.root, remote.manifest()["fragments"],
+        {"name": ["user-00042"]}, remote.schema())
+    assert len(pruned) <= 2
+
+
+def test_unknown_column_raises(tmp_path):
+    t = _mk(str(tmp_path / "t"), n=100)
+    with pytest.raises(ValueError, match="no column"):
+        t.build_column_index("nope")

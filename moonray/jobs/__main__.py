@@ -213,6 +213,29 @@ def main(argv=None) -> int:
     sp.add_argument("--state", required=True,
                     help="consumer position checkpoint file")
 
+    sp = sub.add_parser("build-colindex")
+    tbl(sp)
+    sp.add_argument("--col", required=True,
+                    help="non-key column to bloom-index (point/IN scans)")
+    sp.add_argument("--fpp", type=float, default=0.01)
+
+    sp = sub.add_parser("agg-view")
+    tbl(sp)
+    sp.add_argument("--into", required=True, help="view table root")
+    sp.add_argument("--group-cols", required=True, help="comma-separated")
+    sp.add_argument("--aggs-json", required=True,
+                    help='{"out_col": ["count"|"sum"|"min"|"max", '
+                         'src_col|null], ...} — a count column is '
+                         "mandatory")
+    sp.add_argument("--state-key", default="agg")
+
+    sp = sub.add_parser("agg-view-sync")
+    tbl(sp)
+    sp.add_argument("--into", required=True, help="view table root")
+    sp.add_argument("--group-cols", required=True, help="comma-separated")
+    sp.add_argument("--aggs-json", required=True)
+    sp.add_argument("--state-key", default="agg")
+
     sp = sub.add_parser("curate")
     tbl(sp)
     sp.add_argument("--lsn", type=int, required=True)
@@ -408,6 +431,30 @@ def main(argv=None) -> int:
         v = sync_incremental(t, MoonrayTable.open(args.into),
                              state_key=args.state_key)
         print(json.dumps({"dst_version": v, "into": args.into}))
+        return 0
+    elif args.cmd == "build-colindex":
+        print(json.dumps(t.build_column_index(args.col, fpp=args.fpp)))
+        return 0
+    elif args.cmd == "agg-view":
+        from moonray.aggview import build_aggregate_view
+
+        aggs = {k: (kind, col) for k, (kind, col)
+                in json.loads(args.aggs_json).items()}
+        dst = build_aggregate_view(t, args.into,
+                                   group_cols=args.group_cols.split(","),
+                                   aggs=aggs, state_key=args.state_key)
+        print(json.dumps({"view": args.into, **dst.describe()}))
+        return 0
+    elif args.cmd == "agg-view-sync":
+        from moonray.aggview import sync_aggregate
+
+        aggs = {k: (kind, col) for k, (kind, col)
+                in json.loads(args.aggs_json).items()}
+        stats: dict = {}
+        v = sync_aggregate(t, MoonrayTable.open(args.into),
+                           group_cols=args.group_cols.split(","),
+                           aggs=aggs, state_key=args.state_key, stats=stats)
+        print(json.dumps({"dst_version": v, "into": args.into, **stats}))
         return 0
     elif args.cmd == "curate":
         from moonray.pipelines.curation import curate_table

@@ -125,3 +125,39 @@ def test_cli_curate(tmp_path, capsys):
            .select_columns(["image_id"]).take_all()}
     assert any(i.endswith("-d1") for i in got)      # best-res reps kept
     assert not any(i.endswith("-d2") for i in got)  # low-res dups gone
+
+
+def test_cli_colindex_and_agg_view(tmp_path, capsys):
+    src, view = str(tmp_path / "src2"), str(tmp_path / "view2")
+    schema_json = '[["k","int64"],["g","int64"],["x","int64"]]'
+    _run(capsys, "create", "--table", src, "--key", "k",
+         "--schema-json", schema_json, "--rows-per-fragment", "64")
+    inp = str(tmp_path / "in2.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array(range(500), pa.int64()),
+        "g": pa.array([i % 5 for i in range(500)], pa.int64()),
+        "x": pa.array(range(500), pa.int64())}), inp)
+    _run(capsys, "load", "--table", src, "--input", inp, "--job-id", "l1")
+
+    out = _run(capsys, "build-colindex", "--table", src, "--col", "x")
+    assert out["indexed"] == out["fragments"] > 1
+
+    aggs = '{"cnt": ["count", null], "sum_x": ["sum", "x"]}'
+    out = _run(capsys, "agg-view", "--table", src, "--into", view,
+               "--group-cols", "g", "--aggs-json", aggs)
+    assert out["cardinality"] == 5
+
+    chg = str(tmp_path / "chg.parquet")
+    pq.write_table(pa.table({
+        "op": pa.array(["I", "D"], pa.string()),
+        "lsn": pa.array([1, 1], pa.int64()),
+        "k": pa.array([900, 0], pa.int64()),
+        "g": pa.array([7, 0], pa.int64()),
+        "x": pa.array([42, 0], pa.int64())}), chg)
+    _run(capsys, "merge", "--table", src, "--changes", chg,
+         "--job-id", "m1")
+    out = _run(capsys, "agg-view-sync", "--table", src, "--into", view,
+               "--group-cols", "g", "--aggs-json", aggs)
+    assert out["changed_groups"] == 2
+    out = _run(capsys, "describe", "--table", view)
+    assert out["cardinality"] == 6  # group 7 was born

@@ -177,8 +177,35 @@ def build_bloom_index(table, col: str, *, fpp: float = 0.01,
     publish_bytes(table.root, _index_rel(col), json.dumps(
         {"col": col, "fpp": fpp, "frags": entries},
         sort_keys=True).encode())
+    # GC sidecars of fragments no longer in the manifest — strictly
+    # AFTER the new index.json is live. A stale cached index referencing
+    # a GC'd sidecar degrades to keep-the-fragment (see _maybe_local).
+    dropped = 0
+    for p, e in have.items():
+        if p not in live:
+            _delete_sidecar(table.root, e["bloom"])
+            dropped += 1
     return {"col": col, "built": len(built), "indexed": len(entries),
-            "fragments": len(frags)}
+            "fragments": len(frags), "gc_sidecars": dropped}
+
+
+def _delete_sidecar(root: str, rel: str) -> None:
+    import os
+
+    from moonray.filecache import is_remote
+
+    if is_remote(root):
+        from moonray.commitstore import store_for
+
+        try:
+            store_for(root).delete(rel)
+        except FileNotFoundError:
+            pass
+        return
+    try:
+        os.unlink(os.path.join(root, rel))
+    except FileNotFoundError:
+        pass
 
 
 def prune_fragments(root: str, frags: list, predicate_in: dict,
@@ -226,6 +253,11 @@ def prune_fragments(root: str, frags: list, predicate_in: dict,
 def _maybe_local(root: str, entry: dict, h: np.ndarray) -> bool:
     from moonray.filecache import data_path
 
-    with open(data_path(root, entry["bloom"]), "rb") as f:
-        bloom = f.read()
+    try:
+        with open(data_path(root, entry["bloom"]), "rb") as f:
+            bloom = f.read()
+    except (FileNotFoundError, OSError):
+        # a stale cached index.json can reference a sidecar a newer
+        # build GC'd — conservative: keep the fragment
+        return True
     return _any_maybe(bloom, h, entry["bits"], entry["k"])

@@ -143,3 +143,36 @@ def test_unknown_column_raises(tmp_path):
     t = _mk(str(tmp_path / "t"), n=100)
     with pytest.raises(ValueError, match="no column"):
         t.build_column_index("nope")
+
+
+def test_rebuild_gcs_orphaned_sidecars(tmp_path):
+    import glob
+    import os
+
+    t = _mk(str(tmp_path / "t"), n=512, rpf=32)
+    t.build_column_index("name")
+    n_before = len(glob.glob(os.path.join(t.root, "colindex/name/*.bloom")))
+    t.optimize("data", target_bytes=1 << 22, min_group=2)
+    s = t.build_column_index("name")
+    assert s["gc_sidecars"] > 0
+    n_after = len(glob.glob(os.path.join(t.root, "colindex/name/*.bloom")))
+    # old fragments' sidecars removed; only live entries remain on disk
+    assert n_after == s["indexed"] < n_before + s["built"]
+    assert _ids(t.scan(predicate_in={"name": ["user-00100"]})) == [100]
+
+
+def test_missing_sidecar_is_conservative(tmp_path):
+    import glob
+    import os
+
+    t = _mk(str(tmp_path / "t"), n=300)
+    t.build_column_index("name")
+    for f in glob.glob(os.path.join(t.root, "colindex/name/*.bloom")):
+        os.unlink(f)
+    # stale index references GC'd sidecars → every fragment kept, scan
+    # stays exact (never raises, never drops rows)
+    assert _ids(t.scan(predicate_in={"name": ["user-00042"]})) == [42]
+    pruned = colindex.prune_fragments(
+        t.root, t.manifest()["fragments"], {"name": ["user-00042"]},
+        t.schema())
+    assert len(pruned) == len(t.manifest()["fragments"])

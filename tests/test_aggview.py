@@ -277,3 +277,53 @@ def test_sync_without_build_pointer_raises(tmp_path):
     with pytest.raises(RuntimeError, match="no sync pointer"):
         sync_aggregate(src, dst, group_cols=["g"],
                        aggs={"cnt": ("count", None)})
+
+
+def test_model_random_rounds(tmp_path):
+    """Model-based: random insert/update/delete rounds; after every
+    sync the view must equal a full recompute. Exercises group birth,
+    death, rebirth, extreme deletion (rescan), duplicate extremes, and
+    null-free int algebra under many interleavings."""
+    rng = np.random.default_rng(1234)
+    rows = [(int(i), int(rng.integers(0, 6)), int(rng.integers(0, 50)))
+            for i in range(80)]
+    src = _mk_src(str(tmp_path / "src"), rows)
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS)
+    _check(src, dst)
+    live = {i for i, _g, _x in rows}
+    gs = {i: g for i, g, _x in rows}
+    next_id = 1000
+    for lsn in range(1, 9):
+        ops = []
+        for _ in range(int(rng.integers(3, 12))):
+            kind = rng.choice(["I", "U", "D"])
+            if kind == "I" or not live:
+                ops.append(("I", next_id, int(rng.integers(0, 6)),
+                            int(rng.integers(0, 50))))
+                next_id += 1
+            elif kind == "U":
+                i = int(rng.choice(sorted(live)))
+                # updates may move a row BETWEEN groups (delete from
+                # old group + insert into new one in the changelog)
+                ops.append(("U", i, int(rng.integers(0, 6)),
+                            int(rng.integers(0, 50))))
+            else:
+                i = int(rng.choice(sorted(live)))
+                ops.append(("D", i, gs[i], 0))
+        # one op per key per round (merge is last-LSN-wins per batch;
+        # the model is simpler with distinct keys)
+        seen, uniq = set(), []
+        for op in ops:
+            if op[1] not in seen:
+                seen.add(op[1])
+                uniq.append(op)
+        for op, i, g, x in uniq:
+            if op == "D":
+                live.discard(i)
+            else:
+                live.add(i)
+                gs[i] = g
+        _merge(src, uniq, lsn=lsn)
+        sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS)
+        _check(src, dst)

@@ -123,6 +123,56 @@ def load_index(root: str, col: str) -> dict | None:
         return None
 
 
+# ---- sidecar format: | magic MRCB2 | u32 hdr_len | hdr json | payload |
+# hdr = {"frag": [bits, k, off, len], "rgs": [[bits, k, off, len], ...]}
+# One fragment-level bloom (planner prune) + one bloom PER PARQUET ROW
+# GROUP (in-task prune): a production 512 MiB fragment has several row
+# groups, and an unclustered equality predicate otherwise reads all of
+# them — rg stats can't prune what min/max don't order.
+
+_MAGIC = b"MRCB2"
+
+
+def _encode_sidecar(frag_bloom: bytes, rg_blooms: list,
+                    frag_bits: int, frag_k: int, rg_params: list) -> bytes:
+    import json
+
+    payload = bytearray(frag_bloom)
+    rgs = []
+    for (bits, k), blm in zip(rg_params, rg_blooms):
+        rgs.append([bits, k, len(payload), len(blm)])
+        payload += blm
+    hdr = json.dumps({"frag": [frag_bits, frag_k, 0, len(frag_bloom)],
+                      "rgs": rgs}).encode()
+    return (_MAGIC + len(hdr).to_bytes(4, "little") + hdr + bytes(payload))
+
+
+def _decode_sidecar(data: bytes) -> tuple[dict, int]:
+    """→ (header, payload_offset). Raises ValueError on foreign bytes."""
+    import json
+
+    if data[:5] != _MAGIC:
+        raise ValueError("not a MRCB2 bloom sidecar")
+    n = int.from_bytes(data[5:9], "little")
+    hdr = json.loads(data[9:9 + n])
+    return hdr, 9 + n
+
+
+def rgs_maybe(sidecar: bytes, h64: np.ndarray, rg_indices) -> list:
+    """Per-row-group membership: True where some queried hash may be
+    present. Unknown row groups (index beyond the sidecar) stay True."""
+    hdr, off = _decode_sidecar(sidecar)
+    rgs = hdr["rgs"]
+    out = []
+    for g in rg_indices:
+        if g >= len(rgs):
+            out.append(True)
+            continue
+        bits, k, o, ln = rgs[g]
+        out.append(_any_maybe(sidecar[off + o:off + o + ln], h64, bits, k))
+    return out
+
+
 def build_bloom_index(table, col: str, *, fpp: float = 0.01,
                       batch_frags: int = 16) -> dict:
     """(Re)build the bloom index for ``col``: one Ray task per
@@ -153,14 +203,27 @@ def build_bloom_index(table, col: str, *, fpp: float = 0.01,
 
         out = {}
         for f in metas:
-            t = pq.read_table(data_path(root, f["path"]), columns=[col])
-            vals = pc.drop_null(t[col].combine_chunks())
-            bits, k = _params(len(vals), fpp)
-            h = hash_key_array(vals) if len(vals) else \
-                np.array([], np.uint64)
+            pf = pq.ParquetFile(data_path(root, f["path"]),
+                                memory_map=True, pre_buffer=False)
+            rg_blooms, rg_params, frag_hashes = [], [], []
+            for g in range(pf.num_row_groups):
+                vals = pc.drop_null(
+                    pf.read_row_group(g, columns=[col])[col]
+                    .combine_chunks())
+                h = hash_key_array(vals) if len(vals) else \
+                    np.array([], np.uint64)
+                bits, k = _params(len(vals), fpp)
+                rg_blooms.append(_build_bits(h, bits, k))
+                rg_params.append((bits, k))
+                frag_hashes.append(h)
+            allh = (np.concatenate(frag_hashes) if frag_hashes
+                    else np.array([], np.uint64))
+            fbits, fk = _params(len(allh), fpp)
             rel = f"colindex/{col}/{f['path'].replace('/', '_')}.bloom"
-            publish_bytes(root, rel, _build_bits(h, bits, k))
-            out[f["path"]] = {"bloom": rel, "bits": bits, "k": k}
+            publish_bytes(root, rel, _encode_sidecar(
+                _build_bits(allh, fbits, fk), rg_blooms, fbits, fk,
+                rg_params))
+            out[f["path"]] = {"bloom": rel, "bits": fbits, "k": fk}
         return out
 
     refs = [_index_batch.remote(table.root, col,
@@ -208,6 +271,26 @@ def _delete_sidecar(root: str, rel: str) -> None:
         pass
 
 
+def scan_plan(root: str, frags: list, predicate_in: dict,
+              schema: pa.Schema) -> tuple[list, dict | None]:
+    """Fragment-level bloom pruning + the in-task consult plan:
+    → (surviving fragments, {col: (entries_by_path, value_hashes)} for
+    indexed predicate columns — what read tasks need to ALSO prune row
+    groups inside their fragment). Both conservative."""
+    frags = prune_fragments(root, frags, predicate_in, schema)
+    info: dict = {}
+    for col, values in predicate_in.items():
+        if col not in schema.names:
+            continue
+        idx = load_index(root, col)
+        if not idx or not idx.get("frags"):
+            continue
+        h = _hash_values(values, schema.field(col).type)
+        if len(h):
+            info[col] = (idx["frags"], h)
+    return frags, (info or None)
+
+
 def prune_fragments(root: str, frags: list, predicate_in: dict,
                     schema: pa.Schema) -> list:
     """Drop fragments whose bloom proves NO queried value can be
@@ -251,13 +334,25 @@ def prune_fragments(root: str, frags: list, predicate_in: dict,
 
 
 def _maybe_local(root: str, entry: dict, h: np.ndarray) -> bool:
+    data = read_sidecar(root, entry)
+    if data is None:
+        return True
+    try:
+        hdr, off = _decode_sidecar(data)
+        bits, k, o, ln = hdr["frag"]
+    except (ValueError, KeyError):
+        return True
+    return _any_maybe(data[off + o:off + o + ln], h, bits, k)
+
+
+def read_sidecar(root: str, entry: dict) -> bytes | None:
+    """Sidecar bytes through the file cache, or None when missing — a
+    stale cached index.json can reference a sidecar a newer build GC'd;
+    every consumer degrades to keep."""
     from moonray.filecache import data_path
 
     try:
         with open(data_path(root, entry["bloom"]), "rb") as f:
-            bloom = f.read()
+            return f.read()
     except (FileNotFoundError, OSError):
-        # a stale cached index.json can reference a sidecar a newer
-        # build GC'd — conservative: keep the fragment
-        return True
-    return _any_maybe(bloom, h, entry["bits"], entry["k"])
+        return None

@@ -123,7 +123,8 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
                    rg_span: tuple[int, int] | None = None,
                    ranges: dict | None = None,
                    in_sets: dict | None = None,
-                   drop_after: tuple = ()) -> pa.Table:
+                   drop_after: tuple = (),
+                   bloom: dict | None = None) -> pa.Table:
     """Read one fragment (column-pruned, memory-mapped) + inline DV
     filter + projection onto the current schema (ALTER-added columns
     filled with defaults). Each read task loads only ITS fragment's DV
@@ -146,7 +147,7 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
     cols = list(read_schema.names)
     if (dv_rels or with_internal) and ROWOFF not in cols:
         cols.append(ROWOFF)
-    if rg_span is None:
+    if rg_span is None and not (bloom and in_sets):
         present = set(pq.read_schema(path).names)
         filters = None
         if ranges or in_sets:
@@ -162,11 +163,14 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
     else:
         pf = pq.ParquetFile(path, memory_map=True, pre_buffer=False)
         present = set(pf.schema_arrow.names)
-        hi = min(rg_span[1], pf.num_row_groups)
-        rgs = list(range(rg_span[0], hi))
+        span = rg_span or (0, pf.num_row_groups)
+        hi = min(span[1], pf.num_row_groups)
+        rgs = list(range(span[0], hi))
         if ranges or in_sets:
             rgs = [g for g in rgs
                    if _rg_stats_overlap(pf, g, ranges, present, in_sets)]
+        if bloom and in_sets and rgs:
+            rgs = _rgs_bloom_maybe(root, bloom, rgs)
         t = (pf.read_row_groups(rgs,
                                 columns=[c for c in cols if c in present])
              if rgs else
@@ -189,6 +193,28 @@ def _read_fragment(root: str, rel_path: str, dv_rels: list[str],
     return t
 
 
+def _rgs_bloom_maybe(root: str, bloom: dict, rgs: list) -> list:
+    """Intersect the candidate row groups with each indexed predicate
+    column's per-row-group blooms (colindex sidecar v2). Conservative:
+    a missing/foreign sidecar keeps everything."""
+    import numpy as np
+
+    from moonray import colindex
+
+    for _col, (entry, h) in bloom.items():
+        if not rgs:
+            break
+        data = colindex.read_sidecar(root, entry)
+        if data is None:
+            continue
+        try:
+            mask = colindex.rgs_maybe(data, np.asarray(h, np.uint64), rgs)
+        except (ValueError, KeyError):
+            continue
+        rgs = [g for g, keep in zip(rgs, mask) if keep]
+    return rgs
+
+
 class FragmentDatasource(Datasource):
     """Custom Ray Data source over a pinned manifest's fragment list —
     one ReadTask per fragment, exact row/byte metadata from the manifest.
@@ -201,7 +227,7 @@ class FragmentDatasource(Datasource):
     def __init__(self, root: str, frags: list[dict], read_schema: pa.Schema,
                  defaults: dict, with_internal: bool,
                  ranges: dict | None = None, in_sets: dict | None = None,
-                 drop_after: tuple = ()):
+                 drop_after: tuple = (), bloom_info: dict | None = None):
         self.root = root
         self.frags = frags
         self.read_schema = read_schema
@@ -210,6 +236,9 @@ class FragmentDatasource(Datasource):
         self.ranges = ranges
         self.in_sets = in_sets
         self.drop_after = drop_after
+        # {col: (entries_by_path, value_hashes)} — per-row-group bloom
+        # consult plan for in_sets columns (colindex.scan_plan)
+        self.bloom_info = bloom_info
 
     def get_name(self) -> str:
         return "MoonrayFragments"
@@ -232,6 +261,11 @@ class FragmentDatasource(Datasource):
             root, rel, dvs = self.root, f["path"], dv_paths_of(f)
             sch, dflt, internal = self.read_schema, self.defaults, self.with_internal
             rngs, insets, drop = self.ranges, self.in_sets, self.drop_after
+            fb = None
+            if self.bloom_info:
+                fb = {c: (ents[f["path"]], h)
+                      for c, (ents, h) in self.bloom_info.items()
+                      if f["path"] in ents} or None
             for a, b in zip(bounds, bounds[1:]):
                 if a == b:
                     continue
@@ -250,11 +284,11 @@ class FragmentDatasource(Datasource):
 
                 def fn(root=root, rel=rel, dvs=dvs, sch=sch, dflt=dflt,
                        internal=internal, span=span, rngs=rngs,
-                       insets=insets, drop=drop):
+                       insets=insets, drop=drop, fb=fb):
                     return [_read_fragment(root, rel, dvs, sch, dflt,
                                            internal, rg_span=span,
                                            ranges=rngs, in_sets=insets,
-                                           drop_after=drop)]
+                                           drop_after=drop, bloom=fb)]
 
                 out.append(ReadTask(fn, meta))
         return out
@@ -1167,6 +1201,7 @@ class MoonrayTable:
             version = self.version_as_of(as_of)
         m = self.manifest(version)
         frags = m["fragments"]
+        bloom_info = None
         user_schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
         if predicate_ranges:
             frags = [f for f in frags if _zones_overlap(f["zones"], predicate_ranges)]
@@ -1175,13 +1210,15 @@ class MoonrayTable:
                      if _zones_contain_any(f["zones"], predicate_in)]
             if use_column_index and frags:
                 # bloom-sidecar pruning (build_column_index): drops
-                # fragments that PROVABLY lack every queried value;
-                # conservative — unindexed fragments/columns all keep,
-                # and the in-task is_in filter still runs regardless
+                # fragments that PROVABLY lack every queried value, and
+                # hands read tasks the per-row-group consult plan so
+                # they also skip non-matching row groups INSIDE kept
+                # fragments; conservative — unindexed fragments/columns
+                # all keep, and the in-task is_in filter still runs
                 from moonray import colindex
 
-                frags = colindex.prune_fragments(self.root, frags,
-                                                 predicate_in, user_schema)
+                frags, bloom_info = colindex.scan_plan(
+                    self.root, frags, predicate_in, user_schema)
         frags = [f for f in frags if f["dv_count"] < f["rows"]]
         if not frags:
             cols = columns or user_schema.names
@@ -1205,7 +1242,8 @@ class MoonrayTable:
         src = FragmentDatasource(self.root, frags, read_schema,
                                  m.get("column_defaults", {}), with_internal,
                                  ranges=ranges, in_sets=in_sets,
-                                 drop_after=drop_after)
+                                 drop_after=drop_after,
+                                 bloom_info=bloom_info if in_sets else None)
         # block target: at least ~2 tasks per CPU when row-group splits
         # allow it, never fewer than one task per fragment — compaction
         # can consolidate files without capping scan parallelism

@@ -176,3 +176,38 @@ def test_missing_sidecar_is_conservative(tmp_path):
         t.root, t.manifest()["fragments"], {"name": ["user-00042"]},
         t.schema())
     assert len(pruned) == len(t.manifest()["fragments"])
+
+
+def test_row_group_bloom_prunes_inside_fragment(tmp_path):
+    """Sidecar v2 carries one bloom PER ROW GROUP: on a single-fragment
+    table with SHUFFLED values (rg min/max stats span everything and
+    prune nothing) the consult must narrow 8 row groups to ~1."""
+    import moonray.table as mt
+    from moonray.colindex import _hash_values, read_sidecar, rgs_maybe
+
+    rng = np.random.default_rng(5)
+    order = rng.permutation(512)
+    schema = pa.schema([("id", pa.int64()), ("name", pa.string())])
+    t = MoonrayTable.create(str(tmp_path / "t"), key_col="id",
+                            schema=schema, index_partitions=4,
+                            rows_per_fragment=512)
+    t.bulk_load(rd.from_arrow(pa.table({
+        "id": pa.array(range(512), pa.int64()),
+        "name": pa.array([f"user-{order[i]:05d}" for i in range(512)],
+                         pa.string())})))
+    m = t.manifest()
+    assert len(m["fragments"]) == 1 and m["fragments"][0]["rg_rows"] == 64
+    t.build_column_index("name")
+
+    entry = colindex.load_index(t.root, "name")["frags"][
+        m["fragments"][0]["path"]]
+    h = _hash_values(["user-00123"], pa.string())
+    mask = rgs_maybe(read_sidecar(t.root, entry), h, list(range(8)))
+    assert 1 <= sum(mask) <= 2  # the true row group + fpp slack
+    kept = mt._rgs_bloom_maybe(t.root, {"name": (entry, h)},
+                               list(range(8)))
+    assert 1 <= len(kept) <= 2
+
+    # e2e: the scan stays exact through the in-task rg consult
+    got = _ids(t.scan(predicate_in={"name": ["user-00123"]}))
+    assert got == [int(np.flatnonzero(order == 123)[0])]

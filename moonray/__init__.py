@@ -18,6 +18,7 @@ SURVEY.md for the structural map) built idiomatically on Ray Data:
   index merge, manifest rewrite, snapshot expiry.
 """
 
+from moonray.aggview import build_aggregate_view, sync_aggregate  # noqa: F401
 from moonray.catalog import MoonrayCatalog  # noqa: F401
 from moonray.clone import clone_table, localize_clone, release_clone  # noqa: F401
 from moonray.merge import merge_into  # noqa: F401

@@ -523,14 +523,26 @@ class MoonrayService:
         # across an ALTER must describe the files it actually lists
         sch = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
         try:
+            kept = [f for f in m["fragments"]
+                    if (not ranges
+                        or _zones_overlap(f.get("zones", {}), ranges))
+                    and (not in_sets
+                         or _zones_contain_any(f.get("zones", {}),
+                                               in_sets))]
+            if in_sets and kept:
+                # bloom column indexes prune server-side too — the
+                # consumer downloads only fragments that may hold a
+                # queried value (conservative; it still owes the exact
+                # row filter, echoed back in pruned_by)
+                from moonray import colindex
+
+                kept = colindex.prune_fragments(t.root, kept, in_sets,
+                                                sch)
             frags = [{
                 "path": f["path"], "rows": f["rows"], "bytes": f["bytes"],
                 "dv_count": f["dv_count"], "dv_paths": dv_paths_of(f),
                 "zones": f.get("zones", {}),
-            } for f in m["fragments"]
-                if (not ranges or _zones_overlap(f.get("zones", {}), ranges))
-                and (not in_sets
-                     or _zones_contain_any(f.get("zones", {}), in_sets))]
+            } for f in kept]
         except TypeError as ex:
             # spec values incomparable with the zone types: release the
             # pin we just took — the client never sees its token

@@ -440,3 +440,34 @@ def test_scanplan_by_ref(svc):
     assert st == 404
     st, _ = _call("GET", f"{svc}/tables/refs1/scanplan?ref=rel&version=1")
     assert st == 400
+
+
+def test_scanplan_bloom_pruning(svc):
+    """A bloom column index prunes the scanplan fragment list for ?in=
+    predicates on NON-zone, high-cardinality columns — where zone maps
+    keep everything."""
+    import json as _json
+    from urllib.parse import quote
+
+    from moonray.table import MoonrayTable
+
+    _call("POST", f"{svc}/tables/bp1", {
+        "schema": [["id", "int64"], ["name", "string"]],
+        "key_col": "id", "rows_per_fragment": 8, "index_partitions": 2,
+    })
+    _call("POST", f"{svc}/ingest/bp1", {
+        "operation": "insert",
+        "data": [{"id": i, "name": f"user-{i:04d}"} for i in range(64)]})
+
+    q = "?in=" + quote(_json.dumps({"name": ["user-0042"]}))
+    st, before = _call("GET", f"{svc}/tables/bp1/scanplan{q}")
+    st2, full = _call("GET", f"{svc}/tables/bp1/scanplan")
+    assert st == st2 == 200
+    # name has no zone map → nothing prunes before the index exists
+    assert len(before["fragments"]) == len(full["fragments"]) >= 8
+
+    MoonrayTable.open(full["root"]).build_column_index("name")
+    st3, after = _call("GET", f"{svc}/tables/bp1/scanplan{q}")
+    assert st3 == 200
+    assert 1 <= len(after["fragments"]) <= 2  # the hit + fpp slack
+    assert after["pruned_by"]["in"] == {"name": ["user-0042"]}

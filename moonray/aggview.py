@@ -313,7 +313,28 @@ def sync_aggregate(src, dst, *, group_cols, aggs: dict, transform=None,
     """Apply source commits in (last_synced, src.latest] to the
     aggregate view and advance the pointer. Returns dst's new version.
     ``stats`` (optional dict) is filled with round observability:
-    ``changed_groups``, ``rescanned_groups``, ``deleted_groups``."""
+    ``changed_groups``, ``rescanned_groups``, ``deleted_groups``.
+
+    Exactly-once across crashes needs a DETERMINISTIC window: the merge
+    job_id embeds (last, cur], so a retry after a crash between
+    merge-commit and pointer-advance must replay the SAME cur — if it
+    took a newer src.latest instead, the job_id would differ and the
+    committed window's deltas would apply twice. A pending record
+    (written before the merge, cleared after the pointer advances) pins
+    the in-flight window; when a replayed pending window is behind
+    src.latest, a second round in the same call catches up."""
+    v = dst.latest_version()
+    for _ in range(2):
+        v, replayed = _sync_round(src, dst, group_cols, aggs, transform,
+                                  transform_columns, state_key, stats)
+        if not replayed:
+            break
+    return v
+
+
+def _sync_round(src, dst, group_cols, aggs, transform, transform_columns,
+                state_key, stats) -> tuple[int, bool]:
+    """One sync window → (dst version, replayed_pending)."""
     import pyarrow.compute as pc
 
     from moonray import manifest as mf
@@ -329,10 +350,21 @@ def sync_aggregate(src, dst, *, group_cols, aggs: dict, transform=None,
         raise RuntimeError(
             "aggregate view has no sync pointer — create it with "
             "build_aggregate_view (a full build at a pinned version)")
-    cur = src.latest_version()
+    pend_name = _pointer_name(state_key) + ".pending"
+    pending = None
+    try:
+        raw = store.read_pointer(pend_name)
+        if raw:
+            pending = tuple(int(x) for x in raw.split(":"))
+    except FileNotFoundError:
+        pass
+    replay = bool(pending and pending[0] == last and pending[1] > last)
+    cur = pending[1] if replay else src.latest_version()
     mf.set_floor(src.root, last, _floor_token(dst.root, state_key))
     if cur <= last:
-        return dst.latest_version()
+        store.set_pointer(pend_name, "")
+        return dst.latest_version(), False
+    store.set_pointer(pend_name, f"{last}:{cur}")
 
     try:
         deltas = _collect(_fold(
@@ -351,8 +383,9 @@ def sync_aggregate(src, dst, *, group_cols, aggs: dict, transform=None,
                               derived)
     if deltas is None or len(deltas) == 0:
         store.set_pointer(_pointer_name(state_key), str(cur))
+        store.set_pointer(pend_name, "")
         mf.set_floor(src.root, cur, _floor_token(dst.root, state_key))
-        return dst.latest_version()
+        return dst.latest_version(), replay
 
     # stored rows for exactly the changed groups — index-served point
     # reads, O(changed groups)
@@ -401,13 +434,23 @@ def sync_aggregate(src, dst, *, group_cols, aggs: dict, transform=None,
             s = j[f"_s_{out}"]
             ins = j[f"_pi_{out}"]
             dele = j[f"_pd_{out}"]
-            # the stored extreme survives unless a deleted value TIES it
-            # (live rows were all >= min / <= max, so a tie is the only
-            # way the extreme can leave; multiplicity unknown → rescan)
+            # existing group: the stored extreme survives unless a
+            # deleted value TIES the would-be result — any delete that
+            # could displace min(s, ins_min) satisfies d <= that value
+            # <= s, so d <= s catches it (multiplicity unknown →
+            # rescan). NEW group (born this window): inserted extremes
+            # are only trustworthy if NOTHING was deleted — a
+            # delete-after-insert inside the window may have removed
+            # the extreme row, so any valid deleted value forces a
+            # rescan.
             cmp = pc.less_equal if kind == "min" else pc.greater_equal
             tie = pc.fill_null(cmp(dele, s), False)
-            tie = tie.combine_chunks().to_numpy(zero_copy_only=False)
-            rescan_mask |= np.asarray(tie, bool) & exists & ~dead
+            tie = np.asarray(tie.combine_chunks()
+                             .to_numpy(zero_copy_only=False), bool)
+            del_valid = np.asarray(
+                pc.is_valid(dele).combine_chunks()
+                .to_numpy(zero_copy_only=False), bool)
+            rescan_mask |= ((tie & exists) | (del_valid & ~exists)) & ~dead
             best = (pc.min_element_wise if kind == "min"
                     else pc.max_element_wise)
             new_cols[out] = best(s, ins).cast(typ)  # arrow skips nulls
@@ -465,9 +508,10 @@ def sync_aggregate(src, dst, *, group_cols, aggs: dict, transform=None,
     v = dst.merge(rd.from_arrow(ops_tbl),
                   job_id=f"aggsync-{state_key}-{last}-{cur}")
     store.set_pointer(_pointer_name(state_key), str(cur))
+    store.set_pointer(pend_name, "")
     mf.set_floor(src.root, cur, _floor_token(dst.root, state_key))
     if stats is not None:
         stats["changed_groups"] = len(j)
         stats["rescanned_groups"] = n_rescan
         stats["deleted_groups"] = int(dead.sum())
-    return v
+    return v, replay

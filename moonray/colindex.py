@@ -78,8 +78,13 @@ def _build_bits(h64: np.ndarray, bits: int, k: int) -> bytes:
 
 
 def _any_maybe(bloom: bytes, h64: np.ndarray, bits: int, k: int) -> bool:
-    """True iff at least one queried hash has all k bits set."""
+    """True iff at least one queried hash has all k bits set. A
+    truncated/corrupt bloom (fewer bytes than bits/8) degrades to
+    True — the module invariant is that the index may only ever
+    change I/O, never results."""
     bs = np.frombuffer(bloom, np.uint8)
+    if bits <= 0 or len(bs) * 8 < bits:
+        return True
     h2 = _h2(h64)
     mask = np.uint64(bits - 1)
     alive = np.ones(len(h64), bool)
@@ -160,7 +165,8 @@ def _decode_sidecar(data: bytes) -> tuple[dict, int]:
 
 def rgs_maybe(sidecar: bytes, h64: np.ndarray, rg_indices) -> list:
     """Per-row-group membership: True where some queried hash may be
-    present. Unknown row groups (index beyond the sidecar) stay True."""
+    present. Unknown row groups (index beyond the sidecar) and corrupt
+    entries stay True."""
     hdr, off = _decode_sidecar(sidecar)
     rgs = hdr["rgs"]
     out = []
@@ -168,8 +174,12 @@ def rgs_maybe(sidecar: bytes, h64: np.ndarray, rg_indices) -> list:
         if g >= len(rgs):
             out.append(True)
             continue
-        bits, k, o, ln = rgs[g]
-        out.append(_any_maybe(sidecar[off + o:off + o + ln], h64, bits, k))
+        try:
+            bits, k, o, ln = rgs[g]
+            out.append(_any_maybe(sidecar[off + o:off + o + ln],
+                                  h64, bits, k))
+        except Exception:  # noqa: BLE001
+            out.append(True)
     return out
 
 
@@ -277,7 +287,13 @@ def scan_plan(root: str, frags: list, predicate_in: dict,
     → (surviving fragments, {col: (entries_by_path, value_hashes)} for
     indexed predicate columns — what read tasks need to ALSO prune row
     groups inside their fragment). Both conservative."""
-    frags = prune_fragments(root, frags, predicate_in, schema)
+    info = _load_info(root, predicate_in, schema)
+    return _prune_with_info(root, frags, info), (info or None)
+
+
+def _load_info(root: str, predicate_in: dict, schema: pa.Schema) -> dict:
+    """One index.json load + one value-hash per indexed predicate
+    column → {col: (entries_by_path, value_hashes)}."""
     info: dict = {}
     for col, values in predicate_in.items():
         if col not in schema.names:
@@ -288,7 +304,7 @@ def scan_plan(root: str, frags: list, predicate_in: dict,
         h = _hash_values(values, schema.field(col).type)
         if len(h):
             info[col] = (idx["frags"], h)
-    return frags, (info or None)
+    return info
 
 
 def prune_fragments(root: str, frags: list, predicate_in: dict,
@@ -296,20 +312,16 @@ def prune_fragments(root: str, frags: list, predicate_in: dict,
     """Drop fragments whose bloom proves NO queried value can be
     present, for every predicate_in column that has an index.
     Conservative: unindexed columns/fragments keep everything."""
+    return _prune_with_info(root, frags,
+                            _load_info(root, predicate_in, schema))
+
+
+def _prune_with_info(root: str, frags: list, info: dict) -> list:
     import ray
 
-    for col, values in predicate_in.items():
+    for _col, (entries, h) in info.items():
         if len(frags) == 0:
             break
-        if col not in schema.names:
-            continue
-        idx = load_index(root, col)
-        if not idx or not idx.get("frags"):
-            continue
-        h = _hash_values(values, schema.field(col).type)
-        if len(h) == 0:
-            continue
-        entries = idx["frags"]
         candidates = [(i, entries[f["path"]]) for i, f in enumerate(frags)
                       if f["path"] in entries]
         if not candidates:
@@ -340,9 +352,9 @@ def _maybe_local(root: str, entry: dict, h: np.ndarray) -> bool:
     try:
         hdr, off = _decode_sidecar(data)
         bits, k, o, ln = hdr["frag"]
-    except (ValueError, KeyError):
+        return _any_maybe(data[off + o:off + o + ln], h, bits, k)
+    except Exception:  # noqa: BLE001 — corrupt sidecar degrades to keep
         return True
-    return _any_maybe(data[off + o:off + o + ln], h, bits, k)
 
 
 def read_sidecar(root: str, entry: dict) -> bytes | None:

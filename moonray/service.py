@@ -543,14 +543,16 @@ class MoonrayService:
                 "dv_count": f["dv_count"], "dv_paths": dv_paths_of(f),
                 "zones": f.get("zones", {}),
             } for f in kept]
-        except TypeError as ex:
-            # spec values incomparable with the zone types: release the
-            # pin we just took — the client never sees its token
+        except (TypeError, ValueError) as ex:
+            # spec values incomparable with the zone types, or IN-list
+            # values that don't cast to a bloom-indexed column's type
+            # (pa.ArrowInvalid is a ValueError): release the pin we
+            # just took — the client never sees its token
             if token is not None:
                 t.scan_end(token)
             raise ServiceError(
                 400, f"ranges/in values don't compare with the "
-                     f"column's zone type: {ex}") from ex
+                     f"column's type: {ex}") from ex
         return {
             "version": m["version"],
             "commit_lsn": m["commit_lsn"],

@@ -209,7 +209,7 @@ def _rgs_bloom_maybe(root: str, bloom: dict, rgs: list) -> list:
             continue
         try:
             mask = colindex.rgs_maybe(data, np.asarray(h, np.uint64), rgs)
-        except (ValueError, KeyError):
+        except Exception:  # noqa: BLE001 — corrupt sidecar → keep all
             continue
         rgs = [g for g, keep in zip(rgs, mask) if keep]
     return rgs

@@ -327,3 +327,53 @@ def test_model_random_rounds(tmp_path):
         _merge(src, uniq, lsn=lsn)
         sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS)
         _check(src, dst)
+
+
+def test_new_group_within_window_extreme_delete(tmp_path):
+    """Review finding (session 4): a group BORN inside the sync window
+    whose within-window extreme is then deleted must rescan — the
+    stored-extreme tie check can't fire (nothing stored), so any valid
+    deleted value on a min/max column forces it."""
+    src = _mk_src(str(tmp_path / "src"), [(1, 0, 7)])
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS)
+    # window spans two commits: g=9 born with x=3 and x=5, then x=3
+    # (its min) deleted — true min is 5
+    _merge(src, [("I", 10, 9, 3), ("I", 11, 9, 5)], lsn=1)
+    _merge(src, [("D", 10, 9, 0)], lsn=2)
+    stats = {}
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS, stats=stats)
+    assert stats["rescanned_groups"] >= 1
+    row = [r for r in _view_df(dst).to_dict("records") if r["g"] == 9][0]
+    assert row["min_x"] == 5 and row["max_x"] == 5 and row["cnt"] == 1
+    _check(src, dst)
+
+
+def test_crash_replay_with_new_commit_is_exactly_once(tmp_path):
+    """Review finding (session 4): crash between merge-commit and
+    pointer-advance, then a NEW source commit before the retry. The
+    pending-window record must make the retry replay the ORIGINAL
+    window (same job_id → short-circuit) and then catch up — not fold
+    both windows into one differently-named job that double-applies."""
+    from moonray.aggview import _pointer_name
+    from moonray.commitstore import store_for
+
+    src = _mk_src(str(tmp_path / "src"), [(1, 0, 100), (2, 0, 1)])
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS)
+    _merge(src, [("I", 50, 0, 10)], lsn=1)   # window (v1, v2]
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS)
+
+    # reconstruct the crash state: pointer NOT advanced, pending window
+    # still on disk (exactly what a crash after dst.merge leaves)
+    store = store_for(dst.root)
+    last = 1
+    cur = src.latest_version()
+    store.set_pointer(_pointer_name("agg"), str(last))
+    store.set_pointer(_pointer_name("agg") + ".pending", f"{last}:{cur}")
+
+    _merge(src, [("I", 51, 0, 1)], lsn=2)    # new commit lands (v3)
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS)
+    # the v2 insert (x=10) must count exactly once AND the v3 insert
+    # must be applied by the same call's catch-up round
+    _check(src, dst)

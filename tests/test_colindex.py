@@ -211,3 +211,22 @@ def test_row_group_bloom_prunes_inside_fragment(tmp_path):
     # e2e: the scan stays exact through the in-task rg consult
     got = _ids(t.scan(predicate_in={"name": ["user-00123"]}))
     assert got == [int(np.flatnonzero(order == 123)[0])]
+
+
+def test_corrupt_sidecar_degrades_to_keep(tmp_path):
+    """Review finding (session 4): a truncated sidecar whose header is
+    intact must degrade to keep-the-fragment, never crash a scan."""
+    import glob
+    import os
+
+    t = _mk(str(tmp_path / "t"), n=300)
+    t.build_column_index("name")
+    for f in glob.glob(os.path.join(t.root, "colindex/name/*.bloom")):
+        data = open(f, "rb").read()
+        with open(f, "wb") as out:
+            out.write(data[:len(data) // 2])  # header ok, payload cut
+    assert _ids(t.scan(predicate_in={"name": ["user-00042"]})) == [42]
+    pruned = colindex.prune_fragments(
+        t.root, t.manifest()["fragments"], {"name": ["user-00042"]},
+        t.schema())
+    assert len(pruned) == len(t.manifest()["fragments"])

@@ -471,3 +471,34 @@ def test_scanplan_bloom_pruning(svc):
     assert st3 == 200
     assert 1 <= len(after["fragments"]) <= 2  # the hit + fpp slack
     assert after["pruned_by"]["in"] == {"name": ["user-0042"]}
+
+
+def test_scanplan_bloom_type_mismatch_is_400_no_pin_leak(svc):
+    """Review finding (session 4): IN-list values that don't cast to a
+    bloom-indexed column's type must 400 and release the pin (ArrowInvalid
+    is a ValueError, which the TypeError-only cleanup used to miss)."""
+    import json as _json
+    from urllib.parse import quote
+
+    from moonray.table import MoonrayTable
+
+    _call("POST", f"{svc}/tables/bp2", {
+        "schema": [["id", "int64"], ["name", "string"]],
+        "key_col": "id", "rows_per_fragment": 8, "index_partitions": 2,
+    })
+    _call("POST", f"{svc}/ingest/bp2", {
+        "operation": "insert",
+        "data": [{"id": i, "name": f"u{i}"} for i in range(16)]})
+    st, full = _call("GET", f"{svc}/tables/bp2/scanplan")
+    t = MoonrayTable.open(full["root"])
+    t.build_column_index("name")
+
+    q = "?pin=1&in=" + quote(_json.dumps({"name": [123]}))
+    st, body = _call("GET", f"{svc}/tables/bp2/scanplan{q}")
+    assert st == 400, body
+    # the pin written before pruning must have been released
+    from moonray.commitstore import store_for
+    import os as _os
+    scan_pins = [r for r in store_for(t.root).list("pins")
+                 if _os.path.basename(r).startswith("scan-")]
+    assert not scan_pins

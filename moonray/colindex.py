@@ -183,13 +183,37 @@ def rgs_maybe(sidecar: bytes, h64: np.ndarray, rg_indices) -> list:
     return out
 
 
-def build_bloom_index(table, col: str, *, fpp: float = 0.01,
+def list_indexed_columns(root: str) -> list[str]:
+    """Columns with a bloom index under this root (the colindex/
+    directory's immediate children that hold an index.json)."""
+    import os
+
+    from moonray.filecache import is_remote
+
+    if is_remote(root):
+        from moonray.commitstore import store_for
+
+        rels = store_for(root).list("colindex")
+        return sorted({r.split("/")[1] for r in rels
+                       if r.endswith("/index.json")
+                       and len(r.split("/")) == 3})
+    base = os.path.join(root, "colindex")
+    try:
+        return sorted(c for c in os.listdir(base)
+                      if os.path.exists(os.path.join(base, c,
+                                                     "index.json")))
+    except FileNotFoundError:
+        return []
+
+
+def build_bloom_index(table, col: str, *, fpp: float | None = None,
                       batch_frags: int = 16) -> dict:
     """(Re)build the bloom index for ``col``: one Ray task per
     ``batch_frags`` fragments lacking a sidecar, each reading only the
     indexed column. The refreshed ``index.json`` lists exactly the
     current manifest's live fragments (dead entries drop; their sidecar
-    files are orphaned until fsck/GC). Returns a summary dict."""
+    files are GC'd). ``fpp=None`` keeps a prior index's fpp (0.01 for a
+    first build). Returns a summary dict."""
     import ray
 
     from moonray.storage import publish_bytes
@@ -200,6 +224,8 @@ def build_bloom_index(table, col: str, *, fpp: float = 0.01,
     m = table.manifest()
     frags = m["fragments"]
     prior = load_index(table.root, col) or {"frags": {}}
+    if fpp is None:
+        fpp = float(prior.get("fpp", 0.01))
     have = prior["frags"]
     todo = [f for f in frags if f["path"] not in have]
 

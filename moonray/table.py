@@ -1029,7 +1029,7 @@ class MoonrayTable:
 
         return maintenance.cluster(self, cols=cols, **kw)
 
-    def build_column_index(self, col: str, *, fpp: float = 0.01) -> dict:
+    def build_column_index(self, col: str, *, fpp: float | None = None) -> dict:
         """(Re)build the per-fragment bloom index for a NON-key column
         (Delta bloom file index / Iceberg puffin stats analogue —
         colindex.py). scan(predicate_in={col: ...}) then drops
@@ -1048,6 +1048,7 @@ class MoonrayTable:
         return maintenance.maintenance_due(self.manifest(), **kw)
 
     def maintain_if_needed(self, *, expire_keep_last: int | None = None,
+                           refresh_column_indexes: bool = True,
                            **kw) -> dict:
         """The engine-side analogue of the reference's background
         maintenance loop (500 ms tick evaluating compaction/index-merge
@@ -1068,6 +1069,18 @@ class MoonrayTable:
             # after compact, so freshly-consolidated fragments sort too
             self.cluster(scope="incremental")
             actions.append("cluster_incremental")
+        if refresh_column_indexes:
+            # AFTER compact/cluster so their freshly-written fragments
+            # are indexed too; incremental — only sidecar-less
+            # fragments read, prior fpp kept
+            from moonray import colindex
+
+            for col in colindex.list_indexed_columns(self.root):
+                s = self.build_column_index(col, fpp=None)
+                if s["built"] or s["gc_sidecars"]:
+                    actions.append(
+                        f"colindex({col}:+{s['built']}"
+                        f"/-{s['gc_sidecars']})")
         if actions and expire_keep_last is not None:
             self.expire_snapshots(keep_last=expire_keep_last)
             actions.append(f"expire(keep_last={expire_keep_last})")

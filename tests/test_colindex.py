@@ -230,3 +230,30 @@ def test_corrupt_sidecar_degrades_to_keep(tmp_path):
         t.root, t.manifest()["fragments"], {"name": ["user-00042"]},
         t.schema())
     assert len(pruned) == len(t.manifest()["fragments"])
+
+
+def test_maintain_if_needed_refreshes_indexes(tmp_path):
+    """The background-maintenance loop keeps bloom indexes fresh:
+    fragments born from merges AND from the compaction it just ran are
+    indexed in the same pass (build runs after optimize), dead
+    fragments' sidecars GC'd."""
+    t = _mk(str(tmp_path / "t"), n=512, rpf=32)
+    t.build_column_index("name")
+    # enough small fragments that the compact trigger fires
+    for i in range(3):
+        t.merge(rd.from_arrow(pa.table({
+            "op": pa.array(["I"] * 4, pa.string()),
+            "lsn": pa.array([i + 1] * 4, pa.int64()),
+            "id": pa.array(range(9000 + 4 * i, 9004 + 4 * i), pa.int64()),
+            "name": pa.array([f"late-{j}" for j in range(4)], pa.string()),
+            "v": pa.array([0] * 4, pa.int64())})), job_id=f"m{i}")
+    rep = t.maintain_if_needed()
+    assert any(a.startswith("colindex(name:") for a in rep["actions"])
+    idx = colindex.load_index(t.root, "name")
+    live = {f["path"] for f in t.manifest()["fragments"]}
+    assert set(idx["frags"]) == live  # every live fragment indexed
+    assert _ids(t.scan(predicate_in={"name": ["late-1"]})) != []
+
+    # steady state: nothing new → no colindex action
+    rep2 = t.maintain_if_needed()
+    assert not any(a.startswith("colindex") for a in rep2["actions"])

@@ -227,6 +227,14 @@ def _q_restore(sf_dir: str):
     return restore_rollback_scan(sf_dir)
 
 
+def _q_agg_view_nd(sf_dir: str):
+    """Exact incremental COUNT(DISTINCT) view (aux support-count table)
+    maintained through a CDC round that collapses most distincts."""
+    from moonray.pipelines.relational import aggregate_view_distinct_scan
+
+    return aggregate_view_distinct_scan(sf_dir)
+
+
 def _q_bloom_scan(sf_dir: str):
     from moonray.pipelines.relational import bloom_point_scan
 
@@ -931,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_where_scan": _q_update_where,
         "restore_rollback_scan": _q_restore,
         "incremental_agg_view": _q_agg_view,
+        "incremental_agg_view_distinct": _q_agg_view_nd,
         "semantic_dedup_keep": _q_semantic_dedup,
         "bloom_point_scan": _q_bloom_scan,
     }
@@ -1170,6 +1179,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rollback undoes the corrupting merge entirely
         "restore_rollback_scan": _CUSTOMER_SQL,
+        # the exact incremental COUNT(DISTINCT) view vs a full
+        # recompute over the post-merge source
+        "incremental_agg_view_distinct": """
+        SELECT c_nationkey, count(*) AS cnt,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nd_seg
+        FROM (""" + _MERGE_SQL + """)
+        GROUP BY c_nationkey
+        """,
         # cluster-then-prune semantic dedup with fixed centroids is
         # fully SQL-expressible (assignment argmax + earlier-id NOT
         # EXISTS within cluster)

@@ -18,6 +18,12 @@ Aggregate algebra per round (classic IVM):
   one thin Ray groupby nets them globally. The merged row is
   ``stored + delta``; a group whose count reaches 0 is deleted from
   the view.
+- ``count_distinct`` is EXACT and maintained through a per-column
+  auxiliary support-count table ((group..., value) → multiplicity,
+  itself a keyed MoonrayTable under the view root, maintained by
+  signed deltas — the textbook IVM construction). Each round the view
+  stores the ABSOLUTE distinct count read back from the aux table's
+  changed groups, which makes replays idempotent by construction.
 - ``min`` / ``max`` are self-maintainable under inserts (the extreme
   can only improve) but NOT under deletes: when a deleted value ties
   the stored extreme the true new extreme is unknown without data (the
@@ -55,7 +61,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_KINDS = ("count", "sum", "min", "max")
+_KINDS = ("count", "sum", "min", "max", "count_distinct")
 
 
 def _plan(aggs: dict):
@@ -111,7 +117,7 @@ def _out_schema(group_cols, plan, src_schema: pa.Schema,
     fields = [pa.field(g, _col_type(g, src_schema, derived))
               for g in group_cols]
     for out, kind, col in plan:
-        if kind == "count":
+        if kind in ("count", "count_distinct"):
             typ = pa.int64()
         else:
             typ = _col_type(col, src_schema, derived)
@@ -122,6 +128,23 @@ def _out_schema(group_cols, plan, src_schema: pa.Schema,
                     else pa.float64()
         fields.append(pa.field(out, typ))
     return pa.schema(fields)
+
+
+def _main_plan(plan):
+    """The self-maintainable aggregates (everything but count_distinct
+    — those run through the auxiliary support-count pipeline)."""
+    return [p for p in plan if p[1] != "count_distinct"]
+
+
+def _nd_plan(plan):
+    return [(out, col) for out, kind, col in plan
+            if kind == "count_distinct"]
+
+
+def _aux_root(dst_root: str, out: str) -> str:
+    import os
+
+    return os.path.join(dst_root, "_aux", out)
 
 
 def _read_columns(group_cols, plan, src_schema, transform,
@@ -245,16 +268,20 @@ def _cast_deltas(deltas: pa.Table, group_cols, plan, src_schema,
 
 
 def _full_aggregate(src, version, group_cols, plan, transform, derived,
-                    transform_columns, *, predicate_in=None):
+                    transform_columns, *, predicate_in=None,
+                    out_schema: pa.Schema | None = None):
     """Distributed full (re)aggregation at a pinned version → folded
-    thin Dataset with the final out-column names and dtypes."""
+    thin Dataset with the final out-column names and dtypes. ``plan``
+    must be a MAIN plan (no count_distinct — those fold through the
+    aux pipeline, not this one)."""
     cols = _read_columns(group_cols, plan, src.schema(), transform,
                          transform_columns)
     ds = src.scan(version, columns=cols, predicate_in=predicate_in)
     folded = _fold(ds.map_batches(
         _partial_kernel(group_cols, plan, transform, signed=False),
         batch_format="pyarrow"), group_cols, plan, signed=False)
-    schema = _out_schema(group_cols, plan, src.schema(), derived)
+    schema = out_schema or _out_schema(group_cols, plan, src.schema(),
+                                       derived)
 
     def finalize(b: pa.Table) -> pa.Table:
         out = {g: b[g].cast(schema.field(g).type) for g in group_cols}
@@ -264,6 +291,109 @@ def _full_aggregate(src, version, group_cols, plan, transform, derived,
 
     finalize.__name__ = "aggview_finalize"
     return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+def _build_aux(src, version, dst_root, group_cols, out, col, transform,
+               transform_columns, derived):
+    """The support-count table behind a count_distinct column: one row
+    per live (group..., value) with its multiplicity ``n`` — classic
+    IVM support counts, themselves maintainable by signed deltas. A
+    MoonrayTable keyed on (group cols + value) under the view root."""
+    import pyarrow.compute as pc
+    import ray.data as rd  # noqa: F401 — table API takes Datasets
+
+    from moonray.table import MoonrayTable
+
+    src_schema = src.schema()
+    gfields = [pa.field(g, _col_type(g, src_schema, derived))
+               for g in group_cols]
+    vtype = _col_type(col, src_schema, derived)
+    schema = pa.schema(gfields + [pa.field(col, vtype),
+                                  pa.field("n", pa.int64())])
+    aux = MoonrayTable.create(_aux_root(dst_root, out), schema=schema,
+                              key_cols=list(group_cols) + [col],
+                              index_partitions=16)
+    nd_entry = [(out, "count_distinct", col)]
+    cols_read = _read_columns(group_cols, nd_entry, src_schema,
+                              transform, transform_columns)
+    keys = list(group_cols) + [col]
+
+    def pairs(b: pa.Table) -> pa.Table:
+        if transform is not None:
+            b = transform(b)
+        t = pa.table({**{g: b[g] for g in group_cols}, col: b[col],
+                      "_one": pa.array(np.ones(len(b), np.int64))})
+        t = t.filter(pc.is_valid(t[col]))  # count(DISTINCT) skips nulls
+        g = t.group_by(keys, use_threads=False).aggregate([("_one", "sum")])
+        return g.rename_columns(
+            ["n" if c == "_one_sum" else c for c in g.column_names])
+
+    pairs.__name__ = f"aux_pairs_{out}"
+    from ray.data.aggregate import Sum
+
+    folded = (src.scan(version, columns=cols_read)
+              .map_batches(pairs, batch_format="pyarrow")
+              .groupby(keys).aggregate(Sum("n", alias_name="n")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({f.name: b[f.name].cast(f.type) for f in schema})
+
+    fin.__name__ = "aux_finalize"
+    aux.bulk_load(folded.map_batches(fin, batch_format="pyarrow"))
+    return aux
+
+
+def _nd_absolute(aux, group_cols, restrict: dict | None = None) -> dict:
+    """{group-key tuple: distinct count} from the aux table — the
+    ABSOLUTE value (idempotent across replays: recomputed from the
+    committed aux state, never a delta). ``restrict`` limits the scan
+    to the changed groups (predicate_in: exact in-task filter, pruned
+    where possible)."""
+    import pyarrow.compute as pc  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({**{g: b[g] for g in group_cols},
+                      "_one": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by(list(group_cols),
+                       use_threads=False).aggregate([("_one", "sum")])
+        return g.rename_columns(
+            ["nd" if c == "_one_sum" else c for c in g.column_names])
+
+    partial.__name__ = "nd_partial"
+    folded = (aux.scan(columns=list(group_cols), predicate_in=restrict)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(list(group_cols)).aggregate(Sum("nd",
+                                                       alias_name="nd")))
+    t = _collect(folded)
+    if t is None or len(t) == 0:
+        return {}
+    keys = list(zip(*[t[g].to_pylist() for g in group_cols]))
+    return dict(zip(keys, t["nd"].to_pylist()))
+
+
+def _attach_nd(ds, group_cols, nd_maps: dict, schema: pa.Schema):
+    """Build-time: join the absolute distinct counts onto the folded
+    main aggregates (broadcast via ray.put — the maps are O(groups),
+    the same order as the view itself)."""
+    import ray
+
+    ref = ray.put(nd_maps)
+
+    def attach(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        maps = _ray.get(ref)
+        keys = list(zip(*[b[g].to_pylist() for g in group_cols]))
+        out = {c: b[c] for c in b.column_names}
+        for nd_out, m in maps.items():
+            out[nd_out] = pa.array([m.get(k, 0) for k in keys],
+                                   pa.int64())
+        return pa.table({f.name: out[f.name].cast(f.type)
+                         for f in schema})
+
+    attach.__name__ = "attach_nd"
+    return ds.map_batches(attach, batch_format="pyarrow")
 
 
 def build_aggregate_view(src, root: str, *, group_cols, aggs: dict,
@@ -276,8 +406,13 @@ def build_aggregate_view(src, root: str, *, group_cols, aggs: dict,
     pointer so the first ``sync_aggregate`` continues from exactly that
     version.
 
-    ``aggs``: {out_col: (kind, src_col|None)}, kinds count/sum/min/max;
-    a count column is mandatory (it drives group-death deletes).
+    ``aggs``: {out_col: (kind, src_col|None)}, kinds
+    count/sum/min/max/count_distinct; a count column is mandatory (it
+    drives group-death deletes). count_distinct is EXACT and
+    incrementally maintained through a per-column auxiliary
+    support-count table ((group..., value) → multiplicity) under the
+    view root — classic IVM; the view stores the absolute distinct
+    count recomputed from the aux table's changed groups each round.
     ``transform(batch) -> batch`` derives extra columns (fixed-point
     cents, day-bucketed timestamps, ...) before aggregation; it is
     applied identically to the initial scan, every changelog round, and
@@ -301,8 +436,18 @@ def build_aggregate_view(src, root: str, *, group_cols, aggs: dict,
     else:
         kw["key_col"] = group_cols[0]
     dst = MoonrayTable.create(root, schema=schema, **kw)
-    dst.bulk_load(_full_aggregate(src, cur, group_cols, plan, transform,
-                                  derived, transform_columns))
+    main_ds = _full_aggregate(src, cur, group_cols, _main_plan(plan),
+                              transform, derived, transform_columns,
+                              out_schema=schema)
+    nd = _nd_plan(plan)
+    if nd:
+        nd_maps = {}
+        for out, col in nd:
+            aux = _build_aux(src, cur, dst.root, group_cols, out, col,
+                             transform, transform_columns, derived)
+            nd_maps[out] = _nd_absolute(aux, group_cols)
+        main_ds = _attach_nd(main_ds, group_cols, nd_maps, schema)
+    dst.bulk_load(main_ds)
     store_for(dst.root).set_pointer(_pointer_name(state_key), str(cur))
     return dst
 
@@ -366,12 +511,13 @@ def _sync_round(src, dst, group_cols, aggs, transform, transform_columns,
         return dst.latest_version(), False
     store.set_pointer(pend_name, f"{last}:{cur}")
 
+    main = _main_plan(plan)
     try:
         deltas = _collect(_fold(
             src.changes(last, cur).map_batches(
-                _partial_kernel(group_cols, plan, transform, signed=True),
+                _partial_kernel(group_cols, main, transform, signed=True),
                 batch_format="pyarrow"),
-            group_cols, plan, signed=True))
+            group_cols, main, signed=True))
     except FileNotFoundError as e:
         raise RuntimeError(
             f"aggregate sync (state_key={state_key!r}) needs source "
@@ -379,7 +525,7 @@ def _sync_round(src, dst, group_cols, aggs, transform, transform_columns,
             "Resync required: rebuild the view with build_aggregate_view."
         ) from e
     if deltas is not None:
-        deltas = _cast_deltas(deltas, group_cols, plan, src.schema(),
+        deltas = _cast_deltas(deltas, group_cols, main, src.schema(),
                               derived)
     if deltas is None or len(deltas) == 0:
         store.set_pointer(_pointer_name(state_key), str(cur))
@@ -397,6 +543,18 @@ def _sync_round(src, dst, group_cols, aggs, transform, transform_columns,
     stored = stored.rename_columns(
         [c if c in group_cols else f"_s_{c}" for c in stored.column_names])
     j = deltas.join(stored, keys=group_cols, join_type="left outer")
+
+    # count_distinct columns: maintain the aux support-count tables
+    # through the same window, then read back ABSOLUTE per-group
+    # distinct counts (idempotent across replays — recomputed from the
+    # committed aux state). nd-changed groups ⊆ the main delta's groups
+    # (every changelog row moves the group's count too).
+    nd_abs: dict = {}
+    if _nd_plan(plan):
+        nd_abs = _sync_aux(src, dst, group_cols, plan, transform,
+                           transform_columns, derived, state_key,
+                           last, cur, j)
+    group_keys = list(zip(*[j[g].to_pylist() for g in group_cols]))
 
     cnt_out = next(o for o, k, _c in plan if k == "count")
     exists = pc.is_valid(j[f"_s_{cnt_out}"]).to_numpy(zero_copy_only=False)
@@ -417,6 +575,10 @@ def _sync_round(src, dst, group_cols, aggs, transform, transform_columns,
         typ = schema.field(out).type
         if kind == "count":
             new_cols[out] = pa.array(new_cnt, typ)
+        elif kind == "count_distinct":
+            m = nd_abs.get(out, {})
+            new_cols[out] = pa.array(
+                [int(m.get(k, 0)) for k in group_keys], typ)
         elif kind == "sum":
             s = pc.fill_null(j[f"_s_{out}"], 0)
             p = pc.fill_null(j[f"_p_{out}"], 0)
@@ -477,7 +639,7 @@ def _sync_round(src, dst, group_cols, aggs, transform, transform_columns,
         pin = {g: affected[g].to_pylist() for g in group_cols
                if g in phys} or None
         exact = _collect(_full_aggregate(
-            src, cur, group_cols, plan, transform, derived,
+            src, cur, group_cols, main, transform, derived,
             transform_columns, predicate_in=pin))
         if exact is not None and len(exact):
             want = set(zip(*[affected[g].to_pylist() for g in group_cols]))
@@ -515,3 +677,86 @@ def _sync_round(src, dst, group_cols, aggs, transform, transform_columns,
         stats["rescanned_groups"] = n_rescan
         stats["deleted_groups"] = int(dead.sum())
     return v, replay
+
+
+def _sync_aux(src, dst, group_cols, plan, transform, transform_columns,
+              derived, state_key, last, cur, j) -> dict:
+    """Maintain the count_distinct support tables through the window
+    (signed (group..., value) deltas → aux MERGE, idempotent under the
+    windowed job_id), then return {out: {group-key tuple: absolute
+    distinct count}} for the changed groups. Replay-safe: the absolute
+    read-back is a pure function of the committed aux state."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from moonray.table import MoonrayTable
+
+    src_schema = src.schema()
+    restrict = {g: sorted(set(j[g].to_pylist())) for g in group_cols}
+    out_maps: dict = {}
+    for out, col in _nd_plan(plan):
+        aux = MoonrayTable.open(_aux_root(dst.root, out))
+        keys = list(group_cols) + [col]
+        nd_entry = [(out, "count_distinct", col)]
+        cols_read = _read_columns(group_cols, nd_entry, src_schema,
+                                  transform, transform_columns)
+
+        def pair_delta(b: pa.Table, _col=col) -> pa.Table:
+            if transform is not None:
+                b = transform(b)
+            ins = pc.equal(b["change_type"], "insert").combine_chunks()
+            sign = np.where(ins.to_numpy(zero_copy_only=False), 1,
+                            -1).astype(np.int64)
+            t = pa.table({**{g: b[g] for g in group_cols},
+                          _col: b[_col],
+                          "_d": pa.array(sign)})
+            t = t.filter(pc.is_valid(t[_col]))  # nulls never count
+            g = t.group_by(keys, use_threads=False).aggregate(
+                [("_d", "sum")])
+            return g.rename_columns(
+                ["_d" if c == "_d_sum" else c for c in g.column_names])
+
+        pair_delta.__name__ = f"aux_pair_delta_{out}"
+        folded = _collect(
+            src.changes(last, cur)
+            .map_batches(pair_delta, batch_format="pyarrow")
+            .groupby(keys).aggregate(Sum("_d", alias_name="_d")))
+        if folded is not None and len(folded):
+            vtype = _col_type(col, src_schema, derived)
+            folded = pa.table({
+                **{g: folded[g].cast(_col_type(g, src_schema, derived))
+                   for g in group_cols},
+                col: folded[col].cast(vtype),
+                "_d": folded["_d"].cast(pa.int64())})
+            pair_keys = list(zip(*[folded[c].to_pylist() for c in keys]))
+            stored = aux.lookup(pair_keys)
+            stored = stored.rename_columns(
+                [c if c in keys else f"_s_{c}"
+                 for c in stored.column_names])
+            pj = folded.join(stored, keys=keys, join_type="left outer")
+            old_n = np.asarray(pc.fill_null(pj["_s_n"], 0)
+                               .to_numpy(zero_copy_only=False), np.int64)
+            new_n = old_n + np.asarray(
+                pj["_d"].to_numpy(zero_copy_only=False), np.int64)
+            if (new_n < 0).any():
+                raise RuntimeError(
+                    f"aux support table for {out!r} out of sync: a "
+                    "(group, value) multiplicity went negative")
+            p_exists = np.asarray(pc.is_valid(pj["_s_n"]).to_numpy(
+                zero_copy_only=False), bool)
+            p_dead = new_n == 0
+            keep = ~(p_dead & ~p_exists)
+            ops = pa.table({
+                "op": pa.array(np.where(p_dead, "D", "I"), pa.string()),
+                "lsn": pa.array(np.full(len(pj), cur, np.int64())),
+                **{c: pj[c] for c in keys},
+                "n": pa.array(new_n, pa.int64()),
+            }).filter(pa.array(keep))
+            if len(ops):
+                import ray.data as rd
+
+                aux.merge(rd.from_arrow(ops),
+                          job_id=f"aggsync-{state_key}-aux-{out}-"
+                                 f"{last}-{cur}")
+        out_maps[out] = _nd_absolute(aux, group_cols, restrict=restrict)
+    return out_maps

@@ -174,6 +174,25 @@ def bloom_point_scan(sf_dir: str):
     return t.scan(predicate_in={"c_name": names})
 
 
+def aggregate_view_distinct_scan(sf_dir: str):
+    """Exact incremental COUNT(DISTINCT) view: per-nation distinct
+    market segments + row count of customer, maintained through the
+    auxiliary support-count table across a CDC merge round (the merge
+    rewrites every surviving row's segment to 'SEG', collapsing
+    distincts — deletes of last-copies must drop them)."""
+    from moonray.aggview import build_aggregate_view, sync_aggregate
+    from moonray.util import scratch_root
+
+    src = build_customer_table(sf_dir)
+    aggs = {"cnt": ("count", None),
+            "nd_seg": ("count_distinct", "c_mktsegment")}
+    kw = dict(group_cols=["c_nationkey"], aggs=aggs)
+    dst = build_aggregate_view(src, scratch_root("moonray-aggnd-"), **kw)
+    src.merge(_changes_dataset(sf_dir))
+    sync_aggregate(src, dst, **kw)
+    return dst.scan()
+
+
 def restore_rollback_scan(sf_dir: str):
     """Rollback pipeline: bulk load customer → tag → apply a bad merge
     (scrambles balances, deletes a band) → restore to the tag → scan.

@@ -377,3 +377,114 @@ def test_crash_replay_with_new_commit_is_exactly_once(tmp_path):
     # the v2 insert (x=10) must count exactly once AND the v3 insert
     # must be applied by the same call's catch-up round
     _check(src, dst)
+
+
+AGGS_ND = {"cnt": ("count", None), "nd_x": ("count_distinct", "x")}
+
+
+def _oracle_nd(src) -> pd.DataFrame:
+    df = pa.concat_tables(src.scan().iter_batches(
+        batch_format="pyarrow", batch_size=8192)).to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=["g", "cnt", "nd_x"])
+    out = df.groupby("g").agg(cnt=("x", "size"),
+                              nd_x=("x", "nunique")).reset_index()
+    return out.sort_values("g", ignore_index=True)
+
+
+def _check_nd(src, dst):
+    got = pa.concat_tables(dst.scan().iter_batches(
+        batch_format="pyarrow", batch_size=8192)).to_pandas()[
+        ["g", "cnt", "nd_x"]].sort_values("g", ignore_index=True)
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  _oracle_nd(src).astype("int64"))
+
+
+def test_count_distinct_build_and_rounds(tmp_path):
+    """Exact per-group COUNT(DISTINCT) maintained through the aux
+    support-count table: duplicates collapse, deleting one copy of a
+    duplicated value keeps it counted, deleting the LAST copy drops
+    it."""
+    rows = [(1, 0, 5), (2, 0, 5), (3, 0, 7), (4, 1, 5)]
+    src = _mk_src(str(tmp_path / "src"), rows)
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS_ND)
+    _check_nd(src, dst)   # g0: cnt 3 nd 2; g1: cnt 1 nd 1
+
+    # delete ONE copy of the duplicated value 5 → nd unchanged
+    _merge(src, [("D", 1, 0, 0)], lsn=1)
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS_ND)
+    _check_nd(src, dst)
+
+    # delete the LAST copy of 5 in g0 → nd drops to 1
+    _merge(src, [("D", 2, 0, 0)], lsn=2)
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS_ND)
+    _check_nd(src, dst)
+
+    # inserts: a new value, a duplicate, and a brand-new group
+    _merge(src, [("I", 10, 0, 7), ("I", 11, 0, 9), ("I", 12, 5, 1)],
+           lsn=3)
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS_ND)
+    _check_nd(src, dst)
+
+    # update moves a row's value (D+I in the changelog)
+    _merge(src, [("U", 10, 0, 11)], lsn=4)
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS_ND)
+    _check_nd(src, dst)
+
+
+def test_count_distinct_model_random_rounds(tmp_path):
+    rng = np.random.default_rng(99)
+    rows = [(int(i), int(rng.integers(0, 4)), int(rng.integers(0, 6)))
+            for i in range(40)]
+    src = _mk_src(str(tmp_path / "src"), rows)
+    aggs = {**AGGS_ND, "sum_x": ("sum", "x"), "min_x": ("min", "x")}
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=aggs)
+    live = {i for i, _g, _x in rows}
+    gs = {i: g for i, g, _x in rows}
+    next_id = 1000
+    for lsn in range(1, 7):
+        ops, seen = [], set()
+        for _ in range(int(rng.integers(3, 10))):
+            kind = rng.choice(["I", "U", "D"])
+            if kind == "I" or not live:
+                i = next_id; next_id += 1
+            else:
+                i = int(rng.choice(sorted(live)))
+                if i in seen:
+                    continue
+            seen.add(i)
+            if kind == "D" and i in live:
+                ops.append(("D", i, gs[i], 0)); live.discard(i)
+            else:
+                g, x = int(rng.integers(0, 4)), int(rng.integers(0, 6))
+                ops.append(("I" if i >= 1000 else "U", i, g, x))
+                live.add(i); gs[i] = g
+        if not ops:
+            continue
+        _merge(src, ops, lsn=lsn)
+        sync_aggregate(src, dst, group_cols=["g"], aggs=aggs)
+        _check_nd(src, dst)
+
+
+def test_count_distinct_crash_replay(tmp_path):
+    """Crash between aux merge and view merge, then a new source
+    commit: the pending window replays the SAME aux job (short-circuit)
+    and the absolute nd read-back stays correct."""
+    from moonray.aggview import _pointer_name
+    from moonray.commitstore import store_for
+
+    src = _mk_src(str(tmp_path / "src"), [(1, 0, 5), (2, 0, 6)])
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS_ND)
+    _merge(src, [("I", 10, 0, 6), ("I", 11, 0, 7)], lsn=1)
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS_ND)
+
+    store = store_for(dst.root)
+    cur = src.latest_version()
+    store.set_pointer(_pointer_name("agg"), "1")
+    store.set_pointer(_pointer_name("agg") + ".pending", f"1:{cur}")
+    _merge(src, [("D", 10, 0, 0)], lsn=2)
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS_ND)
+    _check_nd(src, dst)

@@ -213,6 +213,11 @@ def main(argv=None) -> int:
     sp.add_argument("--state", required=True,
                     help="consumer position checkpoint file")
 
+    sp = sub.add_parser("vacuum")
+    tbl(sp)
+    sp.add_argument("--grace-seconds", type=float, default=86400.0)
+    sp.add_argument("--dry-run", action="store_true")
+
     sp = sub.add_parser("build-colindex")
     tbl(sp)
     sp.add_argument("--col", required=True,
@@ -431,6 +436,10 @@ def main(argv=None) -> int:
         v = sync_incremental(t, MoonrayTable.open(args.into),
                              state_key=args.state_key)
         print(json.dumps({"dst_version": v, "into": args.into}))
+        return 0
+    elif args.cmd == "vacuum":
+        print(json.dumps(t.vacuum(grace_seconds=args.grace_seconds,
+                                  dry_run=args.dry_run)))
         return 0
     elif args.cmd == "build-colindex":
         print(json.dumps(t.build_column_index(args.col, fpp=args.fpp)))

@@ -1029,6 +1029,18 @@ class MoonrayTable:
 
         return maintenance.cluster(self, cols=cols, **kw)
 
+    def vacuum(self, *, grace_seconds: float = 86400.0,
+               dry_run: bool = False) -> dict:
+        """Orphan-file GC (Delta VACUUM / Iceberg remove-orphan-files
+        analogue — vacuum.py): delete artifact files no retained
+        version references (crashed pre-commit jobs, interrupted index
+        builds). Referenced files of EVERY retained version — time
+        travel, tags, pins, clone sources — stay."""
+        from moonray.vacuum import vacuum_table
+
+        return vacuum_table(self, grace_seconds=grace_seconds,
+                            dry_run=dry_run)
+
     def build_column_index(self, col: str, *, fpp: float | None = None) -> dict:
         """(Re)build the per-fragment bloom index for a NON-key column
         (Delta bloom file index / Iceberg puffin stats analogue —

@@ -87,3 +87,63 @@ def test_cli_fsck_exit_codes(tmp_path, capsys):
     rel = next(iter(m["index"]["partitions"].values()))[0]
     os.remove(os.path.join(t.root, rel))
     assert main(["fsck", "--table", t.root, "--metadata-only"]) == 3
+
+
+def test_vacuum_removes_only_orphans(tmp_path):
+    """VACUUM (vacuum.py): unreferenced artifacts go, every file any
+    retained version references stays — time travel included."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moonray.table import MoonrayTable
+
+    root = str(tmp_path / "t")
+    t = MoonrayTable.create(root, key_col="k",
+                            schema=pa.schema([("k", pa.int64()),
+                                              ("v", pa.int64())]),
+                            rows_per_fragment=32, index_partitions=2)
+    t.bulk_load(rd.from_arrow(pa.table({
+        "k": pa.array(range(100), pa.int64()),
+        "v": pa.array(range(100), pa.int64())})))
+    t.build_column_index("v")
+    v1 = t.latest_version()
+    t.merge(rd.from_arrow(pa.table({
+        "op": pa.array(["D"] * 5, pa.string()),
+        "lsn": pa.array([1] * 5, pa.int64()),
+        "k": pa.array(range(5), pa.int64()),
+        "v": pa.array([0] * 5, pa.int64())})), job_id="m1")
+
+    # a healthy multi-version table has NO orphans
+    rep = t.vacuum(grace_seconds=0, dry_run=True)
+    assert rep["orphans"] == []
+
+    # plant orphans: a stray fragment copy, a stray DV, a stray bloom
+    frag = t.manifest()["fragments"][0]["path"]
+    shutil.copy(os.path.join(root, frag),
+                os.path.join(root, "fragments/orphan-copy.parquet"))
+    with open(os.path.join(root, "dv/orphan.npy"), "wb") as f:
+        f.write(b"x" * 16)
+    with open(os.path.join(root, "colindex/v/orphan.bloom"), "wb") as f:
+        f.write(b"y" * 16)
+
+    rep = t.vacuum(grace_seconds=0, dry_run=True)
+    assert sorted(rep["orphans"]) == ["colindex/v/orphan.bloom",
+                                      "dv/orphan.npy",
+                                      "fragments/orphan-copy.parquet"]
+    # grace window keeps fresh files
+    rep2 = t.vacuum(grace_seconds=3600, dry_run=True)
+    assert rep2["orphans"] == [] and rep2["kept_recent"] == 3
+
+    rep = t.vacuum(grace_seconds=0)
+    assert rep["deleted"] == 3
+    # both versions still scan exactly (time travel intact)
+    assert t.scan(version=v1).count() == 100
+    assert t.scan().count() == 95
+    assert t.fsck()["ok"]
+    # point scans through the (referenced, untouched) bloom index
+    got = [r["k"] for b in t.scan(predicate_in={"v": [50]})
+           .iter_batches(batch_format="pyarrow") for r in b.to_pylist()]
+    assert got == [50]

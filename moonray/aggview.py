@@ -511,6 +511,21 @@ def _sync_round(src, dst, group_cols, aggs, transform, transform_columns,
         return dst.latest_version(), False
     store.set_pointer(pend_name, f"{last}:{cur}")
 
+    view_job = f"aggsync-{state_key}-{last}-{cur}"
+    if replay:
+        # the window's view merge may have COMMITTED before the crash
+        # (only the pointer advance was lost). Detect it by job id
+        # BEFORE recomputing anything: replay deltas would otherwise be
+        # computed against the post-merge view state, where a
+        # group-killing delete reads back as count 0 + another -1 and
+        # trips the negative guard — wedging the view forever.
+        done = mf.find_version_by_job(dst.root, view_job)
+        if done is not None:
+            store.set_pointer(_pointer_name(state_key), str(cur))
+            store.set_pointer(pend_name, "")
+            mf.set_floor(src.root, cur, _floor_token(dst.root, state_key))
+            return dst.latest_version(), True
+
     main = _main_plan(plan)
     try:
         deltas = _collect(_fold(
@@ -668,7 +683,7 @@ def _sync_round(src, dst, group_cols, aggs, transform, transform_columns,
     import ray.data as rd
 
     v = dst.merge(rd.from_arrow(ops_tbl),
-                  job_id=f"aggsync-{state_key}-{last}-{cur}")
+                  job_id=view_job)
     store.set_pointer(_pointer_name(state_key), str(cur))
     store.set_pointer(pend_name, "")
     mf.set_floor(src.root, cur, _floor_token(dst.root, state_key))
@@ -691,16 +706,27 @@ def _sync_aux(src, dst, group_cols, plan, transform, transform_columns,
 
     from moonray.table import MoonrayTable
 
+    from moonray import manifest as mf
+
     src_schema = src.schema()
     restrict = {g: sorted(set(j[g].to_pylist())) for g in group_cols}
     out_maps: dict = {}
     for out, col in _nd_plan(plan):
         aux = MoonrayTable.open(_aux_root(dst.root, out))
         keys = list(group_cols) + [col]
-        nd_entry = [(out, "count_distinct", col)]
-        cols_read = _read_columns(group_cols, nd_entry, src_schema,
-                                  transform, transform_columns)
-
+        aux_job = f"aggsync-{state_key}-aux-{out}-{last}-{cur}"
+        if mf.find_version_by_job(aux.root, aux_job) is not None:
+            # this aux merge committed before a crash: recomputing pair
+            # deltas against the post-merge aux state would read a
+            # killed pair as 0 + another -1 and trip the negative
+            # guard — go straight to the absolute read-back
+            out_maps[out] = _nd_absolute(aux, group_cols,
+                                         restrict=restrict)
+            continue
+        # NOTE: the changelog window is re-read once per count_distinct
+        # column (k+1 reads per round incl. the main fold) — the pair
+        # key set differs per column, so the folds can't share a
+        # shuffle; keep k small or accept the extra read
         def pair_delta(b: pa.Table, _col=col) -> pa.Table:
             if transform is not None:
                 b = transform(b)
@@ -756,7 +782,6 @@ def _sync_aux(src, dst, group_cols, plan, transform, transform_columns,
                 import ray.data as rd
 
                 aux.merge(rd.from_arrow(ops),
-                          job_id=f"aggsync-{state_key}-aux-{out}-"
-                                 f"{last}-{cur}")
+                          job_id=aux_job)
         out_maps[out] = _nd_absolute(aux, group_cols, restrict=restrict)
     return out_maps

@@ -271,6 +271,11 @@ def build_bloom_index(table, col: str, *, fpp: float | None = None,
 
     live = {f["path"] for f in frags}
     entries = {p: e for p, e in {**have, **built}.items() if p in live}
+    if not built and entries == have:
+        # steady state (a maintenance tick on a quiet table): nothing
+        # built, nothing dropped — skip the index.json republish
+        return {"col": col, "built": 0, "indexed": len(entries),
+                "fragments": len(frags), "gc_sidecars": 0}
     import json
 
     publish_bytes(table.root, _index_rel(col), json.dumps(

@@ -1081,10 +1081,12 @@ class MoonrayTable:
             # after compact, so freshly-consolidated fragments sort too
             self.cluster(scope="incremental")
             actions.append("cluster_incremental")
+        core_actions = list(actions)
         if refresh_column_indexes:
             # AFTER compact/cluster so their freshly-written fragments
             # are indexed too; incremental — only sidecar-less
-            # fragments read, prior fpp kept
+            # fragments read, prior fpp kept, no-op ticks publish
+            # nothing
             from moonray import colindex
 
             for col in colindex.list_indexed_columns(self.root):
@@ -1093,7 +1095,10 @@ class MoonrayTable:
                     actions.append(
                         f"colindex({col}:+{s['built']}"
                         f"/-{s['gc_sidecars']})")
-        if actions and expire_keep_last is not None:
+        # expiry fires only on CORE maintenance (compact/index/cluster)
+        # — a colindex refresh after every merge must not trim the
+        # time-travel horizon
+        if core_actions and expire_keep_last is not None:
             self.expire_snapshots(keep_last=expire_keep_last)
             actions.append(f"expire(keep_last={expire_keep_last})")
         return {**due, "actions": actions, "version": self.latest_version()}

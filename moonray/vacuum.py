@@ -36,23 +36,35 @@ _SWEEP_DIRS = ("fragments", "dv", "index", "colindex")
 
 
 def _reachable(root: str) -> set[str]:
+    """Union of manifest.referenced_files over every retained version
+    (the canonical ref enumeration — vacuum must never diverge from
+    it) plus the colindex sidecar refs. index.json is read FRESH (via
+    the commit store on remote roots), never through the worker file
+    cache: a stale cached copy would classify newly-built sidecars as
+    orphans."""
+    import json
+
     from moonray import colindex
     from moonray import manifest as mf
-    from moonray.dv import dv_paths_of
+    from moonray.filecache import is_remote
 
     refs: set[str] = set()
     for v in mf.list_versions(root):
-        m = mf.load_manifest(root, v)
-        for f in m["fragments"]:
-            if not f["path"].startswith("ext::"):
-                refs.add(f["path"])
-            refs.update(dv_paths_of(f))
-        for paths in m["index"]["partitions"].values():
-            refs.update(paths)
+        refs |= mf.referenced_files(mf.load_manifest(root, v))
     for col in colindex.list_indexed_columns(root):
-        refs.add(f"colindex/{col}/index.json")
-        idx = colindex.load_index(root, col)
-        for e in (idx or {}).get("frags", {}).values():
+        rel = f"colindex/{col}/index.json"
+        refs.add(rel)
+        try:
+            if is_remote(root):
+                from moonray.commitstore import store_for
+
+                idx = json.loads(store_for(root).read(rel))
+            else:
+                with open(os.path.join(root, rel)) as f:
+                    idx = json.load(f)
+        except (FileNotFoundError, OSError, ValueError):
+            continue
+        for e in idx.get("frags", {}).values():
             refs.add(e["bloom"])
     return refs
 
@@ -91,7 +103,9 @@ def vacuum_table(table, *, grace_seconds: float = 86400.0,
     now = time.time()
     orphans, kept_recent = [], 0
     for rel, mtime in found:
-        if rel in refs or rel.endswith(".tmp"):
+        # publish_tmp siblings are '<final>.tmp.<hex>' — but the grace
+        # window, not this name check, is the real in-flight protection
+        if rel in refs or ".tmp." in os.path.basename(rel):
             continue
         if mtime is not None and now - mtime < grace_seconds:
             kept_recent += 1

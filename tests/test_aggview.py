@@ -488,3 +488,62 @@ def test_count_distinct_crash_replay(tmp_path):
     _merge(src, [("D", 10, 0, 0)], lsn=2)
     sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS_ND)
     _check_nd(src, dst)
+
+
+def test_crash_replay_of_delete_window_does_not_wedge(tmp_path):
+    """Review finding (session 4, round 2): replaying a window whose
+    view merge COMMITTED (only the pointer advance was lost) must
+    short-circuit by job id — recomputed deltas against the post-merge
+    state would read a killed group as 0-1 and trip the negative
+    guard, wedging the view forever."""
+    from moonray.aggview import _pointer_name
+    from moonray.commitstore import store_for
+
+    src = _mk_src(str(tmp_path / "src"), [(1, 0, 5), (2, 1, 6)])
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS)
+    _merge(src, [("D", 1, 0, 0)], lsn=1)  # kills group 0
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS)
+    want = _view_df(dst)
+
+    # crash state: merge committed, pointer + pending not cleared
+    store = store_for(dst.root)
+    store.set_pointer(_pointer_name("agg"), "1")
+    store.set_pointer(_pointer_name("agg") + ".pending",
+                      f"1:{src.latest_version()}")
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS)  # must not raise
+    pd.testing.assert_frame_equal(_view_df(dst), want)
+    _check(src, dst)
+
+
+def test_crash_replay_aux_committed_last_copy_delete(tmp_path):
+    """Same wedge on the aux path: the window deletes the LAST copy of
+    a (group, value) pair, the aux merge commits, the process dies
+    before the view merge. The replay must detect the committed aux job
+    and go straight to the absolute read-back — recomputing pair deltas
+    against post-merge aux would hit the negative-multiplicity guard."""
+    from moonray.aggview import (_aux_root, _pointer_name, _sync_aux,
+                                 _plan)
+    from moonray.commitstore import store_for
+    from moonray.table import MoonrayTable
+
+    src = _mk_src(str(tmp_path / "src"), [(1, 0, 5), (2, 0, 6)])
+    dst = build_aggregate_view(src, str(tmp_path / "view"),
+                               group_cols=["g"], aggs=AGGS_ND)
+    _merge(src, [("D", 1, 0, 0)], lsn=1)  # last copy of (g=0, x=5)
+
+    # run ONLY the aux half of the window (= crash before view merge)
+    import pyarrow as pa2
+    cur = src.latest_version()
+    j = pa2.table({"g": pa2.array([0], pa2.int64())})
+    _sync_aux(src, dst, ["g"], _plan(AGGS_ND), None, None, {}, "agg",
+              1, cur, j)
+    aux = MoonrayTable.open(_aux_root(dst.root, "nd_x"))
+    v_aux = aux.latest_version()
+
+    # pointer still at 1; pending window recorded (what the crash left)
+    store = store_for(dst.root)
+    store.set_pointer(_pointer_name("agg") + ".pending", f"1:{cur}")
+    sync_aggregate(src, dst, group_cols=["g"], aggs=AGGS_ND)
+    assert aux.latest_version() == v_aux  # aux merge not re-applied
+    _check_nd(src, dst)

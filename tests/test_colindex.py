@@ -257,3 +257,35 @@ def test_maintain_if_needed_refreshes_indexes(tmp_path):
     # steady state: nothing new → no colindex action
     rep2 = t.maintain_if_needed()
     assert not any(a.startswith("colindex") for a in rep2["actions"])
+
+
+def test_steady_state_build_skips_republish(tmp_path):
+    """Review finding (session 4, round 2): a maintenance tick on a
+    quiet table must not republish index.json."""
+    import os
+
+    t = _mk(str(tmp_path / "t"), n=200)
+    t.build_column_index("name")
+    idx_path = os.path.join(t.root, "colindex/name/index.json")
+    before = os.path.getmtime(idx_path)
+    s = t.build_column_index("name")
+    assert s["built"] == 0 and s["gc_sidecars"] == 0
+    assert os.path.getmtime(idx_path) == before
+
+
+def test_maintain_expire_not_triggered_by_colindex(tmp_path):
+    """A colindex refresh after a plain merge must not trim the
+    time-travel horizon (expire fires only on CORE maintenance)."""
+    t = _mk(str(tmp_path / "t"), n=128, rpf=64)
+    t.build_column_index("name")
+    v0 = t.latest_version()
+    t.merge(rd.from_arrow(pa.table({
+        "op": pa.array(["I"], pa.string()),
+        "lsn": pa.array([1], pa.int64()),
+        "id": pa.array([9999], pa.int64()),
+        "name": pa.array(["late"], pa.string()),
+        "v": pa.array([0], pa.int64())})), job_id="m1")
+    rep = t.maintain_if_needed(expire_keep_last=1)
+    assert any(a.startswith("colindex") for a in rep["actions"])
+    assert not any(a.startswith("expire") for a in rep["actions"])
+    assert t.scan(version=v0).count() == 128  # old version retained

@@ -38,7 +38,8 @@ def main():
 
     sizes = [int(s) for s in sys.argv[1:]] or [100_000, 1_000_000]
     aggs = {"cnt": ("count", None), "sum_x": ("sum", "x"),
-            "min_x": ("min", "x"), "max_x": ("max", "x")}
+            "min_x": ("min", "x"), "max_x": ("max", "x"),
+            "nd_x": ("count_distinct", "x")}
     results = []
     for n in sizes:
         rng = np.random.default_rng(7)

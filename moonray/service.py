@@ -447,6 +447,24 @@ class MoonrayService:
         with self._write_lock:
             return t.expire_snapshots(keep_last=int(body.get("keep_last", 2)))
 
+    def vacuum(self, name: str, body: dict) -> dict:
+        t = self._table(name)
+        with self._write_lock:
+            return t.vacuum(
+                grace_seconds=float(body.get("grace_seconds", 86400.0)),
+                dry_run=bool(body.get("dry_run", False)))
+
+    def colindex(self, name: str, body: dict) -> dict:
+        col = body.get("col")
+        if not col:
+            raise ServiceError(400, "colindex needs {'col': ...}")
+        t = self._table(name)
+        with self._write_lock:
+            try:
+                return t.build_column_index(col, fpp=body.get("fpp"))
+            except ValueError as ex:
+                raise ServiceError(400, str(ex)) from ex
+
     def describe(self, name: str) -> dict:
         return self._table(name).describe()
 
@@ -659,6 +677,7 @@ def make_handler(svc: MoonrayService):
                           "snapshot": svc.snapshot, "flush": svc.snapshot,
                           "maintain": svc.maintain, "expire": svc.expire,
                           "lookup": svc.lookup, "scan_end": svc.scan_end,
+                          "vacuum": svc.vacuum, "colindex": svc.colindex,
                           }.get(parts[2])
                     if fn:
                         return fn(parts[1], body)

@@ -502,3 +502,34 @@ def test_scanplan_bloom_type_mismatch_is_400_no_pin_leak(svc):
     scan_pins = [r for r in store_for(t.root).list("pins")
                  if _os.path.basename(r).startswith("scan-")]
     assert not scan_pins
+
+
+def test_vacuum_and_colindex_routes(svc):
+    import os
+
+    _call("POST", f"{svc}/tables/vc1", {
+        "schema": [["id", "int64"], ["name", "string"]],
+        "key_col": "id", "rows_per_fragment": 8, "index_partitions": 2,
+    })
+    _call("POST", f"{svc}/ingest/vc1", {
+        "operation": "insert",
+        "data": [{"id": i, "name": f"u{i}"} for i in range(32)]})
+
+    st, r = _call("POST", f"{svc}/tables/vc1/colindex", {"col": "name"})
+    assert st == 200 and r["indexed"] == r["fragments"] > 0
+    st, _ = _call("POST", f"{svc}/tables/vc1/colindex", {"col": "nope"})
+    assert st == 400
+    st, _ = _call("POST", f"{svc}/tables/vc1/colindex", {})
+    assert st == 400
+
+    st, full = _call("GET", f"{svc}/tables/vc1/scanplan")
+    with open(os.path.join(full["root"], "fragments/orphan.parquet"),
+              "wb") as f:
+        f.write(b"junk")
+    st, r = _call("POST", f"{svc}/tables/vc1/vacuum",
+                  {"grace_seconds": 0, "dry_run": True})
+    assert st == 200 and r["orphans"] == ["fragments/orphan.parquet"]
+    st, r = _call("POST", f"{svc}/tables/vc1/vacuum", {"grace_seconds": 0})
+    assert st == 200 and r["deleted"] == 1
+    st, d = _call("GET", f"{svc}/tables/vc1")
+    assert st == 200 and d["cardinality"] == 32

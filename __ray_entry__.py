@@ -558,6 +558,28 @@ def _q_dedup_prefix(sf_dir: str):
     return exact_dedup(_docs(sf_dir), prefix_len=64)
 
 
+def _q_exact_substring(sf_dir: str):
+    """ExactSubstr dedup (arXiv:2107.06499) stats over documents: every
+    length-50 char window repeated from an earlier (doc_id, pos) is cut;
+    returns the per-doc removal accounting (cleaned-text parity is
+    pinned by tests/test_substr.py's brute-force oracle)."""
+    from moonray.functions.substr import exact_substring_dedup
+
+    return exact_substring_dedup(_docs(sf_dir), t=50).select_columns(
+        ["doc_id", "n_chars", "removed_chars", "n_spans"])
+
+
+def _q_aspect_buckets(sf_dir: str):
+    """SDXL-style aspect-ratio bucket batching over the images corpus
+    (rows-only for the driver — fixture corpus; exact DuckDB parity is
+    pinned by tests/test_arbucket.py over a registered view)."""
+    from moonray.fixtures import make_images_dataset
+    from moonray.functions.arbucket import aspect_bucket_batches
+
+    return aspect_bucket_batches(make_images_dataset(400, seed=42),
+                                 batch_size=32)
+
+
 def _q_lang_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -942,6 +964,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg_view_distinct": _q_agg_view_nd,
         "semantic_dedup_keep": _q_semantic_dedup,
         "bloom_point_scan": _q_bloom_scan,
+        "exact_substring_stats": _q_exact_substring,
+        # rows-only (fixture corpus), pytest-pinned DuckDB parity
+        "aspect_bucket_batches": _q_aspect_buckets,
     }
 
 
@@ -950,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
                                          semantic_dedup_oracle_sql)
     from moonray.functions.pack import pack_sequences_oracle_sql
     from moonray.functions.sample import stratified_sample_oracle_sql
+    from moonray.functions.substr import exact_substring_oracle_sql
     from moonray.functions.text import (quality_filter_oracle_sql,
                                         redact_pii_oracle_sql,
                                         text_stats_oracle_sql)
@@ -1191,6 +1217,9 @@ def oracle_sql() -> dict[str, str]:
         # fully SQL-expressible (assignment argmax + earlier-id NOT
         # EXISTS within cluster)
         "semantic_dedup_keep": semantic_dedup_oracle_sql(0.3, range(8)),
+        # ExactSubstr (arXiv:2107.06499) removal accounting — first
+        # (doc_id, pos) occurrence of each 50-gram survives
+        "exact_substring_stats": exact_substring_oracle_sql(50),
         # bloom pruning may only change I/O, never rows
         "bloom_point_scan": _CUSTOMER_SQL + """
         WHERE c_name IN ('Customer#000000007', 'Customer#000000311',

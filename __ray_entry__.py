@@ -546,6 +546,51 @@ def _q_vocab(sf_dir: str):
     return vocab_top_tokens(_docs(sf_dir), k=500)
 
 
+def _text_index(sf_dir: str):
+    """Build (or reuse) the persisted inverted index for sf_dir under
+    the scratch root — the one-off build pass of the 100 TB keyword-
+    search path (functions/textindex.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from moonray.functions.textindex import TextIndex, build_text_index
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"moonray_tix_{tag}")
+    meta = os.path.join(root, "textindex.json")
+    src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+    if os.path.exists(meta) and os.path.getmtime(meta) >= src_mtime:
+        return TextIndex.open(root)
+    return build_text_index(_docs(sf_dir), root, partitions=8)
+
+
+def _q_text_index_and(sf_dir: str):
+    """Boolean AND keyword search served by the persisted inverted
+    index: docs containing ALL of (spark, window, vector), joined back
+    to (doc_id, lang, n_chars) for the oracle compare."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = _text_index(sf_dir).search_and(
+        ["spark", "window", "vector"])["doc_id"]
+    id_set = ids.to_pylist()
+    return (_docs(sf_dir)
+            .map_batches(lambda b: b.filter(
+                pc.is_in(b["doc_id"], pa.array(id_set, pa.int64())))
+                .select(["doc_id", "lang", "n_chars"]),
+                batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id", ignore_index=True))
+
+
+def _q_text_index_ranked(sf_dir: str):
+    """Integer tf-idf ranked retrieval (SQL-exact scoring contract;
+    real BM25 is the pytest-pinned float variant) — top-20 docs for
+    (spark, vector, merge)."""
+    return _text_index(sf_dir).search_ranked(
+        ["spark", "vector", "merge"], k=20, scoring="idf_int")
+
+
 def _q_dedup_exact(sf_dir: str):
     from moonray.functions.dedup import exact_dedup
 
@@ -965,6 +1010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_keep": _q_semantic_dedup,
         "bloom_point_scan": _q_bloom_scan,
         "exact_substring_stats": _q_exact_substring,
+        "text_index_and_search": _q_text_index_and,
+        "text_index_ranked_topk": _q_text_index_ranked,
         # rows-only (fixture corpus), pytest-pinned DuckDB parity
         "aspect_bucket_batches": _q_aspect_buckets,
     }
@@ -1220,6 +1267,32 @@ def oracle_sql() -> dict[str, str]:
         # ExactSubstr (arXiv:2107.06499) removal accounting — first
         # (doc_id, pos) occurrence of each 50-gram survives
         "exact_substring_stats": exact_substring_oracle_sql(50),
+        # inverted-index boolean AND search == tokenize-and-count in SQL
+        "text_index_and_search": """
+        WITH toks AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                 FROM documents),
+        hit AS (SELECT doc_id FROM toks
+                WHERE tok IN ('spark', 'window', 'vector')
+                GROUP BY doc_id HAVING count(DISTINCT tok) = 3)
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN hit USING (doc_id) ORDER BY d.doc_id
+        """,
+        # integer tf-idf ranking (score = sum tf * (N*1000 // df)) is
+        # integer-exact, so the index-served top-k matches value-for-value
+        "text_index_ranked_topk": """
+        WITH toks AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                 FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+               WHERE tok IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id,
+               CAST(sum(tf * ((n.n * 1000) // df.df)) AS BIGINT) AS score
+        FROM tf JOIN df USING (tok), n
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+        """,
         # bloom pruning may only change I/O, never rows
         "bloom_point_scan": _CUSTOMER_SQL + """
         WHERE c_name IN ('Customer#000000007', 'Customer#000000311',

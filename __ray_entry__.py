@@ -215,6 +215,12 @@ def _q_clone_cow(sf_dir: str):
     return clone_cow_merge(sf_dir)
 
 
+def _q_branch_publish(sf_dir: str):
+    from moonray.pipelines.relational import branch_publish_merge
+
+    return branch_publish_merge(sf_dir)
+
+
 def _q_update_where(sf_dir: str):
     from moonray.pipelines.relational import update_where_scan
 
@@ -1003,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # equals merging into the original; source immutability asserted
         # inside the pipeline
         "shallow_clone_cow_merge": _q_clone_cow,
+        "branch_publish_merge": _q_branch_publish,
         "update_where_scan": _q_update_where,
         "restore_rollback_scan": _q_restore,
         "incremental_agg_view": _q_agg_view,
@@ -1242,6 +1249,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_wire_replication": _MERGE_SQL,
         # merging into a shallow clone must equal merging into the source
         "shallow_clone_cow_merge": _MERGE_SQL,
+        # branch fork + MERGE on the branch + publish == direct MERGE
+        "branch_publish_merge": _MERGE_SQL,
         "update_where_scan": """
         SELECT c_custkey, c_name, c_nationkey,
           CASE WHEN c_acctbal BETWEEN 1000.0 AND 5000.0

@@ -241,6 +241,23 @@ def clone_cow_merge(sf_dir: str):
     return c.scan()
 
 
+def branch_publish_merge(sf_dir: str):
+    """Branch-ref pipeline (branches.py): bulk load customer → fork a
+    writable branch → MERGE the orders-derived CDC on the BRANCH →
+    publish (changelog fast-forward into the parent) → scan the
+    parent. The published parent equals merging directly (the
+    merge_upsert SQL oracle); the parent must be untouched until
+    publish — checked in-pipeline, not just in pytest."""
+    t = build_customer_table(sf_dir)
+    v0 = t.latest_version()
+    br = t.create_branch("staging")
+    br.merge(_changes_dataset(sf_dir))
+    if t.latest_version() != v0:
+        raise AssertionError("branch merge leaked a commit into the parent")
+    t.publish_branch("staging", drop=True)
+    return t.scan()
+
+
 def cdc_wire_replication(sf_dir: str, tx_size: int = 1000):
     """CDC-in through the file-tailing wire connector
     (moonray/sources/cdc_tail.py — the reference postgres_source.rs

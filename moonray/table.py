@@ -495,6 +495,35 @@ class MoonrayTable:
             # main would be silently unexportable as an Iceberg ref
             raise ValueError("'main' is reserved for the branch head")
 
+    # -------- branch refs (writable lines of development; Iceberg
+    # branch analogue realized as zero-copy clones under
+    # <root>/branches/ — see branches.py for the model) --------
+    def create_branch(self, name: str, *, version: int | None = None,
+                      ref: str | None = None) -> "MoonrayTable":
+        from moonray.branches import create_branch
+
+        return create_branch(self, name, version=version, ref=ref)
+
+    def branch(self, name: str) -> "MoonrayTable":
+        from moonray.branches import open_branch
+
+        return open_branch(self, name)
+
+    def branches(self) -> list[str]:
+        from moonray.branches import list_branches
+
+        return list_branches(self)
+
+    def publish_branch(self, name: str, *, drop: bool = False) -> int:
+        from moonray.branches import publish_branch
+
+        return publish_branch(self, name, drop=drop)
+
+    def drop_branch(self, name: str) -> None:
+        from moonray.branches import drop_branch
+
+        drop_branch(self, name)
+
     # -------- reference RPC-surface parity (src/moonlink_rpc/src/lib.rs:28-39,
     # src/moonlink_backend/src/lib.rs:37-460) --------
     def scan_begin(self, lsn: int | None = None) -> tuple[int, str]:

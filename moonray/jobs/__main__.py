@@ -212,6 +212,12 @@ def main(argv=None) -> int:
                          "(repeatable)")
     sp.add_argument("--state", required=True,
                     help="consumer position checkpoint file")
+    sp.add_argument("--follow", action="store_true",
+                    help="keep tailing: drain -> checkpoint -> sleep loop")
+    sp.add_argument("--poll-interval", type=float, default=1.0)
+    sp.add_argument("--idle-exit", type=int, default=None,
+                    help="with --follow: exit after N consecutive "
+                         "empty drains (default: run forever)")
 
     sp = sub.add_parser("vacuum")
     tbl(sp)
@@ -272,7 +278,7 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "replicate":
-        from moonray.sources.cdc_tail import replicate_once
+        from moonray.sources.cdc_tail import replicate_follow, replicate_once
 
         tables = {}
         for spec in args.map:
@@ -280,7 +286,12 @@ def main(argv=None) -> int:
             if not root:
                 raise SystemExit(f"--map needs SRC=TABLE_ROOT, got {spec!r}")
             tables[src] = MoonrayTable.open(root)
-        applied = replicate_once(args.wire, tables, args.state)
+        if args.follow:
+            applied = replicate_follow(
+                args.wire, tables, args.state,
+                poll_interval=args.poll_interval, idle_exit=args.idle_exit)
+        else:
+            applied = replicate_once(args.wire, tables, args.state)
         print(json.dumps({"applied": applied}))
         return 0
 

@@ -237,6 +237,42 @@ def write_events(path: str, events: list[dict]) -> None:
         os.fsync(f.fileno())
 
 
+def replicate_follow(wire: str, tables: dict[str, object],
+                     state_path: str, *, poll_interval: float = 1.0,
+                     idle_exit: int | None = None,
+                     stop=None) -> dict:
+    """Continuous replication daemon: drain → checkpoint → sleep →
+    repeat (the reference's long-running pg_replicate consumer loop,
+    driven by file growth instead of a socket). Each cycle IS
+    ``replicate_once`` — same durable offset checkpoint, same
+    exactly-once merge job ids — so killing the daemon at any point
+    and restarting (follow or once) resumes losslessly.
+
+    Exit: when ``stop()`` returns true (checked every cycle), or after
+    ``idle_exit`` consecutive drains that applied nothing (None = run
+    forever). Returns cumulative {table: rows_applied}."""
+    import time as _time
+
+    total: dict[str, int] = {}
+    idle = 0
+    while True:
+        if stop is not None and stop():
+            break
+        applied = replicate_once(wire, tables, state_path)
+        if applied:
+            idle = 0
+            for k, v in applied.items():
+                total[k] = total.get(k, 0) + v
+        else:
+            idle += 1
+            if idle_exit is not None and idle >= idle_exit:
+                break
+        if stop is not None and stop():
+            break
+        _time.sleep(poll_interval)
+    return total
+
+
 def replicate_once(wire: str, tables: dict[str, object],
                    state_path: str) -> dict:
     """One drain cycle of a durable replication consumer: resume the

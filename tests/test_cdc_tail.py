@@ -197,3 +197,52 @@ def test_replicate_once_durable_position_across_restarts(tmp_path, capsys):
     assert replicate_once(log, {"cust": t}, state) == {"cust": v2}
     assert t.latest_version() == v2
     assert _state(t) == {1: ("a2", 9.0)}
+
+
+def test_replicate_follow_tails_concurrent_writer(tmp_path):
+    """Follow mode: a writer thread appends transactions while the
+    daemon loop drains; the loop exits on idle and the table holds
+    every committed row. A subsequent --once cycle finds nothing new
+    (the follow loop's checkpoint is durable and shared)."""
+    import threading
+    import time
+
+    from moonray.sources.cdc_tail import replicate_follow, replicate_once
+
+    log = str(tmp_path / "wire.jsonl")
+    state = str(tmp_path / "state.json")
+    t = _table(tmp_path)
+    write_events(log, [REL])
+
+    def writer():
+        for tx in range(4):
+            base = tx * 10
+            write_events(log, [
+                {"event": "begin", "xid": tx + 1},
+                *[{"event": "insert", "rel_id": 1,
+                   "values": [base + i, f"n{base + i}", float(i)],
+                   "lsn": 1000 + base + i} for i in range(5)],
+                {"event": "commit", "xid": tx + 1, "end_lsn": 1000 + base + 9},
+            ])
+            time.sleep(0.15)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    applied = replicate_follow(log, {"cust": t}, state,
+                               poll_interval=0.1, idle_exit=8)
+    th.join()
+    assert applied.get("cust", 0) > 0
+    got = _state(t)
+    assert sorted(got) == [tx * 10 + i for tx in range(4) for i in range(5)]
+    # nothing left for a one-shot drain; checkpoint is shared
+    assert replicate_once(log, {"cust": t}, state) in ({}, {"cust": 0})
+    # stop() callable exits immediately even with work pending
+    write_events(log, [
+        {"event": "begin", "xid": 99},
+        {"event": "insert", "rel_id": 1, "values": [999, "late", 0.0],
+         "lsn": 9999},
+        {"event": "commit", "xid": 99, "end_lsn": 9999},
+    ])
+    out = replicate_follow(log, {"cust": t}, state,
+                           poll_interval=0.01, stop=lambda: True)
+    assert out == {} and 999 not in _state(t)

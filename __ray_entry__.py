@@ -631,6 +631,86 @@ def _q_aspect_buckets(sf_dir: str):
                                  batch_size=32)
 
 
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"]
+_PROFILE_DTYPES = {"c_custkey": "int64", "c_name": "string",
+                   "c_nationkey": "int32", "c_acctbal": "double",
+                   "c_mktsegment": "string"}
+
+
+def _q_profile_columns(sf_dir: str):
+    """ANALYZE-style distributed column profiler over customer: one row
+    per column (rows/nulls/distinct/min/max/string length mass), cheap
+    moments in one thin-partial pass + one shared hashed-dedup pass for
+    all distinct counts."""
+    import ray.data as rd
+
+    from moonray.functions.profile import profile_columns
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=_PROFILE_COLS)
+    return profile_columns(ds, _PROFILE_COLS)
+
+
+def _q_top_values(sf_dir: str):
+    """Exact most-frequent-k values (combiner → thin groupby →
+    algebraic top-k), ties value-ascending."""
+    import ray.data as rd
+
+    from moonray.functions.profile import top_values
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_mktsegment"])
+    return top_values(ds, "c_mktsegment", k=3)
+
+
+def _q_label_filter(sf_dir: str):
+    """Embedding label-consistency curation (noisy-label pruning):
+    keep rows whose vector agrees with their own label's mean centroid
+    (cos ≥ 0.10) — two streaming passes, centroids broadcast."""
+    import ray.data as rd
+
+    from moonray.functions.embfilter import label_consistency_keep
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return label_consistency_keep(ds, 0.10)
+
+
+def _q_quality_classifier(sf_dir: str):
+    """Batched model inference: fixed-weight logistic quality
+    classifier (actor pool, weights loaded once per actor); the
+    contract columns are the integer-exact logit + decision."""
+    from moonray.functions.classify import quality_classifier_scores
+
+    return quality_classifier_scores(_docs(sf_dir)).select_columns(
+        ["doc_id", "z_millis", "quality_pred"])
+
+
+def _profile_sql() -> str:
+    from moonray.functions.profile import profile_columns_oracle_sql
+
+    return profile_columns_oracle_sql("customer", _PROFILE_COLS,
+                                      _PROFILE_DTYPES)
+
+
+def _top_values_sql() -> str:
+    from moonray.functions.profile import top_values_oracle_sql
+
+    return top_values_oracle_sql("customer", "c_mktsegment", 3)
+
+
+def _label_filter_sql() -> str:
+    from moonray.functions.embfilter import label_consistency_oracle_sql
+
+    return label_consistency_oracle_sql(0.10)
+
+
+def _quality_classifier_sql() -> str:
+    from moonray.functions.classify import quality_classifier_oracle_sql
+
+    return quality_classifier_oracle_sql()
+
+
 def _q_lang_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -1021,6 +1101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_index_ranked_topk": _q_text_index_ranked,
         # rows-only (fixture corpus), pytest-pinned DuckDB parity
         "aspect_bucket_batches": _q_aspect_buckets,
+        # data-quality / curation family (SQL-checkable, past-window)
+        "profile_customer_columns": _q_profile_columns,
+        "top_values_mktsegment": _q_top_values,
+        "embedding_label_filter": _q_label_filter,
+        "quality_classifier": _q_quality_classifier,
     }
 
 
@@ -1318,4 +1403,8 @@ def oracle_sql() -> dict[str, str]:
               FROM (""" + _MERGE_SQL + """))
         GROUP BY c_nationkey
         """,
+        "profile_customer_columns": _profile_sql(),
+        "top_values_mktsegment": _top_values_sql(),
+        "embedding_label_filter": _label_filter_sql(),
+        "quality_classifier": _quality_classifier_sql(),
     }

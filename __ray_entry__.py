@@ -711,6 +711,30 @@ def _quality_classifier_sql() -> str:
     return quality_classifier_oracle_sql()
 
 
+_VALIDATE_KW = dict(unique=("l_orderkey",), not_null=("l_shipdate",),
+                    ranges={"l_quantity": (1.0, 25.0)},
+                    in_set={"l_returnflag": ["A", "N"]})
+
+
+def _q_validate(sf_dir: str):
+    """Declared-expectation validation over lineitem (deequ/Delta
+    constraints analogue): one streaming pass for not_null/range/in_set
+    + a combiner-reduced thin shuffle for key uniqueness. The fixture
+    exercises both zero and non-zero violation counts."""
+    import ray.data as rd
+
+    from moonray.functions.validate import check_constraints
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return check_constraints(ds, **_VALIDATE_KW)
+
+
+def _validate_sql() -> str:
+    from moonray.functions.validate import check_constraints_oracle_sql
+
+    return check_constraints_oracle_sql("lineitem", **_VALIDATE_KW)
+
+
 def _q_lang_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -1106,6 +1130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_values_mktsegment": _q_top_values,
         "embedding_label_filter": _q_label_filter,
         "quality_classifier": _q_quality_classifier,
+        "validate_constraints": _q_validate,
     }
 
 
@@ -1407,4 +1432,5 @@ def oracle_sql() -> dict[str, str]:
         "top_values_mktsegment": _top_values_sql(),
         "embedding_label_filter": _label_filter_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "validate_constraints": _validate_sql(),
     }

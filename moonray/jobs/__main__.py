@@ -137,6 +137,22 @@ def main(argv=None) -> int:
     tbl(sp)
     sp.add_argument("--metadata-only", action="store_true")
 
+    sp = sub.add_parser("analyze")
+    tbl(sp)
+    sp.add_argument("--columns", default=None)
+    sp.add_argument("--distinct", default="hash64",
+                    choices=["hash64", "exact"])
+
+    sp = sub.add_parser("validate")
+    tbl(sp)
+    sp.add_argument("--unique", default=None,
+                    help="comma-separated; default: the identity keys")
+    sp.add_argument("--not-null", default=None)
+    sp.add_argument("--ranges-json", default=None,
+                    help='JSON {"col": [lo, hi]}')
+    sp.add_argument("--in-set-json", default=None,
+                    help='JSON {"col": [allowed...]}')
+
     sp = sub.add_parser("lookup")
     tbl(sp)
     sp.add_argument("--keys-json", required=True,
@@ -391,6 +407,26 @@ def main(argv=None) -> int:
         rep = t.fsck(deep=not args.metadata_only)
         print(json.dumps(rep))
         return 0 if rep["ok"] else 3
+    elif args.cmd == "analyze":
+        cols = args.columns.split(",") if args.columns else None
+        prof = t.analyze(cols, distinct=args.distinct)
+        print(json.dumps(prof.take_all(), default=str))
+        return 0
+    elif args.cmd == "validate":
+        rep = t.validate(
+            unique=(tuple(args.unique.split(","))
+                    if args.unique is not None else None),
+            not_null=tuple(args.not_null.split(","))
+            if args.not_null else (),
+            ranges={k: tuple(v) for k, v in
+                    json.loads(args.ranges_json).items()}
+            if args.ranges_json else None,
+            in_set=json.loads(args.in_set_json)
+            if args.in_set_json else None,
+        ).take_all()
+        print(json.dumps(rep, default=str))
+        # non-zero violations → exit 4 (fsck uses 3)
+        return 0 if all(r["n_violations"] == 0 for r in rep) else 4
     elif args.cmd == "lookup":
         keys = [tuple(k) if isinstance(k, list) else k
                 for k in json.loads(args.keys_json)]

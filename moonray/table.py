@@ -389,6 +389,39 @@ class MoonrayTable:
 
         return fsck(self, deep=deep, concurrency=concurrency)
 
+    def analyze(self, columns: list[str] | None = None, *,
+                version: int | None = None, distinct: str = "hash64"):
+        """ANALYZE TABLE: per-column statistics over the live rows of
+        ``version`` (DV-excluded scan → functions/profile) — one row per
+        column with rows/nulls/distinct/min/max/length mass. The scan is
+        column-pruned to exactly the profiled columns."""
+        from moonray.functions.profile import profile_columns
+
+        if columns is None:
+            columns = [f.name for f in self.schema()
+                       if not f.name.startswith("_")]
+        ds = self.scan(version=version, columns=list(columns))
+        return profile_columns(ds, list(columns), distinct=distinct)
+
+    def validate(self, *, unique: tuple | None = None,
+                 not_null: tuple = (), ranges: dict | None = None,
+                 in_set: dict | None = None, version: int | None = None):
+        """Declared-expectation validation over the live rows
+        (functions/validate): key uniqueness defaults to this table's
+        identity key columns — a post-MERGE invariant worth asserting
+        after restores, imports and manual repairs."""
+        from moonray.functions.validate import check_constraints
+        from moonray.identity import key_cols_of
+
+        if unique is None:
+            unique = tuple(key_cols_of(self.manifest()) or ())
+        cols = set(unique) | set(not_null) | set(ranges or {}) \
+            | set(in_set or {})
+        ds = self.scan(columns=sorted(cols) or None, version=version)
+        return check_constraints(ds, unique=tuple(unique),
+                                 not_null=tuple(not_null),
+                                 ranges=ranges, in_set=in_set)
+
     def describe(self, version: int | None = None) -> dict:
         """TableSnapshotStatus analogue (reference:
         src/moonlink/src/storage/mooncake_table/table_status.rs:5-14)."""

@@ -76,16 +76,30 @@ class QualityClassifier:
         self._w = np.array([w[k] for k in self._names], dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        f = _features(batch["text"])
+        import pyarrow.compute as pc
+
+        texts = batch["text"].combine_chunks()
+        # NULL text → NULL logit/decision/score (SQL semantics: every
+        # oracle feature expression is NULL-propagating). Compute on
+        # nulls filled with '' and mask the outputs — the polars count
+        # kernels would otherwise yield NaN that int64-casts to garbage.
+        null_mask = None
+        if texts.null_count:
+            null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False)
+            texts = pc.fill_null(texts, "")
+        f = _features(texts)
         X = np.stack([f[k].astype(np.int64) for k in self._names], axis=1)
         z = X @ self._w + self._b
         # saturate past ±60 sigma — sigmoid is 1.0/0.0 to the ulp there
         score = 1.0 / (1.0 + np.exp(-np.clip(z / 1000.0, -60.0, 60.0)))
         return (batch
-                .append_column("z_millis", pa.array(z, pa.int64()))
+                .append_column("z_millis",
+                               pa.array(z, pa.int64(), mask=null_mask))
                 .append_column("quality_pred",
-                               pa.array((z >= 0).astype(np.int64)))
-                .append_column("score", pa.array(score, pa.float64())))
+                               pa.array((z >= 0).astype(np.int64),
+                                        mask=null_mask))
+                .append_column("score", pa.array(score, pa.float64(),
+                                                 mask=null_mask)))
 
 
 def quality_classifier_scores(ds, *, concurrency=None, batch_size=1024):

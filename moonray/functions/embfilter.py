@@ -38,6 +38,10 @@ def _label_centroids(ds, emb_col: str, label_col: str) -> dict[int, np.ndarray]:
     shuffle carries one (label, sum, n) row per batch per label."""
 
     def partials(b: pa.Table) -> pa.Table:
+        if len(b) == 0:  # empty blocks (repartition, DV-emptied frags)
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "svec": pa.array([], pa.list_(pa.float64()))})
         m = list_to_matrix(b[emb_col], dtype=np.float64)
         lab = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(lab, kind="stable")
@@ -73,15 +77,21 @@ def label_centroid_scores(ds, *, emb_col: str = "embedding",
     cents = _label_centroids(ds, emb_col, label_col)
     labs = np.array(sorted(cents), dtype=np.int64)
     C = np.stack([cents[l] for l in labs])          # (L, d)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(C, axis=1)
 
     def score(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({id_col: b[id_col], label_col: b[label_col],
+                             "cos": pa.array([], pa.float64())})
         m = list_to_matrix(b[emb_col], dtype=np.float64)
         norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
         lab = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
         li = np.searchsorted(labs, lab)
-        cos = np.einsum("ij,ij->i", m / norms[:, None], Cn[li])
+        # 0/0 stays NaN — the SQL oracle's zero-norm rows divide to NaN
+        # and a NaN never clears a >= threshold, so keep sets agree
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (np.einsum("ij,ij->i", m, C[li])
+                   / (norms * cnorm[li]))
         return pa.table({id_col: b[id_col], label_col: b[label_col],
                          "cos": pa.array(cos)})
 

@@ -37,12 +37,24 @@ import pyarrow.compute as pc
 
 from moonray.util import hash_key_array, splitmix64
 
-_NUM_KINDS = ("int", "uint", "float", "double", "decimal")
-
-
 def _is_num(t: pa.DataType) -> bool:
     return (pa.types.is_integer(t) or pa.types.is_floating(t)
             or pa.types.is_decimal(t))
+
+
+def dtype_family(dtype_str: str) -> str | None:
+    """Stat family from the reported Arrow dtype STRING — anchored, so
+    composite dtypes that merely contain 'int'/'string' (dictionary,
+    list, struct) fall into the neither family (all-NULL stats), which
+    is exactly what the Ray side computes for them."""
+    import re
+
+    if re.match(r"^(u?int(8|16|32|64)|halffloat|float|double|decimal)",
+                dtype_str):
+        return "num"
+    if dtype_str in ("string", "large_string"):
+        return "str"
+    return None
 
 
 def _col_salt(name: str) -> np.uint64:
@@ -180,13 +192,10 @@ def profile_columns(ds, columns: list[str] | None = None, *,
             return _partial_distinct(b, cols, salts)
 
         pd_.__name__ = "distinct_partials"
-
-        def first(grp: pa.Table) -> pa.Table:
-            return grp.slice(0, 1)
-
-        first.__name__ = "dedup_first"
+        # dedup via aggregate, not map_groups: a per-group Python call
+        # per distinct value would dominate at high cardinality
         uniq = (ds.map_batches(pd_, batch_format="pyarrow")
-                .groupby("ck").map_groups(first, batch_format="pyarrow")
+                .groupby(["column", "ck"]).aggregate(Count(alias_name="_c"))
                 .groupby("column").aggregate(Count(alias_name="n_distinct")))
         nd = {r["column"]: int(r["n_distinct"]) for r in uniq.take_all()}
     else:
@@ -218,14 +227,14 @@ def profile_columns_oracle_sql(table: str, columns: list[str],
     arms = []
     for c in columns:
         dt = dtypes[c]
-        num = any(k in dt for k in _NUM_KINDS)
-        if num:
+        fam = dtype_family(dt)
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        ms = xs = "CAST(NULL AS VARCHAR)"
+        ls = "CAST(NULL AS BIGINT)"
+        if fam == "num":
             mn = f"CAST(MIN({c}) AS DOUBLE)"
             mx = f"CAST(MAX({c}) AS DOUBLE)"
-            ms = xs = "CAST(NULL AS VARCHAR)"
-            ls = "CAST(NULL AS BIGINT)"
-        else:
-            mn = mx = "CAST(NULL AS DOUBLE)"
+        elif fam == "str":
             ms, xs = f"MIN({c})", f"MAX({c})"
             ls = f"CAST(SUM(LENGTH({c})) AS BIGINT)"
         arms.append(f"""

@@ -40,9 +40,11 @@ def check_constraints(ds, *, unique: tuple = (), not_null: tuple = (),
                       ranges: dict | None = None,
                       in_set: dict | None = None):
     """Validate ``ds``; returns a Dataset with one row per declared
-    constraint: (constraint, column, n_violations). ``unique`` /
-    ``not_null`` are column-name tuples; ``ranges`` maps column →
-    (lo, hi) inclusive; ``in_set`` maps column → allowed values."""
+    constraint: (constraint, column, n_violations). ``not_null`` is a
+    column-name tuple; ``unique`` entries are column names OR tuples
+    (a tuple asserts the composite key is unique, reported under the
+    comma-joined name); ``ranges`` maps column → (lo, hi) inclusive;
+    ``in_set`` maps column → allowed values."""
     import numpy as np
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -81,10 +83,16 @@ def check_constraints(ds, *, unique: tuple = (), not_null: tuple = (),
         rows = [(c, col, n) for (c, col), n in acc.items()]
 
     for key in unique:
-        def kcounts(b: pa.Table, _k=key) -> pa.Table:
-            t = pa.table({"k": b[_k].combine_chunks().drop_null()})
-            g = t.group_by("k").aggregate([([], "count_all")])
-            return g.rename_columns(["k", "cnt"])
+        # composite constraints: a tuple/list entry asserts the key
+        # TUPLE is unique (the MERGE identity invariant); rows with ANY
+        # null component are excluded (SQL unknown semantics)
+        kcols = [key] if isinstance(key, str) else list(key)
+
+        def kcounts(b: pa.Table, _ks=tuple(kcols)) -> pa.Table:
+            t = b.select(list(_ks))
+            t = t.drop_null()
+            g = t.group_by(list(_ks)).aggregate([([], "count_all")])
+            return g.rename_columns(list(_ks) + ["cnt"])
 
         kcounts.__name__ = "key_count_partials"
 
@@ -93,10 +101,11 @@ def check_constraints(ds, *, unique: tuple = (), not_null: tuple = (),
             return pa.table({"x": pa.array([int(e.as_py() or 0)], pa.int64())})
 
         excess.__name__ = "excess_partial"
+        gkey = kcols[0] if len(kcols) == 1 else kcols
         parts = (ds.map_batches(kcounts, batch_format="pyarrow")
-                 .groupby("k").aggregate(Sum("cnt", alias_name="cnt"))
+                 .groupby(gkey).aggregate(Sum("cnt", alias_name="cnt"))
                  .map_batches(excess, batch_format="pyarrow").take_all())
-        rows.append(("unique", key, sum(r["x"] for r in parts)))
+        rows.append(("unique", ",".join(kcols), sum(r["x"] for r in parts)))
 
     rows.sort()
     return rd.from_arrow(pa.Table.from_pydict(
@@ -135,23 +144,31 @@ def check_constraints_oracle_sql(table: str, *, unique: tuple = (),
                                  in_set: dict | None = None) -> str:
     """DuckDB UNION ALL mirror of check_constraints (same constraint
     labels, same NULL semantics), ordered like the Ray output."""
+    def arm(label: str, col: str, expr: str) -> str:
+        # every arm aliases the output columns: UNION ALL names come
+        # from the first SELECT, and which family comes first depends
+        # on which constraints the caller declared
+        return (f"SELECT '{label}' AS \"constraint\", '{col}' AS "
+                f"\"column\", {expr} AS n_violations FROM {table}")
+
     arms = []
     for c in (in_set or {}):
         vals = ", ".join(_sql_lit(v) for v in in_set[c])
-        arms.append(
-            f"SELECT 'in_set' AS \"constraint\", '{c}' AS \"column\", "
-            f"COUNT(*) FILTER (WHERE {c} IS NOT NULL AND {c} NOT IN ({vals}))"
-            f" AS n_violations FROM {table}")
+        arms.append(arm("in_set", c,
+                        f"COUNT(*) FILTER (WHERE {c} IS NOT NULL "
+                        f"AND {c} NOT IN ({vals}))"))
     for c in not_null:
-        arms.append(
-            f"SELECT 'not_null', '{c}', COUNT(*) - COUNT({c}) FROM {table}")
+        arms.append(arm("not_null", c, f"COUNT(*) - COUNT({c})"))
     for c, (lo, hi) in (ranges or {}).items():
-        arms.append(
-            f"SELECT 'range', '{c}', COUNT(*) FILTER (WHERE {c} < "
-            f"{_sql_lit(lo)} OR {c} > {_sql_lit(hi)}) FROM {table}")
-    for c in unique:
-        arms.append(
-            f"SELECT 'unique', '{c}', COUNT({c}) - COUNT(DISTINCT {c}) "
-            f"FROM {table}")
+        arms.append(arm("range", c,
+                        f"COUNT(*) FILTER (WHERE {c} < {_sql_lit(lo)} "
+                        f"OR {c} > {_sql_lit(hi)})"))
+    for key in unique:
+        kcols = [key] if isinstance(key, str) else list(key)
+        nn = " AND ".join(f"{c} IS NOT NULL" for c in kcols)
+        tup = ", ".join(kcols)
+        arms.append(arm("unique", ",".join(kcols),
+                        f"COUNT(*) FILTER (WHERE {nn}) - "
+                        f"COUNT(DISTINCT ({tup})) FILTER (WHERE {nn})"))
     return (" UNION ALL ".join(arms)
             + ' ORDER BY "constraint", "column"')

@@ -146,7 +146,9 @@ def main(argv=None) -> int:
     sp = sub.add_parser("validate")
     tbl(sp)
     sp.add_argument("--unique", default=None,
-                    help="comma-separated; default: the identity keys")
+                    help="comma-separated constraints, '+' joins a "
+                         "composite tuple (a+b,c); '' disables; "
+                         "default: the identity key tuple")
     sp.add_argument("--not-null", default=None)
     sp.add_argument("--ranges-json", default=None,
                     help='JSON {"col": [lo, hi]}')
@@ -413,11 +415,22 @@ def main(argv=None) -> int:
         print(json.dumps(prof.take_all(), default=str))
         return 0
     elif args.cmd == "validate":
+        def _unique_spec():
+            if args.unique is None:
+                return None
+            out = []
+            for part in args.unique.split(","):
+                part = part.strip()
+                if not part:
+                    continue
+                cols = tuple(c for c in part.split("+") if c)
+                out.append(cols[0] if len(cols) == 1 else cols)
+            return tuple(out)
+
         rep = t.validate(
-            unique=(tuple(args.unique.split(","))
-                    if args.unique is not None else None),
-            not_null=tuple(args.not_null.split(","))
-            if args.not_null else (),
+            unique=_unique_spec(),
+            not_null=tuple(c for c in (args.not_null or "").split(",")
+                           if c),
             ranges={k: tuple(v) for k, v in
                     json.loads(args.ranges_json).items()}
             if args.ranges_json else None,

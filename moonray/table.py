@@ -408,14 +408,24 @@ class MoonrayTable:
                  in_set: dict | None = None, version: int | None = None):
         """Declared-expectation validation over the live rows
         (functions/validate): key uniqueness defaults to this table's
-        identity key columns — a post-MERGE invariant worth asserting
-        after restores, imports and manual repairs."""
+        identity key TUPLE (one composite constraint, not one per
+        column) — a post-MERGE invariant worth asserting after
+        restores, imports and manual repairs. full_row / append-only
+        identities have no uniqueness guarantee, so the default is no
+        unique check there. ``unique`` entries may be column names or
+        tuples (composite)."""
         from moonray.functions.validate import check_constraints
         from moonray.identity import key_cols_of
 
         if unique is None:
-            unique = tuple(key_cols_of(self.manifest()) or ())
-        cols = set(unique) | set(not_null) | set(ranges or {}) \
+            m = self.manifest()
+            kc = key_cols_of(m) if m.get("identity", "keys") == "keys" \
+                else None
+            unique = ((tuple(kc),) if kc and len(kc) > 1
+                      else tuple(kc or ()))
+        ucols = {c for k in unique
+                 for c in ([k] if isinstance(k, str) else k)}
+        cols = ucols | set(not_null) | set(ranges or {}) \
             | set(in_set or {})
         ds = self.scan(columns=sorted(cols) or None, version=version)
         return check_constraints(ds, unique=tuple(unique),

@@ -58,3 +58,31 @@ def test_custom_weights_flow_through():
                                "sw_permille": 0, "uq_permille": 0,
                                "mtl_x10": 0, "punct_permille": 0})(t)
     assert never["quality_pred"][0].as_py() == 0
+
+
+def test_null_text_propagates_null():
+    """NULL text rows produce NULL logit/decision/score (matching the
+    oracle's NULL-propagating SQL expressions), never int-cast NaN."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moonray.functions.classify import (quality_classifier_oracle_sql,
+                                            quality_classifier_scores)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the and of a normal document here",
+                          None, "short"], pa.string()),
+    })
+    got = (quality_classifier_scores(rd.from_arrow(t))
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert pd.isna(got.loc[1, "z_millis"]) and pd.isna(got.loc[1, "score"])
+    assert not pd.isna(got.loc[0, "z_millis"])
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = (con.sql(quality_classifier_oracle_sql()).df()
+            .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "z_millis", "quality_pred"]], want,
+        check_dtype=False)

@@ -73,3 +73,30 @@ def test_planted_mislabels_are_dropped():
         rd.from_arrow(t).repartition(4), 0.5).to_pandas()
     dropped = set(range(n)) - set(kept["vec_id"])
     assert dropped == set(bad.tolist())
+
+
+def test_empty_partitions_and_zero_vectors():
+    """Empty blocks must be skipped, and a zero-norm vector scores NaN
+    (never passing a threshold — the SQL oracle's 0/0 behavior)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moonray.functions.embfilter import (label_centroid_scores,
+                                             label_consistency_keep)
+
+    n, d = 5, 4
+    vecs = np.eye(n, d)  # NB row 4 is already all-zero (d < n)
+    vecs[3] = 0.0  # second zero-norm row
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(vecs.astype(np.float32)),
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 1, 1], pa.int32()),
+    })
+    ds = rd.from_arrow(t).repartition(12)  # more partitions than rows
+    scored = label_centroid_scores(ds).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    assert np.isnan(scored.loc[3, "cos"])
+    kept = label_consistency_keep(ds, -1.0).to_pandas()
+    # NaN never clears >= -1.0: both zero-norm rows drop
+    assert set(kept["vec_id"]) == {0, 1, 2}

@@ -82,3 +82,27 @@ def test_cli_analyze_and_validate(tmp_path, capsys):
                  "--ranges-json", '{"bal": [0, 10]}']) == 4
     bad = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert {r["constraint"]: r["n_violations"] for r in bad}["range"] > 0
+
+
+def test_validate_composite_key_defaults_to_tuple(tmp_path):
+    """A healthy composite-key table must validate clean: uniqueness is
+    the key TUPLE, never each column independently."""
+    import ray.data as rd
+
+    from moonray import MoonrayTable
+
+    root = str(tmp_path / "ck")
+    t = MoonrayTable.create(root, key_cols=("region", "id"),
+                            schema=pa.schema([("region", pa.string()),
+                                              ("id", pa.int64()),
+                                              ("v", pa.float64())]),
+                            rows_per_fragment=64)
+    t.bulk_load(rd.from_arrow(pa.table({
+        # 'region' and 'id' each repeat; only the TUPLE is unique
+        "region": pa.array(["eu"] * 100 + ["us"] * 100, pa.string()),
+        "id": pa.array(list(range(100)) * 2, pa.int64()),
+        "v": pa.array(np.zeros(200)),
+    })))
+    rep = t.validate().take_all()
+    assert rep == [{"constraint": "unique", "column": "region,id",
+                    "n_violations": 0}]

@@ -69,3 +69,28 @@ def test_dup_keys_lists_multiplicities():
     t = pa.table({"k": pa.array([1, 2, 2, 3, 3, 3, None], pa.int64())})
     got = dup_keys(rd.from_arrow(t).repartition(4), "k").take_all()
     assert {(r["k"], r["cnt"]) for r in got} == {(2, 2), (3, 3)}
+
+
+def test_composite_unique_and_no_in_set_oracle():
+    """Regressions: (1) the oracle must be valid SQL when in_set is
+    absent (UNION ALL names come from the first arm); (2) tuple unique
+    counts composite violations, not per-column ones."""
+    import ray.data as rd
+
+    from moonray.functions.validate import (check_constraints,
+                                            check_constraints_oracle_sql)
+
+    t = pa.table({
+        "a": pa.array([1, 1, 1, 2, None], pa.int64()),
+        "b": pa.array(["x", "x", "y", "x", "x"], pa.string()),
+    })
+    kw = dict(unique=(("a", "b"),), not_null=("a",))
+    got = check_constraints(rd.from_arrow(t).repartition(3), **kw)
+    con = duckdb.connect()
+    con.register("tbl", t)
+    _cmp(got, check_constraints_oracle_sql("tbl", **kw), con)
+    viol = {(r["constraint"], r["column"]): r["n_violations"]
+            for r in got.take_all()}
+    # (1,'x') repeats once; 'a' alone repeats 3x but must NOT count
+    assert viol[("unique", "a,b")] == 1
+    assert viol[("not_null", "a")] == 1

@@ -37,6 +37,12 @@ MoonrayTable, stdlib-only (ThreadingHTTPServer):
                                         schema (scan_table_begin analogue —
                                         SQL engines read the files directly)
     POST   /tables/{t}/scan_end         {"token": ...} release a scanplan pin
+    POST   /tables/{t}/vacuum           {"grace_seconds": s, "dry_run": b}
+    POST   /tables/{t}/colindex         {"col": ..., "fpp": p} bloom index
+    POST   /tables/{t}/analyze          {"columns": [...]} column profile
+    POST   /tables/{t}/validate         {"unique": [...], "not_null": [...],
+                                         "ranges": {...}, "in_set": {...}}
+                                        → {"ok": bool, "constraints": [...]}
 
 One service process per warehouse = the single writer the engine
 assumes (the reference likewise funnels all writes through one
@@ -465,6 +471,33 @@ class MoonrayService:
             except ValueError as ex:
                 raise ServiceError(400, str(ex)) from ex
 
+    def analyze(self, name: str, body: dict) -> dict:
+        t = self._table(name)
+        cols = body.get("columns")
+        try:
+            prof = t.analyze(cols, distinct=body.get("distinct", "hash64"))
+        except (KeyError, ValueError) as ex:
+            raise ServiceError(400, str(ex)) from ex
+        return {"table": name, "columns": prof.take_all()}
+
+    def validate_table(self, name: str, body: dict) -> dict:
+        t = self._table(name)
+        uq = body.get("unique")
+        try:
+            rep = t.validate(
+                unique=(tuple(tuple(k) if isinstance(k, list) else k
+                              for k in uq) if uq is not None else None),
+                not_null=tuple(body.get("not_null") or ()),
+                ranges={k: tuple(v) for k, v in
+                        (body.get("ranges") or {}).items()},
+                in_set=body.get("in_set"),
+            ).take_all()
+        except (KeyError, ValueError) as ex:
+            raise ServiceError(400, str(ex)) from ex
+        return {"table": name, "ok": all(r["n_violations"] == 0
+                                         for r in rep),
+                "constraints": rep}
+
     def describe(self, name: str) -> dict:
         return self._table(name).describe()
 
@@ -678,6 +711,8 @@ def make_handler(svc: MoonrayService):
                           "maintain": svc.maintain, "expire": svc.expire,
                           "lookup": svc.lookup, "scan_end": svc.scan_end,
                           "vacuum": svc.vacuum, "colindex": svc.colindex,
+                          "analyze": svc.analyze,
+                          "validate": svc.validate_table,
                           }.get(parts[2])
                     if fn:
                         return fn(parts[1], body)

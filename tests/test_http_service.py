@@ -533,3 +533,35 @@ def test_vacuum_and_colindex_routes(svc):
     assert st == 200 and r["deleted"] == 1
     st, d = _call("GET", f"{svc}/tables/vc1")
     assert st == 200 and d["cardinality"] == 32
+
+
+def test_analyze_and_validate_routes(svc):
+    _call("POST", f"{svc}/tables/av1", {
+        "schema": [["id", "int64"], ["name", "string"], ["v", "float64"]],
+        "key_col": "id", "rows_per_fragment": 8, "index_partitions": 2,
+    })
+    _call("POST", f"{svc}/ingest/av1", {
+        "operation": "insert",
+        "data": [{"id": i, "name": f"u{i % 5}", "v": float(i)}
+                 for i in range(32)]})
+
+    st, r = _call("POST", f"{svc}/tables/av1/analyze",
+                  {"columns": ["id", "name"]})
+    assert st == 200
+    prof = {c["column"]: c for c in r["columns"]}
+    assert prof["id"]["n_rows"] == 32 and prof["id"]["n_distinct"] == 32
+    assert prof["name"]["n_distinct"] == 5
+    st, _ = _call("POST", f"{svc}/tables/av1/analyze",
+                  {"columns": ["nope"]})
+    assert st == 400
+
+    # default unique = identity key; clean table → ok
+    st, r = _call("POST", f"{svc}/tables/av1/validate", {})
+    assert st == 200 and r["ok"] is True
+    assert r["constraints"] == [{"constraint": "unique", "column": "id",
+                                 "n_violations": 0}]
+    # a violated range reports ok=False with the count
+    st, r = _call("POST", f"{svc}/tables/av1/validate",
+                  {"ranges": {"v": [0, 10]}, "unique": []})
+    assert st == 200 and r["ok"] is False
+    assert r["constraints"][0]["n_violations"] == 21

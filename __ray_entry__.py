@@ -711,6 +711,44 @@ def _quality_classifier_sql() -> str:
     return quality_classifier_oracle_sql()
 
 
+def _join_sides(sf_dir: str):
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey",
+                                      "o_totalprice"])
+    return cust, orders
+
+
+def _q_equi_left_join(sf_dir: str):
+    """General row-level LEFT OUTER equi-join (native hash-shuffle
+    join surface, functions/join.equi_join): every customer row with
+    its matched orders, NULL-padded when none."""
+    from moonray.functions.join import equi_join
+
+    cust, orders = _join_sides(sf_dir)
+    return equi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                     how="left_outer", num_partitions=8)
+
+
+def _q_equi_anti_join(sf_dir: str):
+    """LEFT ANTI over a thinned right side (even custkeys only) so the
+    result is non-trivial at every sf: customers with no even-key
+    order."""
+    import pyarrow.compute as pc
+
+    from moonray.functions.join import equi_join
+
+    cust, orders = _join_sides(sf_dir)
+    some = orders.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["o_custkey"], 1), 0)),
+        batch_format="pyarrow")
+    return equi_join(cust, some, on="c_custkey", right_on="o_custkey",
+                     how="left_anti", num_partitions=8)
+
+
 _VALIDATE_KW = dict(unique=("l_orderkey",), not_null=("l_shipdate",),
                     ranges={"l_quantity": (1.0, 25.0)},
                     in_set={"l_returnflag": ["A", "N"]})
@@ -1131,6 +1169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_filter": _q_label_filter,
         "quality_classifier": _q_quality_classifier,
         "validate_constraints": _q_validate,
+        "customer_orders_left_join": _q_equi_left_join,
+        "customers_anti_join": _q_equi_anti_join,
     }
 
 
@@ -1433,4 +1473,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_filter": _label_filter_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "validate_constraints": _validate_sql(),
+        "customer_orders_left_join": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        """,
+        "customers_anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o_custkey % 2 = 0)
+        """,
     }

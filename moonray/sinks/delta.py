@@ -72,13 +72,20 @@ def _log_path(dest: str, v: int) -> str:
     return os.path.join(dest, "_delta_log", f"{v:020d}.json")
 
 
-def _read_log_state(dest: str) -> tuple[int, dict[str, dict], str | None]:
+def _read_log_state(dest: str, up_to: int | None = None
+                    ) -> tuple[int, dict[str, dict], str | None]:
     """Replay the existing _delta_log → (next log version,
-    {data path: its add-action tags}, last logged schemaString)."""
+    {data path: its add-action tags}, last logged schemaString).
+    ``up_to``: stop AFTER commit ``up_to`` (Delta versionAsOf time
+    travel — raises if that commit doesn't exist)."""
+    if up_to is not None and not os.path.exists(_log_path(dest, up_to)):
+        raise FileNotFoundError(
+            f"no Delta commit {up_to} at {dest} (versionAsOf)")
     active: dict[str, dict] = {}
     v = 0
     schema_str = None
-    while os.path.exists(_log_path(dest, v)):
+    while os.path.exists(_log_path(dest, v)) \
+            and (up_to is None or v <= up_to):
         with open(_log_path(dest, v)) as f:
             for line in f:
                 a = json.loads(line)
@@ -271,7 +278,8 @@ def _stats_overlap(add: dict, ranges: dict) -> bool:
     return True
 
 
-def read_delta_dataset(dest: str, *, columns=None, ranges=None):
+def read_delta_dataset(dest: str, *, columns=None, ranges=None,
+                       version: int | None = None):
     """Delta table → lazy Dataset. The export applies DVs and writes
     plain protocol-v1 parquet, so the read is a straight distributed
     parquet scan over the log's active file set (column-pruned);
@@ -281,10 +289,12 @@ def read_delta_dataset(dest: str, *, columns=None, ranges=None):
     action, not an error. ``ranges`` {col: (lo, hi)} prunes whole
     files via the add-actions' stats and pushes the exact inclusive
     filter into the parquet read (row-group pruning + row filtering;
-    ranged columns needn't be projected)."""
+    ranged columns needn't be projected). ``version`` = Delta
+    versionAsOf time travel: replay the log only through that commit
+    (the Iceberg reader's ``snapshot_id=`` analogue)."""
     import ray.data
 
-    _, active, schema_str = _read_log_state(dest)
+    _, active, schema_str = _read_log_state(dest, up_to=version)
     if schema_str is None:
         raise FileNotFoundError(f"no Delta table at {dest}")
     keep = sorted(active)

@@ -250,3 +250,30 @@ def test_vacuum_delta_removes_unreferenced_files(tmp_path, capsys):
     assert main(["vacuum-delta", "--dest", dest]) == 0
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["removed_files"] == 0
+
+
+def test_read_delta_dataset_version_as_of(tmp_path):
+    """Delta versionAsOf: an export BEFORE a merge stays readable at
+    its log version after a later export rewrote the active set."""
+    import pytest
+
+    from moonray.sinks.delta import read_delta_dataset
+
+    t = _mk(tmp_path / "tbl6")
+    dest = str(tmp_path / "delta6")
+    export_delta(t, dest)
+    v0_want = t.scan().to_pandas().sort_values("id", ignore_index=True)
+
+    t.merge(rd.from_items(
+        [{"id": i, "name": "new", "score": 1.5, "op": "U", "lsn": 500 + i}
+         for i in range(0, 40, 2)]))
+    export_delta(t, dest)
+
+    old = read_delta_dataset(dest, version=0).to_pandas().sort_values(
+        "id", ignore_index=True)
+    assert old[["id", "name", "score"]].equals(
+        v0_want[["id", "name", "score"]])
+    new = read_delta_dataset(dest).to_pandas()
+    assert (new["name"] == "new").sum() == 20
+    with pytest.raises(FileNotFoundError, match="versionAsOf"):
+        read_delta_dataset(dest, version=99)

@@ -773,6 +773,30 @@ def _validate_sql() -> str:
     return check_constraints_oracle_sql("lineitem", **_VALIDATE_KW)
 
 
+def _q_text_embed_knn(sf_dir: str):
+    """Text → deterministic feature-hashing embeddings → brute-force
+    cosine top-5 for three probe documents (the produced-embedding
+    pipeline: no synthetic embeddings table involved)."""
+    import numpy as np
+
+    from moonray.functions.embed import embed_documents
+    from moonray.functions.knn import knn_cosine
+
+    ds = embed_documents(
+        _docs(sf_dir).map_batches(
+            lambda b: b.select(["doc_id", "text"]),
+            batch_format="pyarrow"), dim=32)
+
+    def slim(b):
+        return b.select(["doc_id", "embedding"]).rename_columns(
+            ["vec_id", "embedding"])
+
+    vecs = ds.map_batches(slim, batch_format="pyarrow")
+    probes = [(r["vec_id"], np.asarray(r["embedding"], np.float64))
+              for r in vecs.take(3)]
+    return knn_cosine(vecs, probes, k=5)
+
+
 def _q_lang_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -1163,6 +1187,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_index_ranked_topk": _q_text_index_ranked,
         # rows-only (fixture corpus), pytest-pinned DuckDB parity
         "aspect_bucket_batches": _q_aspect_buckets,
+        # rows-only (hash functions aren't SQL-expressible); embedder
+        # determinism/geometry + the e2e link are pytest-pinned
+        # (tests/test_embed.py)
+        "text_embed_knn": _q_text_embed_knn,
         # data-quality / curation family (SQL-checkable, past-window)
         "profile_customer_columns": _q_profile_columns,
         "top_values_mktsegment": _q_top_values,

@@ -711,6 +711,33 @@ def _quality_classifier_sql() -> str:
     return quality_classifier_oracle_sql()
 
 
+def _q_watermark(sf_dir: str):
+    """Watermark/late-data tumbling windows (Flink/Beam allowed-lateness
+    semantics under a deterministic scrambled arrival order): on-time
+    counts + int-cent sums per window, late events routed to a side
+    count. Distributed two-phase prefix-max over arrival buckets."""
+    import ray.data as rd
+
+    from moonray.functions.watermark import (add_scrambled_arrival,
+                                             watermark_windows)
+
+    ds = add_scrambled_arrival(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "value"]))
+    return watermark_windows(ds, window_us=3600 * 1_000_000,
+                             delay_us=1800 * 1_000_000,
+                             arrival_col="arrival")
+
+
+def _watermark_sql() -> str:
+    from moonray.functions.watermark import (ARRIVAL_EXPR,
+                                             watermark_windows_oracle_sql)
+
+    return watermark_windows_oracle_sql(3600 * 1_000_000,
+                                        1800 * 1_000_000,
+                                        arrival_expr=ARRIVAL_EXPR)
+
+
 def _join_sides(sf_dir: str):
     import ray.data as rd
 
@@ -1199,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_constraints": _q_validate,
         "customer_orders_left_join": _q_equi_left_join,
         "customers_anti_join": _q_equi_anti_join,
+        "watermark_window_events": _q_watermark,
     }
 
 
@@ -1511,4 +1539,5 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o_custkey % 2 = 0)
         """,
+        "watermark_window_events": _watermark_sql(),
     }

@@ -800,6 +800,19 @@ def _validate_sql() -> str:
     return check_constraints_oracle_sql("lineitem", **_VALIDATE_KW)
 
 
+def _q_exact_k_sample(sf_dir: str):
+    """Deterministic exact-k uniform draw (bottom-k priority sample)
+    over documents — algebraic partial bottom-k per batch, one final
+    merge; a pure function of (corpus, seed) at any partitioning."""
+    from moonray.functions.reservoir import uniform_sample_exact
+
+    return uniform_sample_exact(
+        _docs(sf_dir).map_batches(
+            lambda b: b.select(["doc_id", "lang", "n_chars"]),
+            batch_format="pyarrow"),
+        100, "doc_id", seed=42)
+
+
 def _q_text_embed_knn(sf_dir: str):
     """Text → deterministic feature-hashing embeddings → brute-force
     cosine top-5 for three probe documents (the produced-embedding
@@ -1218,6 +1231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # determinism/geometry + the e2e link are pytest-pinned
         # (tests/test_embed.py)
         "text_embed_knn": _q_text_embed_knn,
+        # rows-only (hash priorities aren't SQL); exact-k, partitioning
+        # invariance and weighted bias pinned by tests/test_reservoir.py
+        "exact_k_sample": _q_exact_k_sample,
         # data-quality / curation family (SQL-checkable, past-window)
         "profile_customer_columns": _q_profile_columns,
         "top_values_mktsegment": _q_top_values,

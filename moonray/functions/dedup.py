@@ -142,8 +142,9 @@ class MinHashBands:
         # serial form for the same token strings
         import polars as pl
 
-        toks = (pl.Series(texts, dtype=pl.String).str.to_lowercase()
-                .str.extract_all("[a-z0-9]+"))
+        from moonray.util import canonical_tokens
+
+        toks = canonical_tokens(texts)
         lens = toks.list.len().cast(pl.Int64).to_numpy()
         flat = toks.explode().drop_nulls()
         if len(flat):

@@ -51,17 +51,21 @@ class HashingEmbedder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
 
+        from moonray.util import canonical_tokens, hash_key_array
+
         texts = batch[self.text_col].combine_chunks()
         n = len(texts)
         M = np.zeros((n, int(self.dim)), dtype=np.float64)
         if n:
-            s = pl.from_arrow(texts).str.to_lowercase()
-            toks = s.str.extract_all("[a-z0-9]+")
+            toks = canonical_tokens(texts)
             ex = pl.DataFrame({"i": pl.int_range(0, n, eager=True),
                                "tok": toks}).explode("tok") \
                 .drop_nulls("tok")
             ii = ex["i"].to_numpy()
-            h = (ex["tok"].hash(seed=0).to_numpy().astype(np.uint64))
+            # hash through hash_key_array (the HASH_IMPL stability
+            # guard), not a raw polars .hash call
+            h = hash_key_array(ex["tok"].to_arrow().cast(pa.string())) \
+                if len(ex) else np.empty(0, np.uint64)
             h = splitmix64(h ^ self.seed)
             if len(h):
                 self._accumulate(M, ii, h)

@@ -40,6 +40,10 @@ def _priorities(col, seed: int) -> np.ndarray:
 def _bottomk_stage(ds, k: int, score_fn, ascending: bool):
     """Per-batch partial ≤k rows by score, then one final merge —
     the exchange carries ≤ k rows per batch."""
+    clash = {"_pri", "_g"} & set(ds.schema().names or [])
+    if clash:
+        raise ValueError(f"input already has reserved column(s) "
+                         f"{sorted(clash)}")
 
     def partial(b: pa.Table) -> pa.Table:
         if len(b) == 0:

@@ -62,10 +62,10 @@ def _tokenize_fn(text_col: str, id_col: str, partitions: int):
     def tokenize(batch: pa.Table) -> pa.Table:
         import polars as pl
 
+        from moonray.util import canonical_tokens
+
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        toks = (pl.Series("tok", batch[text_col].to_pylist(),
-                          dtype=pl.String)
-                .str.to_lowercase().str.extract_all("[a-z0-9]+"))
+        toks = canonical_tokens(batch[text_col]).rename("tok")
         dl = toks.list.len().cast(pl.Int32)
         df = pl.DataFrame({"doc_id": pl.Series(ids, dtype=pl.Int64),
                            "dl": dl, "tok": toks})

@@ -48,6 +48,19 @@ def watermark_windows(ds, *, window_us: int, delay_us: int,
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Min, Sum
 
+    if "_bk" in (ds.schema().names or []):
+        raise ValueError("input already has a '_bk' column (reserved)")
+
+    # slim FIRST, then materialize: the three passes below (domain
+    # aggregate, carry pass, window pass) would otherwise re-execute
+    # the whole upstream pipeline three times. The cached blocks hold
+    # only (arrival, ts, value); Ray spills them if they outgrow the
+    # object store.
+    cols = [arrival_col, ts_col, value_col]
+    ds = ds.map_batches(
+        lambda b, _c=tuple(cols): b.select(list(_c)),
+        batch_format="pyarrow").materialize()
+
     # bucket by RANGE over the measured arrival domain, not by id
     # division: arrival keys may be sparse/scrambled (a dense-id
     # assumption turns every row into its own bucket — measured 65 s
@@ -68,6 +81,9 @@ def watermark_windows(ds, *, window_us: int, delay_us: int,
     bw = np.int64(-(-int(span) // n_buckets))  # ceil
 
     def thin(b: pa.Table) -> pa.Table:
+        if len(b) == 0:  # reduceat on an empty array raises
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
         arr = b[arrival_col].to_numpy(zero_copy_only=False)
         us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         bk = (arr - lo) // bw
@@ -112,9 +128,13 @@ def watermark_windows(ds, *, window_us: int, delay_us: int,
         wm = np.maximum(np.maximum.accumulate(us), np.int64(cin))
         wstart = (us // W) * W
         late = (wm - D) >= (wstart + W)
-        cents = np.floor(
-            g[value_col].to_numpy(zero_copy_only=False) * 100 + 0.5
-        ).astype(np.int64)
+        # NULL values: the row still counts (SQL count(*)) but adds 0
+        # to the sum (SQL sum() skips NULLs) — an unguarded NaN would
+        # int64-cast to INT64_MIN and silently poison sum_cents
+        vals = g[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        vals = np.where(np.isnan(vals), 0.0, vals)
+        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
         t = pa.table({
             "wstart": pa.array(wstart),
             "n_on_time": pa.array((~late).astype(np.int64)),
@@ -131,11 +151,7 @@ def watermark_windows(ds, *, window_us: int, delay_us: int,
         })
 
     window_group.__name__ = "watermark_window_group"
-    cols = [arrival_col, ts_col, value_col]
-    slim = ds.map_batches(
-        lambda b, _c=tuple(cols): b.select(list(_c)),
-        batch_format="pyarrow")
-    return (slim.map_batches(add_bucket, batch_format="pyarrow")
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_bk").map_groups(window_group, batch_format="pyarrow")
             .groupby("wstart")
             .aggregate(Sum("n_on_time", alias_name="n_on_time"),
@@ -145,15 +161,24 @@ def watermark_windows(ds, *, window_us: int, delay_us: int,
 
 # SQL-expressible deterministic scramble of the arrival order: the
 # fixture's event_id is time-ordered (nothing would ever be late), so
-# tests/queries replay arrivals in Knuth-hash order. event_id < 2^32
-# keeps the product inside int64 on both engines.
+# tests/queries replay arrivals in Knuth-hash order. The int64 product
+# bound is event_id ≤ floor(2^63/2654435761) ≈ 3.47e9 — NOT 2^32;
+# add_scrambled_arrival enforces it loudly (numpy would wrap silently
+# where DuckDB errors, breaking the bijection AND the oracle).
+_ARRIVAL_MAX_ID = (1 << 63) // 2654435761
 ARRIVAL_EXPR = "(event_id * 2654435761) % 4294967296"
 
 
 def add_scrambled_arrival(ds, col: str = "arrival"):
-    """Append the ARRIVAL_EXPR arrival key (vectorized, int64-exact)."""
+    """Append the ARRIVAL_EXPR arrival key (vectorized, int64-exact).
+    The key is a bijection of event_id mod 2^32, so distinct ids below
+    2^32 get distinct keys (no arrival-order ties)."""
     def add(b: pa.Table) -> pa.Table:
         e = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(e) and (e.max() > _ARRIVAL_MAX_ID or e.min() < 0):
+            raise ValueError(
+                f"event_id outside [0, {_ARRIVAL_MAX_ID}]: the scramble "
+                "product would overflow int64")
         a = (e * np.int64(2654435761)) % np.int64(4294967296)
         return b.append_column(col, pa.array(a, pa.int64()))
 

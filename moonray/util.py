@@ -89,6 +89,26 @@ def hash_key_array(arr, seed: int = 0) -> np.ndarray:
     return hash_key_array(pa.array(arr_np), seed=seed)
 
 
+def canonical_tokens(texts):
+    """THE module-wide tokenization (lower-then-extract `[a-z0-9]+`):
+    every token stream — dedup shingles, text index postings, hashing
+    embedder, the text-stats oracles — must come from this one
+    expression, or their SQL oracles and each other silently diverge
+    on case-fold edges. Accepts a pa.Array/ChunkedArray, pl.Series or
+    list of str; returns a polars list[str] Series."""
+    import polars as pl
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        s = pl.from_arrow(texts)
+    elif isinstance(texts, pl.Series):
+        s = texts
+    else:
+        s = pl.Series(texts, dtype=pl.String)
+    return s.str.to_lowercase().str.extract_all("[a-z0-9]+")
+
+
 def list_to_matrix(col, dtype=np.float64) -> np.ndarray:
     """Fixed-length list<float> column → (n, d) matrix, zero-copy from
     the Arrow values buffer where possible (the pandas detour

@@ -88,6 +88,30 @@ def uniform_sample_exact(ds, k: int, key_col: str, *, seed: int = 0):
     return _bottomk_stage(ds, k, score, ascending=True)
 
 
+def uniform_sample_per_group(ds, k: int, key_col: str, group_col: str, *,
+                             seed: int = 0):
+    """Exactly min(k, group size) rows PER GROUP (stratified exact-k):
+    the same deterministic bottom-k priorities, selected group-wise
+    through the algebraic group-top-k kernel — the exchange carries
+    ≤ k rows per group per batch."""
+    from moonray.functions.topk import top_k_per_group
+
+    if "_pri" in (ds.schema().names or []):
+        raise ValueError("input already has a '_pri' column (reserved)")
+
+    def add_pri(b: pa.Table) -> pa.Table:
+        # bit-shift keeps order and stays positive in int64; negate so
+        # top-k-DESC selects the SMALLEST priorities
+        pri = (_priorities(b[key_col], seed) >> np.uint64(1)) \
+            .astype(np.int64)
+        return b.append_column("_pri", pa.array(-pri))
+
+    add_pri.__name__ = "add_sample_priority"
+    out = top_k_per_group(ds.map_batches(add_pri, batch_format="pyarrow"),
+                          group=group_col, by="_pri", tie=key_col, k=k)
+    return out.drop_columns(["_pri"])
+
+
 def weighted_sample_exact(ds, k: int, key_col: str, weight_col: str, *,
                           seed: int = 0):
     """Efraimidis–Spirakis without replacement: P(i in sample) grows

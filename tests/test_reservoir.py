@@ -76,3 +76,31 @@ def test_weighted_bias_and_exclusions():
                                               1.0, 1.0])})
     got2 = weighted_sample_exact(rd.from_arrow(t2), 10, "k", "w").to_pandas()
     assert sorted(got2["k"]) == [0, 1, 2, 3, 4, 8, 9]
+
+
+def test_per_group_exact_k():
+    import ray.data as rd
+
+    from moonray.functions.reservoir import (uniform_sample_exact,
+                                             uniform_sample_per_group)
+
+    t = pa.table({
+        "k": pa.array(range(900), pa.int64()),
+        "g": pa.array([f"g{v % 3}" for v in range(900)], pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(6)
+    got = uniform_sample_per_group(ds, 20, "k", "g").to_pandas()
+    assert got.groupby("g").size().to_dict() == {
+        "g0": 20, "g1": 20, "g2": 20}
+    # per-group draw == global bottom-k restricted to that group
+    # (same priorities, same seed)
+    one = uniform_sample_exact(
+        rd.from_arrow(t.filter(
+            pa.compute.equal(t["g"], "g1"))), 20, "k").to_pandas()
+    assert sorted(got[got["g"] == "g1"]["k"]) == sorted(one["k"])
+    # a tiny group returns all its rows
+    t2 = pa.table({"k": pa.array(range(10), pa.int64()),
+                   "g": pa.array(["a"] * 8 + ["b"] * 2, pa.string())})
+    got2 = uniform_sample_per_group(rd.from_arrow(t2), 5, "k", "g") \
+        .to_pandas()
+    assert got2.groupby("g").size().to_dict() == {"a": 5, "b": 2}

@@ -79,3 +79,49 @@ def test_no_delay_vs_infinite_delay_extremes():
     # and on-time counts then equal the plain tumbling counts
     assert (never_late["n_on_time"].sum()
             == ds.count())
+
+
+def test_random_arrival_orders_match_brute_force():
+    """Property check: for random (arrival, ts, value) streams the
+    distributed two-phase scan equals a serial replay."""
+    import ray.data as rd
+
+    from moonray.functions.watermark import watermark_windows
+
+    rng = np.random.default_rng(29)
+    for trial in range(4):
+        n = int(rng.integers(50, 400))
+        w = int(rng.integers(5, 50))
+        d = int(rng.integers(0, 80))
+        arr = rng.permutation(np.arange(n) * int(rng.integers(1, 9)))
+        us = rng.integers(0, 500, n)
+        val = rng.integers(0, 1000, n) / 100.0
+        t = pa.table({
+            "event_id": pa.array(arr, pa.int64()),
+            "ts": pa.array(us, pa.timestamp("us")),
+            "value": pa.array(val),
+        })
+        got = (watermark_windows(
+            rd.from_arrow(t).repartition(int(rng.integers(1, 8))),
+            window_us=w, delay_us=d, bucket_rows=int(rng.integers(4, 64)))
+            .to_pandas().sort_values("wstart", ignore_index=True))
+
+        # serial replay
+        order = np.argsort(arr, kind="stable")
+        su, sv = us[order], val[order]
+        wm = np.maximum.accumulate(su)
+        ws = (su // w) * w
+        late = (wm - d) >= (ws + w)
+        cents = np.floor(sv * 100 + 0.5).astype(np.int64)
+        import collections
+        acc = collections.defaultdict(lambda: [0, 0, 0])
+        for i in range(n):
+            a = acc[int(ws[i])]
+            if late[i]:
+                a[2] += 1
+            else:
+                a[0] += 1
+                a[1] += int(cents[i])
+        want = sorted((k, *v) for k, v in acc.items())
+        have = list(got.itertuples(index=False, name=None))
+        assert [tuple(x) for x in have] == want, f"trial {trial}"

@@ -38,6 +38,13 @@ def _label_centroids(ds, emb_col: str, label_col: str) -> dict[int, np.ndarray]:
     shuffle carries one (label, sum, n) row per batch per label."""
 
     def partials(b: pa.Table) -> pa.Table:
+        # NULL labels: drop up front (matches the SQL oracle's equi-join
+        # on lab, which excludes NULL-label rows). Without this,
+        # to_numpy turns the null into NaN and astype(int64) into an
+        # arbitrary sentinel that silently pollutes some real label's
+        # centroid.
+        if b[label_col].null_count:
+            b = b.filter(pa.compute.is_valid(b[label_col]))
         if len(b) == 0:  # empty blocks (repartition, DV-emptied frags)
             return pa.table({"label": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
@@ -75,23 +82,35 @@ def label_centroid_scores(ds, *, emb_col: str = "embedding",
     """(id, label, cos) for every row: cosine between the row's
     embedding and its own label's mean vector, float64 end-to-end."""
     cents = _label_centroids(ds, emb_col, label_col)
-    labs = np.array(sorted(cents), dtype=np.int64)
-    C = np.stack([cents[l] for l in labs])          # (L, d)
-    cnorm = np.linalg.norm(C, axis=1)
+    if not cents:  # every label NULL → no row can score
+        labs = np.array([0], dtype=np.int64)
+        C, cnorm = np.zeros((1, 1)), np.zeros(1)
+    else:
+        labs = np.array(sorted(cents), dtype=np.int64)
+        C = np.stack([cents[l] for l in labs])      # (L, d)
+        cnorm = np.linalg.norm(C, axis=1)
 
     def score(b: pa.Table) -> pa.Table:
+        # NULL-label rows are excluded like the oracle's equi-join
+        # drops them (and like the centroid pass above)
+        if b[label_col].null_count:
+            b = b.filter(pa.compute.is_valid(b[label_col]))
         if len(b) == 0:
             return pa.table({id_col: b[id_col], label_col: b[label_col],
                              "cos": pa.array([], pa.float64())})
         m = list_to_matrix(b[emb_col], dtype=np.float64)
         norms = np.linalg.norm(m, axis=1)
         lab = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        li = np.searchsorted(labs, lab)
+        li = np.minimum(np.searchsorted(labs, lab), len(labs) - 1)
         # 0/0 stays NaN — the SQL oracle's zero-norm rows divide to NaN
         # and a NaN never clears a >= threshold, so keep sets agree
         with np.errstate(invalid="ignore", divide="ignore"):
             cos = (np.einsum("ij,ij->i", m, C[li])
                    / (norms * cnorm[li]))
+        # a label value with no centroid (possible only if every row of
+        # that label was dropped elsewhere) scores NaN, never a
+        # wrong-centroid match
+        cos[labs[li] != lab] = np.nan
         return pa.table({id_col: b[id_col], label_col: b[label_col],
                          "cos": pa.array(cos)})
 

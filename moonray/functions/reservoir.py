@@ -13,8 +13,10 @@ functions/topk) and are pure functions of (corpus, seed):
   uniform over distinct keys.
 - ``weighted_sample_exact``: Efraimidis–Spirakis (2006) weighted
   sampling without replacement — u = hash-uniform in (0,1), priority
-  = u^(1/w), keep the k LARGEST. Inclusion probability scales with
-  weight; weight ≤ 0 rows are excluded (log of u / w undefined).
+  = log(u)/w (the order-equivalent log form of the textbook u^(1/w),
+  immune to its large-weight rounding collapse at 1.0), keep the k
+  LARGEST. Inclusion probability scales with weight; weight ≤ 0 rows
+  are excluded.
 
 Exactness: when the corpus has ≥ k qualifying rows, exactly k return.
 Ties are impossible for distinct keys (64-bit injective-by-construction
@@ -123,7 +125,14 @@ def weighted_sample_exact(ds, k: int, key_col: str, weight_col: str, *,
         u = (h.astype(np.float64) + 0.5) / 2.0 ** 64
         w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
         w = np.where(np.isfinite(w) & (w > 0), w, np.nan)
+        # log-space priority log(u)/w — the same order as the textbook
+        # u**(1/w) (log is monotone), WITHOUT its large-weight rounding
+        # collapse: for w where 1/w underflows, u**(1/w) rounds to
+        # exactly 1.0 for many distinct u and the resulting ties break
+        # by block arrival order (non-deterministic under Ray); the
+        # ratio keeps full float resolution, preserving the
+        # pure-function-of-(corpus, seed) guarantee
         with np.errstate(invalid="ignore"):
-            return u ** (1.0 / w)  # NaN marks excluded rows
+            return np.log(u) / w  # NaN marks excluded rows
 
     return _bottomk_stage(ds, k, score, ascending=False)

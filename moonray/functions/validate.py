@@ -60,9 +60,15 @@ def check_constraints(ds, *, unique: tuple = (), not_null: tuple = (),
             viol.append(b[c].null_count)
         for c, (lo, hi) in rg.items():
             v = b[c].drop_null()
-            bad = pc.sum(pc.or_(pc.less(v, lo), pc.greater(v, hi)))
+            bad = pc.or_(pc.less(v, lo), pc.greater(v, hi))
+            if pa.types.is_floating(v.type):
+                # NaN is unordered for Arrow (never < or >) but DuckDB
+                # orders NaN above everything, so NaN > hi is a
+                # violation there — count NaN explicitly to match the
+                # SQL oracle's semantics on float columns
+                bad = pc.or_(bad, pc.is_nan(v))
             cons.append("range"); cols.append(c)
-            viol.append(int(bad.as_py() or 0))
+            viol.append(int(pc.sum(bad).as_py() or 0))
         for c, allowed in ins.items():
             v = b[c].drop_null()
             bad = pc.sum(pc.invert(pc.is_in(v, value_set=pa.array(allowed))))

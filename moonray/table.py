@@ -397,9 +397,17 @@ class MoonrayTable:
         column-pruned to exactly the profiled columns."""
         from moonray.functions.profile import profile_columns
 
+        schema_names = set(self.schema().names)
         if columns is None:
             columns = [f.name for f in self.schema()
                        if not f.name.startswith("_")]
+        # validate eagerly on the driver: a bad column name must raise
+        # KeyError HERE, not as a RayTaskError inside a map task (the
+        # HTTP service maps eager KeyError/ValueError to 400; a task
+        # error would surface as a 500)
+        missing = [c for c in columns if c not in schema_names]
+        if missing:
+            raise KeyError(f"no such column(s): {missing}")
         ds = self.scan(version=version, columns=list(columns))
         return profile_columns(ds, list(columns), distinct=distinct)
 
@@ -427,6 +435,11 @@ class MoonrayTable:
                  for c in ([k] if isinstance(k, str) else k)}
         cols = ucols | set(not_null) | set(ranges or {}) \
             | set(in_set or {})
+        # eager driver-side column check (same rationale as analyze):
+        # bad names 400 at the service instead of RayTaskError→500
+        missing = sorted(cols - set(self.schema().names))
+        if missing:
+            raise KeyError(f"no such column(s): {missing}")
         ds = self.scan(columns=sorted(cols) or None, version=version)
         return check_constraints(ds, unique=tuple(unique),
                                  not_null=tuple(not_null),

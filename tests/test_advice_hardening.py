@@ -129,3 +129,84 @@ def test_version_as_of_stops_at_first_newer_timestamp():
     with open(p, "w") as f:
         json.dump(m, f)
     assert t.version_as_of(ts1) == v1
+
+
+# ---------------- round-4 ADVICE items ----------------
+
+
+def test_range_constraint_counts_nan_like_sql():
+    """DuckDB orders NaN above everything, so NaN > hi is a range
+    violation there; Arrow's unordered-NaN compare must not diverge."""
+    import duckdb
+    import ray.data as rd
+
+    from moonray.functions.validate import check_constraints
+
+    vals = [1.0, 2.0, float("nan"), 50.0, None, float("nan")]
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    rep = {(r["constraint"], r["column"]): r["n_violations"]
+           for r in check_constraints(
+               rd.from_arrow(t), ranges={"x": (0.0, 10.0)}).take_all()}
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        "SELECT count(*) FROM t WHERE x < 0.0 OR x > 10.0").fetchone()[0]
+    assert rep[("range", "x")] == want == 3  # 50.0 + two NaN
+
+
+def test_embfilter_null_labels_excluded_like_oracle():
+    """NULL labels must drop out of both the centroid and score passes
+    (the SQL oracle's equi-join on label excludes them) — never be
+    int-cast into a real label's centroid."""
+    import ray.data as rd
+
+    from moonray.functions.embfilter import label_consistency_keep
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(0, 0.01, (20, 4)) + np.array([1, 0, 0, 0])
+    b = rng.normal(0, 0.01, (20, 4)) + np.array([0, 1, 0, 0])
+    emb = np.vstack([a, b]).astype(np.float64)
+    labels = pa.array([0] * 20 + [1] * 15 + [None] * 5, pa.int64())
+    t = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "label": labels,
+        "embedding": pa.array([list(r) for r in emb],
+                              pa.list_(pa.float64())),
+    })
+    kept = label_consistency_keep(
+        rd.from_arrow(t).repartition(3), 0.9).to_pandas()
+    # every non-null-label row agrees with its centroid; null-label
+    # rows (ids 35-39) are excluded exactly like the oracle
+    assert sorted(kept["vec_id"]) == list(range(35))
+
+
+def test_weighted_sample_huge_weights_partition_invariant():
+    """1/w underflow made u**(1/w) round to 1.0 for many rows; ties then
+    broke by block arrival order. log-space priorities keep the draw a
+    pure function of (corpus, seed) at any partitioning."""
+    import ray.data as rd
+
+    from moonray.functions.reservoir import weighted_sample_exact
+
+    n = 2000
+    t = pa.table({"k": pa.array(np.arange(n), pa.int64()),
+                  "w": pa.array(np.full(n, 1e300))})
+    a = sorted(weighted_sample_exact(
+        rd.from_arrow(t).repartition(2), 50, "k", "w",
+        seed=9).to_pandas()["k"])
+    b = sorted(weighted_sample_exact(
+        rd.from_arrow(t).repartition(13), 50, "k", "w",
+        seed=9).to_pandas()["k"])
+    assert a == b and len(a) == 50
+
+
+def test_analyze_validate_bad_column_raises_eagerly():
+    """A bad column name raises KeyError on the driver (service → 400),
+    not a RayTaskError from inside a map task (service → 500)."""
+    import pytest as _pytest
+
+    t = _mk_table("mr-badcol-", rows=50)
+    with _pytest.raises(KeyError, match="no_such"):
+        t.analyze(["no_such"])
+    with _pytest.raises(KeyError, match="no_such"):
+        t.validate(not_null=("no_such",))

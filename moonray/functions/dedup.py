@@ -109,6 +109,8 @@ def _shingle_set(text: str, n: int = 3) -> list[int]:
             for s in shingles]
 
 
+_DG_K1 = np.uint64(0xA0761D6478BD642F)  # shingle-set digest lane seeds
+_DG_K2 = np.uint64(0xE7037ED1A0B428DB)
 _SH_C1, _SH_C2, _SH_C3 = (np.uint64(0x9E3779B97F4A7C15),
                           np.uint64(0xC2B2AE3D27D4EB4F),
                           np.uint64(0x165667B19E3779F9))
@@ -125,7 +127,8 @@ class MinHashBands:
     verify step intentionally keeps its own (md5) shingle space — any
     injective shingle hash yields the same Jaccard value."""
 
-    def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int):
+    def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int,
+                 with_digest: bool = False):
         assert num_perm % bands == 0
         self.text_col = text_col
         self.id_col = id_col
@@ -133,6 +136,13 @@ class MinHashBands:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+        # with_digest: also emit a 128-bit shingle-SET digest (two
+        # independent 64-bit sum-lanes, bit-viewed int64 — uint64 group
+        # keys fall back to pickled objects in Ray shuffles). Equal
+        # digests ⇒ equal shingle sets ⇒ exactly equal Jaccard against
+        # any third doc, so LSH consumers may collapse digest-equal
+        # docs to one witness without changing any verify verdict.
+        self.with_digest = with_digest
 
     def _shingle_hashes_batch(self, texts: list[str], n: int = 3) -> list[np.ndarray]:
         # tokenization vectorized (polars lowercase + extract_all, one
@@ -176,9 +186,13 @@ class MinHashBands:
         shingles = self._shingle_hashes_batch(batch[self.text_col].to_pylist())
         n = len(ids)
         if n == 0:
-            return pa.table({"band": pa.array([], pa.int32()),
-                             "bhash": pa.array([], pa.uint64()),
-                             "id": pa.array([], pa.int64())})
+            cols = {"band": pa.array([], pa.int32()),
+                    "bhash": pa.array([], pa.uint64()),
+                    "id": pa.array([], pa.int64())}
+            if self.with_digest:
+                cols["d1"] = pa.array([], pa.int64())
+                cols["d2"] = pa.array([], pa.int64())
+            return pa.table(cols)
         lens = np.array([len(s) for s in shingles], dtype=np.int64)
         flat = np.concatenate(shingles)
         offsets = np.concatenate([[0], np.cumsum(lens)])
@@ -208,11 +222,22 @@ class MinHashBands:
             (n, self.bands)).copy()
         for j in range(self.rows_per_band):
             acc = splitmix64(acc ^ sig3[:, :, j])
-        return pa.table({
+        cols = {
             "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
             "bhash": pa.array(acc.reshape(-1), pa.uint64()),
             "id": pa.array(np.repeat(ids, self.bands), pa.int64()),
-        })
+        }
+        if self.with_digest:
+            # order-free sum over each doc's (already unique) shingle
+            # hashes, two independent lanes → 128-bit set digest
+            cuts = offsets[:-1]
+            d1 = np.add.reduceat(splitmix64(flat ^ _DG_K1), cuts) \
+                .view(np.int64)
+            d2 = np.add.reduceat(splitmix64(flat ^ _DG_K2), cuts) \
+                .view(np.int64)
+            cols["d1"] = pa.array(np.repeat(d1, self.bands), pa.int64())
+            cols["d2"] = pa.array(np.repeat(d2, self.bands), pa.int64())
+        return pa.table(cols)
 
 
 def _jaccard(a: set, b: set) -> float:
@@ -469,6 +494,45 @@ def _verify_pairs(pairs, payloads, payload_type: pa.DataType, verdict_fn, *,
             .groupby("_pb").map_groups(verify, batch_format="pyarrow"))
 
 
+def _signature_runs(group: pa.Table):
+    """Sort one band-hash bucket by (band, bhash, id) and locate the
+    equal-signature runs. Returns (sorted table, ids, new_run mask,
+    run starts, run ends)."""
+    t = group.sort_by([("band", "ascending"), ("bhash", "ascending"),
+                       ("id", "ascending")])
+    bh = np.asarray(t["bhash"].combine_chunks())
+    bd = t["band"].to_numpy(zero_copy_only=False)
+    ids = t["id"].to_numpy(zero_copy_only=False)
+    new_run = np.ones(len(t), dtype=bool)
+    new_run[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], len(t))
+    return t, ids, new_run, starts, ends
+
+
+def star_pairs(group: pa.Table) -> pa.Table:
+    """One call per hash BUCKET of band-hashes (a per-(band,bhash)
+    groupby would invoke Python once per ~unique signature): find
+    equal-signature runs vectorized, link each run member to the run's
+    MIN id (ids are the run sort key, so the run head is the hub).
+
+    O(run) pairs per run — all-pairs emission was O(run²), and one
+    pathological duplicate family (10⁶ copies of a boilerplate doc,
+    routine in crawl data) made a single task emit ~5·10¹¹ pairs. The
+    exact-Jaccard verify still runs per EDGE, and the downstream
+    collapse (driver union-find or distributed min-label components)
+    tolerates star-shaped candidate graphs by construction; members of
+    one run whose exact Jaccard to the hub differs get their verdicts
+    individually, and near-dups that fail against THIS run's hub get
+    15 more bands' runs (their own hubs) to link through."""
+    _t, ids, new_run, starts, ends = _signature_runs(group)
+    run_len = ends - starts
+    hub = np.repeat(ids[starts], run_len - 1)
+    mem = ids[~new_run]
+    return pa.table({"a": pa.array(hub, pa.int64()),
+                     "b": pa.array(mem, pa.int64())})
+
+
 def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.8,
@@ -499,33 +563,8 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         h = hash_key_array(b["bhash"]) % np.uint64(n_buckets)
         return b.append_column("_bktb", pa.array(h.astype(np.int32)))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        """One call per hash BUCKET of band-hashes (a per-(band,bhash)
-        groupby would invoke Python once per ~unique signature): sort by
-        (band, bhash), find equal-signature runs vectorized, emit the
-        within-run id pairs."""
-        t = group.sort_by([("band", "ascending"), ("bhash", "ascending"),
-                           ("id", "ascending")])
-        bh = np.asarray(t["bhash"].combine_chunks())
-        bd = t["band"].to_numpy(zero_copy_only=False)
-        ids = t["id"].to_numpy(zero_copy_only=False)
-        new_run = np.ones(len(t), dtype=bool)
-        new_run[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.flatnonzero(new_run)
-        ends = np.append(starts[1:], len(t))
-        a_out, b_out = [], []
-        for s, e in zip(starts, ends):
-            if e - s > 1:
-                run = ids[s:e]
-                for i in range(len(run)):
-                    for j in range(i + 1, len(run)):
-                        a_out.append(run[i]); b_out.append(run[j])
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64())})
-
-    bucket_pairs.__name__ = "bucket_pairs"
     cand = (band_rows.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("_bktb").map_groups(bucket_pairs, batch_format="pyarrow"))
+            .groupby("_bktb").map_groups(star_pairs, batch_format="pyarrow"))
     # thin (a, b) candidates: materialize once (bounded by band
     # collisions, two int64 columns) so id-extraction + verify don't
     # re-run the LSH pipeline. No pre-dedupe pass: _verify_pairs
@@ -602,6 +641,102 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(keep_reps, batch_format="pyarrow")
 
 
+def _bucket_expand_join(left, right, lkeys: tuple, rkeys: tuple, *,
+                        carry: tuple, out: dict,
+                        n_buckets: int | None = None):
+    """Inner equi-join with full per-key M×N expansion, as a bucketed
+    co-shuffle (hash(key) buckets → vectorized in-group match) — the
+    same shape as _verify_pairs' attach stage. All key/carry/output
+    columns must be int64 (the thin-join contract of the LSH paths).
+    ``carry`` columns pass through from the left; ``out`` maps right
+    column → output name. One shuffle of thin rows per call; no
+    Dataset.join (whose empty output partitions lose their schema when
+    fed into another join op)."""
+    n_buckets = n_buckets or default_buckets()
+    K = len(lkeys)
+    out_src = list(out)
+    out_dst = [out[c] for c in out_src]
+
+    def _jb(t: pa.Table, cols) -> pa.Array:
+        h = splitmix64(t[cols[0]].to_numpy(zero_copy_only=False)
+                       .astype(np.uint64))
+        if len(cols) > 1:
+            h = splitmix64(h ^ t[cols[1]].to_numpy(zero_copy_only=False)
+                           .astype(np.uint64))
+        return pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+
+    def _zeros(n):
+        return pa.array(np.zeros(n, np.int64))
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = len(b)
+        cols = {"_k1": b[lkeys[0]].cast(pa.int64()),
+                "_k2": (b[lkeys[1]].cast(pa.int64()) if K > 1
+                        else _zeros(n))}
+        for c in carry:
+            cols[c] = b[c].cast(pa.int64())
+        for d in out_dst:
+            cols[d] = _zeros(n)
+        cols["_kind"] = pa.array(np.zeros(n, np.int8))
+        cols["_jb"] = _jb(b, lkeys)
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = len(b)
+        cols = {"_k1": b[rkeys[0]].cast(pa.int64()),
+                "_k2": (b[rkeys[1]].cast(pa.int64()) if K > 1
+                        else _zeros(n))}
+        for c in carry:
+            cols[c] = _zeros(n)
+        for d, s in zip(out_dst, out_src):
+            cols[d] = b[s].cast(pa.int64())
+        cols["_kind"] = pa.array(np.ones(n, np.int8))
+        cols["_jb"] = _jb(b, rkeys)
+        return pa.table(cols)
+
+    tag_left.__name__ = "join_left_rows"
+    tag_right.__name__ = "join_right_rows"
+
+    def match(g: pa.Table) -> pa.Table:
+        kind = g["_kind"].to_numpy(zero_copy_only=False)
+        lmask = kind == 0
+        empty = pa.table({c: pa.array([], pa.int64())
+                          for c in (*carry, *out_dst)})
+        if not lmask.any() or lmask.all():
+            return empty
+        k1 = g["_k1"].to_numpy(zero_copy_only=False)
+        k2 = g["_k2"].to_numpy(zero_copy_only=False)
+        # exact two-int64 keys → dense ids via unique rows
+        _, inv = np.unique(np.stack([k1, k2], axis=1), axis=0,
+                           return_inverse=True)
+        lrows = np.flatnonzero(lmask)
+        rrows = np.flatnonzero(~lmask)
+        lid, rid = inv[lrows], inv[rrows]
+        order = np.argsort(rid, kind="stable")
+        rs = rid[order]
+        lo = np.searchsorted(rs, lid, "left")
+        hi = np.searchsorted(rs, lid, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(len(lid)), cnt)
+        idx = (np.arange(total)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt)
+               + np.repeat(lo, cnt))
+        ri = order[idx]
+        ltake = pa.array(lrows[li])
+        rtake = pa.array(rrows[ri])
+        cols = {c: g[c].take(ltake) for c in carry}
+        cols.update({d: g[d].take(rtake) for d in out_dst})
+        return pa.table(cols)
+
+    match.__name__ = "bucket_join_match"
+    unioned = (left.map_batches(tag_left, batch_format="pyarrow")
+               .union(right.map_batches(tag_right, batch_format="pyarrow")))
+    return unioned.groupby("_jb").map_groups(match, batch_format="pyarrow")
+
+
 def minhash_lsh_join(ds_a, ds_b, *, text_col: str = "text",
                      id_col: str = "doc_id", num_perm: int = 64,
                      bands: int = 16, jaccard_threshold: float = 0.8):
@@ -634,39 +769,65 @@ def minhash_lsh_join(ds_a, ds_b, *, text_col: str = "text",
             .union(ds_b.select_columns([id_col, text_col])
                    .map_batches(encode(1), batch_format="pyarrow")))
     band_rows = docs.map_batches(
-        as_fn(MinHashBands(text_col, id_col, num_perm, bands), "minhash_bands"),
-        batch_format="pyarrow")
+        as_fn(MinHashBands(text_col, id_col, num_perm, bands,
+                           with_digest=True), "minhash_bands"),
+        batch_format="pyarrow").materialize()
+    # per-doc shingle-set class map (thin int64 rows, one per doc —
+    # derived from the band rows so the corpus tokenizes ONCE; reused
+    # by three joins below, hence the materialize above)
+    def doc_classes(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.compute.equal(b["band"], 0))
+        return t.select(["id", "d1", "d2"])
+
+    doc_classes.__name__ = "doc_classes"
+    members = band_rows.map_batches(
+        doc_classes, batch_format="pyarrow").materialize()
     n_buckets = default_buckets()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         h = hash_key_array(b["bhash"]) % np.uint64(n_buckets)
         return b.append_column("_bktb", pa.array(h.astype(np.int32)))
 
-    def cross_pairs(group: pa.Table) -> pa.Table:
-        """Equal-signature runs like minhash_lsh_dedup.bucket_pairs,
-        but emitting only CROSS-side (A×B) pairs within each run."""
-        t = group.sort_by([("band", "ascending"), ("bhash", "ascending"),
-                           ("id", "ascending")])
-        bh = np.asarray(t["bhash"].combine_chunks())
-        bd = t["band"].to_numpy(zero_copy_only=False)
-        ids = t["id"].to_numpy(zero_copy_only=False)
-        new_run = np.ones(len(t), dtype=bool)
-        new_run[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.flatnonzero(new_run)
-        ends = np.append(starts[1:], len(t))
+    def class_cross_pairs(group: pa.Table) -> pa.Table:
+        """Equal-signature runs like minhash_lsh_dedup, but (1) only
+        CROSS-side (A×B) pairs, and (2) digest-equal docs collapse to
+        one witness (the class's min id IN THIS RUN) before the cross
+        product — a flood of identical boilerplate on both sides emits
+        O(classesA × classesB) candidates instead of O(|A|·|B|). Exact:
+        equal digests ⇒ equal shingle sets ⇒ the witness's Jaccard
+        verdict is every member's verdict; verified witness pairs are
+        expanded back to member pairs by the joins below."""
+        _t, ids, new_run, starts, ends = _signature_runs(group)
+        d1 = _t["d1"].to_numpy(zero_copy_only=False)
+        d2 = _t["d2"].to_numpy(zero_copy_only=False)
+        run_idx = np.cumsum(new_run) - 1
+        side = ids & 1
+        order = np.lexsort((ids, d2, d1, side, run_idx))
+        r2, s2 = run_idx[order], side[order]
+        a2, b2, i2 = d1[order], d2[order], ids[order]
+        newc = np.ones(len(i2), dtype=bool)
+        newc[1:] = ((r2[1:] != r2[:-1]) | (s2[1:] != s2[:-1])
+                    | (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1]))
+        rep_ids, rep_run, rep_side = i2[newc], r2[newc], s2[newc]
+        rstarts = np.flatnonzero(np.r_[True, rep_run[1:] != rep_run[:-1]])
+        rends = np.append(rstarts[1:], len(rep_run))
         a_out, b_out = [], []
-        for s, e in zip(starts, ends):
-            run = ids[s:e]
-            ra, rb = run[run % 2 == 0], run[run % 2 == 1]
+        for s, e in zip(rstarts, rends):
+            run, sd = rep_ids[s:e], rep_side[s:e]
+            ra, rb = run[sd == 0], run[sd == 1]
             if len(ra) and len(rb):
-                a_out.extend(np.repeat(ra, len(rb)))
-                b_out.extend(np.tile(rb, len(ra)))
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64())})
+                a_out.append(np.repeat(ra, len(rb)))
+                b_out.append(np.tile(rb, len(ra)))
+        if not a_out:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                         "b": pa.array(np.concatenate(b_out), pa.int64())})
 
-    cross_pairs.__name__ = "cross_pairs"
+    class_cross_pairs.__name__ = "class_cross_pairs"
     cand = (band_rows.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("_bktb").map_groups(cross_pairs, batch_format="pyarrow"))
+            .groupby("_bktb").map_groups(class_cross_pairs,
+                                         batch_format="pyarrow"))
     cand = cand.materialize()
     ids_ref = _candidate_ids_ref(cand)
 
@@ -695,14 +856,40 @@ def minhash_lsh_join(ds_a, ds_b, *, text_col: str = "text",
         cand, payloads, pa.list_(pa.uint64()), jaccard_verdict,
         n_candidate_ids=len(ray.get(ids_ref)))
 
-    def decode(b: pa.Table) -> pa.Table:
-        a = b["a"].to_numpy(zero_copy_only=False) // 2
-        bb = b["b"].to_numpy(zero_copy_only=False) // 2
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(bb, pa.int64())})
+    # ---- witness → member expansion (all exchanges thin int64): attach
+    # each verified witness pair's class digests, then re-attach every
+    # member of those classes (side-filtered: 'a' members even ids,
+    # 'b' members odd — a digest shared ACROSS sides is two classes
+    # whose own witness pair was emitted separately). Duplicate
+    # expansions (one class pair verified through several witnesses)
+    # collapse in the final distinct. Uses the repo's bucketed
+    # co-shuffle join (same shape as _verify_pairs.attach), not
+    # Dataset.join — chaining Ray's hash-join operator output into
+    # another join loses empty partitions' schemas.
+    j1 = _bucket_expand_join(verified, members, ("a",), ("id",),
+                             carry=("a", "b"),
+                             out={"d1": "ad1", "d2": "ad2"})
+    j2 = _bucket_expand_join(j1, members, ("b",), ("id",),
+                             carry=("ad1", "ad2"),
+                             out={"d1": "bd1", "d2": "bd2"})
+    j3 = _bucket_expand_join(j2, members, ("ad1", "ad2"), ("d1", "d2"),
+                             carry=("bd1", "bd2"), out={"id": "am"})
+    j4 = _bucket_expand_join(j3, members, ("bd1", "bd2"), ("d1", "d2"),
+                             carry=("am",), out={"id": "bm"})
 
-    decode.__name__ = "decode_pair_ids"
-    return verified.map_batches(decode, batch_format="pyarrow")
+    def decode(b: pa.Table) -> pa.Table:
+        am = b["am"].to_numpy(zero_copy_only=False)
+        bm = b["bm"].to_numpy(zero_copy_only=False)
+        keep = (am % 2 == 0) & (bm % 2 == 1)
+        return pa.table({"a": pa.array(am[keep] // 2, pa.int64()),
+                         "b": pa.array(bm[keep] // 2, pa.int64())})
+
+    decode.__name__ = "decode_member_pairs"
+    from ray.data.aggregate import Count
+
+    return (j4.map_batches(decode, batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"]))
 
 
 # ---------------- exact n-gram Jaccard pairs ----------------

@@ -52,6 +52,47 @@ _CUSTOMER_SQL = (
     "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
 )
 
+# typed_columns_merge: the engine stores decimal(12,2)/date32/
+# timestamp(µs)/FSB16 and projects to primitives at the very end; this
+# SQL mirrors every derivation digit-for-digit in the primitive domain
+# (8035 = epoch day of 1992-01-01, the typed fixtures' date base).
+_TYPED_MERGE_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(8035 + c_custkey % 2557 AS BIGINT) AS day_num,
+         CAST(8035 * 86400000000 + (c_custkey * 13 % 86400) * 1000000
+              AS BIGINT) AS ts_us,
+         md5(CAST(c_custkey AS VARCHAR)) AS uid_hex
+  FROM customer
+),
+changes AS (
+  SELECT
+    CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+         WHEN o_orderkey % 10 < 5 THEN 'I' ELSE 'U' END AS op,
+    o_orderkey AS lsn,
+    CASE WHEN o_orderkey % 10 >= 2 AND o_orderkey % 10 < 5
+         THEN o_custkey + 10000000 ELSE o_custkey END AS k,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+    CAST(8035 + 30 + o_orderkey % 2557 AS BIGINT) AS day_num,
+    CAST(8035 * 86400000000 + (o_orderkey * 7 % 86400) * 1000000
+         AS BIGINT) AS ts_us,
+    md5(CAST(CASE WHEN o_orderkey % 10 >= 2 AND o_orderkey % 10 < 5
+                  THEN o_custkey + 10000000 ELSE o_custkey END
+             AS VARCHAR)) AS uid_hex
+  FROM orders
+),
+winners AS (
+  SELECT * FROM changes
+  QUALIFY row_number() OVER (PARTITION BY k ORDER BY lsn DESC) = 1
+)
+SELECT b.k, b.price_cents, b.day_num, b.ts_us, b.uid_hex
+FROM base b WHERE b.k NOT IN (SELECT k FROM winners)
+UNION ALL
+SELECT k, price_cents, day_num, ts_us, uid_hex
+FROM winners WHERE op <> 'D'
+"""
+
 _KNN_SQL = """
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
@@ -357,6 +398,17 @@ def _q_iceberg_export(sf_dir: str):
     from moonray.pipelines.relational import iceberg_export_scan
 
     return iceberg_export_scan(sf_dir)
+
+
+def _q_typed_merge(sf_dir: str):
+    """MERGE over true extended Arrow types (decimal(12,2) price,
+    date32, timestamp µs, FixedSizeBinary[16] uuid) — storage, zone
+    maps, identity and the MERGE path run on the typed columns; the
+    final projection casts to SQL-robust primitives (unscaled cents,
+    epoch days/µs, hex) for the driver's dtype-sensitive hash."""
+    from moonray.pipelines.relational import typed_columns_merge
+
+    return typed_columns_merge(sf_dir)
 
 
 def _q_stream_xact(sf_dir: str):
@@ -1138,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alter_schema_evolution": _q_alter,
         "stream_xact_commit": _q_stream_xact,
         "iceberg_export_scan": _q_iceberg_export,
+        "typed_columns_merge": _q_typed_merge,
         # ---- streaming-shaped ----
         "tumbling_window_events": _q_tumbling,
         "hopping_window_events": _q_hopping,
@@ -1165,9 +1218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_boilerplate": _q_line_dedup,
         "pack_training_sequences": _q_pack,
         "export_training_shards": _q_export_shards,
-        # ---- dedup ----
+        # ---- dedup ---- (dedup_exact_prefix moved past-window in r4 to
+        # make room for typed_columns_merge; check_contract still
+        # SQL-verifies it every round)
         "dedup_exact": _q_dedup_exact,
-        "dedup_exact_prefix": _q_dedup_prefix,
         # SCALE CONTRACT: embedding_near_dup_pairs, ngram_jaccard_pairs
         # and knn_cosine_top10 are EXACT BASELINES that broadcast the
         # corpus / compare all pairs — run them only at oracle scale
@@ -1215,6 +1269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # equals merging into the original; source immutability asserted
         # inside the pipeline
         "shallow_clone_cow_merge": _q_clone_cow,
+        "dedup_exact_prefix": _q_dedup_prefix,
         "branch_publish_merge": _q_branch_publish,
         "update_where_scan": _q_update_where,
         "restore_rollback_scan": _q_restore,
@@ -1262,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_then_cluster": _MERGE_SQL,
         "merge_full_maintenance_expire": _MERGE_SQL,
         "iceberg_export_scan": _MERGE_SQL,
+        "typed_columns_merge": _TYPED_MERGE_SQL,
         "snapshot_isolation_pre_merge": _CUSTOMER_SQL,
         "zone_pruned_scan": _CUSTOMER_SQL
         + " WHERE c_acctbal >= 1000.0 AND c_acctbal <= 5000.0",

@@ -84,12 +84,13 @@ def normalize_to_schema(t: pa.Table, schema: pa.Schema,
 
 
 def compute_zones(table: pa.Table, zone_cols) -> dict:
-    zones = {}
-    for c in zone_cols:
-        if c in table.column_names and len(table) > 0:
-            mm = pc.min_max(table[c])
-            zones[c] = [mm["min"].as_py(), mm["max"].as_py()]
-    return zones
+    """min/max per zone column, JSON-safe and order-preserving for the
+    full extended-type palette (decimal/date/time/timestamp/binary —
+    see moonray/types.py for the encodings); nested types are skipped
+    (no total order)."""
+    from moonray.types import compute_zones_typed
+
+    return compute_zones_typed(table, zone_cols)
 
 
 def rg_rows_of(rows_per_fragment: int) -> int:

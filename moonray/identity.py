@@ -70,13 +70,50 @@ def is_composite(m: dict) -> bool:
     return m.get("key_col") == CKEY
 
 
+def _col_to_string(col) -> pa.Array:
+    """One key column → an injective string form, per type:
+
+    - binary / fixed-size-binary → lowercase hex (a cast to string
+      would require valid UTF-8 and is not injective across escapes);
+    - struct → polars json_encode (vectorized, field-order stable
+      because the Arrow type fixes field order);
+    - list → per-row JSON (Python loop — list-typed KEY columns are a
+      rare modelling choice and the reference also hashes such rows
+      value-by-value, column_array_builder.rs's Array arm);
+    - temporal / decimal / numeric / string → Arrow cast to string
+      (ISO dates/timestamps, canonical decimal digits).
+    """
+    t = col.type
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if (pa.types.is_binary(t) or pa.types.is_large_binary(t)
+            or pa.types.is_fixed_size_binary(t)):
+        import polars as pl
+
+        return pl.from_arrow(col).bin.encode("hex").to_arrow() \
+            .cast(pa.string())
+    if pa.types.is_struct(t):
+        import polars as pl
+
+        return pl.from_arrow(col).struct.json_encode().to_arrow() \
+            .cast(pa.string())
+    if pa.types.is_list(t) or pa.types.is_large_list(t) \
+            or pa.types.is_fixed_size_list(t):
+        import json
+
+        return pa.array([None if v is None else json.dumps(v)
+                         for v in col.to_pylist()], pa.string())
+    return pc.cast(col, pa.string())
+
+
 def encode_key_column(batch: pa.Table, key_cols: list[str]) -> pa.Array:
-    """Injective composite-key encoding: per column cast to string,
-    escape (ESC doubled, SEP → ESC+'s'), join with SEP. Vectorized
-    Arrow kernels throughout."""
+    """Injective composite-key encoding: per column cast to an
+    injective string form (_col_to_string), escape (ESC doubled,
+    SEP → ESC+'s'), join with SEP. Vectorized Arrow kernels
+    throughout (except list-typed key columns, documented above)."""
     parts = []
     for c in key_cols:
-        s = pc.cast(batch[c], pa.string())
+        s = _col_to_string(batch[c])
         s = pc.replace_substring(s, "\\", "\\\\")
         s = pc.replace_substring(s, _SEP, "\\s")
         parts.append(s)

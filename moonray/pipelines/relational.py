@@ -847,3 +847,125 @@ def iceberg_export_scan(sf_dir: str):
     t.merge(_changes_dataset(sf_dir))
     export_iceberg(t, dest)
     return read_iceberg_table(dest)
+
+
+# ---------------- extended-type MERGE (decimal/date/ts/uuid) ----------------
+
+# epoch-day of 1992-01-01 — the typed fixtures' date base
+_TYPED_DAY0 = 8035
+_TYPED_US0 = _TYPED_DAY0 * 86_400_000_000
+
+
+def _md5_uid(keys) -> "pa.Array":
+    import hashlib
+
+    return pa.array([hashlib.md5(str(int(k)).encode()).digest()
+                     for k in keys], pa.binary(16))
+
+
+def _typed_customer_batch(b: pa.Table) -> pa.Table:
+    """customer batch → the typed base table: price DECIMAL(12,2) from
+    half-up acctbal cents, day DATE32, ts TIMESTAMP(µs), uid
+    FixedSizeBinary[16] = md5(custkey). Every derivation is mirrored
+    digit-for-digit by the typed_columns_merge SQL oracle."""
+    from moonray.types import unscaled_to_decimal
+
+    ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = np.floor(b["c_acctbal"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+    return pa.table({
+        "k": pa.array(ck, pa.int64()),
+        "price": unscaled_to_decimal(cents, 12, 2),
+        "day": pa.array((_TYPED_DAY0 + ck % 2557).astype(np.int32),
+                        pa.date32()),
+        "ts": pa.array(_TYPED_US0 + (ck * 13 % 86400) * 1_000_000,
+                       pa.timestamp("us")),
+        "uid": _md5_uid(ck),
+    })
+
+
+def _typed_changes_batch(b: pa.Table) -> pa.Table:
+    """orders batch → typed CDC rows (same op scheme as
+    orders_to_changes: o_orderkey % 10 → 0-1 D, 2-4 I on shifted keys,
+    5-9 U; lsn = o_orderkey)."""
+    from moonray.types import unscaled_to_decimal
+
+    ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+    sel = ok % 10
+    op = np.where(sel < 2, "D", np.where(sel < 5, "I", "U"))
+    key = np.where((sel >= 2) & (sel < 5), ck + INSERT_KEY_SHIFT, ck)
+    is_del = op == "D"
+    cents = np.floor(tp * 100.0 + 0.5).astype(np.int64)
+    price = unscaled_to_decimal(cents, 12, 2)
+    day = pa.array((_TYPED_DAY0 + 30 + ok % 2557).astype(np.int32),
+                   pa.date32())
+    ts = pa.array(_TYPED_US0 + (ok * 7 % 86400) * 1_000_000,
+                  pa.timestamp("us"))
+    uid = _md5_uid(key)
+    dmask = pa.array(is_del)
+    import pyarrow.compute as _pc
+
+    def null_if_del(col):
+        return _pc.if_else(dmask, pa.nulls(len(col), col.type), col)
+
+    return pa.table({
+        "op": pa.array(op.tolist(), pa.string()),
+        "lsn": pa.array(ok, pa.int64()),
+        "k": pa.array(key, pa.int64()),
+        "price": null_if_del(price),
+        "day": null_if_del(day),
+        "ts": null_if_del(ts),
+        "uid": null_if_del(uid),
+    })
+
+
+def typed_columns_merge(sf_dir: str):
+    """MERGE over a table whose payload spans the extended type palette
+    (decimal(12,2), date32, timestamp µs, FixedSizeBinary[16]) — the
+    reference ingest data model's typed half
+    (src/moonlink/src/row/moonlink_type.rs:5-21). The table STORES true
+    Arrow extended types (zone maps on the decimal and date columns
+    prune by the order-preserving encodings in moonray/types.py); only
+    the final projection casts to SQL-robust primitives (unscaled
+    cents, epoch days, epoch µs, hex) so the driver's dtype-sensitive
+    hash compares exactly."""
+    import ray.data as rd
+
+    from moonray.table import MoonrayTable
+    from moonray.types import decimal_to_unscaled
+    from moonray.util import scratch_root
+
+    schema = pa.schema([
+        ("k", pa.int64()), ("price", pa.decimal128(12, 2)),
+        ("day", pa.date32()), ("ts", pa.timestamp("us")),
+        ("uid", pa.binary(16)),
+    ])
+    t = MoonrayTable.create(scratch_root("moonray-typed-"), key_col="k",
+                            schema=schema, zone_cols=("price", "day"),
+                            index_partitions=8, rows_per_fragment=256)
+    t.bulk_load(rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"],
+    ).map_batches(_typed_customer_batch, batch_format="pyarrow"))
+    t.merge(rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(_typed_changes_batch, batch_format="pyarrow"))
+
+    def project(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pa.table({
+            "k": b["k"],
+            "price_cents": pa.array(decimal_to_unscaled(b["price"]),
+                                    pa.int64()),
+            "day_num": pc.cast(pc.cast(b["day"], pa.int32()), pa.int64()),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "uid_hex": pl.from_arrow(b["uid"].combine_chunks())
+            .bin.encode("hex").to_arrow().cast(pa.string()),
+        })
+
+    project.__name__ = "typed_to_primitives"
+    return t.scan().map_batches(project, batch_format="pyarrow")

@@ -46,7 +46,11 @@ _SPARK_TYPES = {
 
 def _spark_type(t: pa.DataType):
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        # Delta 'timestamp' is tz-adjusted; naive maps to
+        # timestampNtz (reader feature since Delta 3.3)
+        return "timestamp" if t.tz is not None else "timestampNtz"
+    if pa.types.is_fixed_size_binary(t):
+        return "binary"  # Delta has no fixed-width binary / uuid type
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
     if pa.types.is_list(t) or pa.types.is_large_list(t):

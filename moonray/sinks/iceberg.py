@@ -75,7 +75,16 @@ def _iceberg_type(t: pa.DataType, alloc) -> object:
     if pa.types.is_date32(t):
         return "date"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        # tz-aware Arrow timestamps are UTC-canonicalized by the engine
+        # → Iceberg timestamptz; naive → timestamp (both µs per spec)
+        return "timestamptz" if t.tz is not None else "timestamp"
+    if pa.types.is_time(t):
+        return "time"
+    if pa.types.is_fixed_size_binary(t):
+        # 16-byte FSB is the engine's UUID carrier (reference
+        # FixedLenByteArray[16], moonlink_type.rs); other widths export
+        # as fixed[N]
+        return "uuid" if t.byte_width == 16 else f"fixed[{t.byte_width}]"
     if pa.types.is_decimal(t):
         return f"decimal({t.precision}, {t.scale})"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -121,14 +130,17 @@ def _single_value_bytes(v, ice_type) -> bytes | None:
     """Iceberg single-value binary serialization (spec appendix D) for
     the bound types the engine's zone maps produce; None for types we
     don't serialize (the field is simply omitted — bounds are
-    optional per column)."""
+    optional per column). ``v`` arrives in the zone-map JSON domain
+    (moonray/types.py): epoch-days / µs ints for temporal types,
+    unscaled ints for decimals, hex strings for binary/uuid/fixed —
+    each maps directly onto the spec's binary form."""
     import struct as _struct
 
     if v is None or not isinstance(ice_type, str):
         return None
     if ice_type == "int" or ice_type == "date":
         return _struct.pack("<i", int(v))
-    if ice_type == "long":
+    if ice_type in ("long", "time", "timestamp", "timestamptz"):
         return _struct.pack("<q", int(v))
     if ice_type == "float":
         return _struct.pack("<f", float(v))
@@ -138,6 +150,15 @@ def _single_value_bytes(v, ice_type) -> bytes | None:
         return str(v).encode()
     if ice_type == "boolean":
         return b"\x01" if v else b"\x00"
+    if ice_type.startswith("decimal("):
+        # unscaled value, two's-complement big-endian, minimum length
+        u = int(v)
+        nbytes = max(1, (u.bit_length() + 8) // 8)
+        return u.to_bytes(nbytes, "big", signed=True)
+    if ice_type == "uuid" or ice_type.startswith("fixed["):
+        return bytes.fromhex(v) if isinstance(v, str) else bytes(v)
+    if ice_type == "binary":
+        return bytes.fromhex(v) if isinstance(v, str) else bytes(v)
     return None
 
 

@@ -43,6 +43,16 @@ _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
                "bytes", "string"}
 
 
+# Avro logicalType annotations the converter honors (the reference's
+# ingest model: decimal(i128), date32, time64 µs, timestamp µs UTC —
+# avro spec §logical-types). timestamp-millis decodes scaled to µs so
+# the Arrow side is always timestamp[us].
+_LOGICAL = {("bytes", "decimal"), ("fixed", "decimal"),
+            ("int", "date"), ("long", "time-micros"),
+            ("long", "timestamp-micros"), ("long", "timestamp-millis"),
+            ("long", "local-timestamp-micros")}
+
+
 def _norm(s):
     if isinstance(s, str):
         if s not in _PRIMITIVES:
@@ -52,6 +62,15 @@ def _norm(s):
         return {"type": "union", "branches": [_norm(b) for b in s]}
     if isinstance(s, dict):
         t = s["type"]
+        lt = s.get("logicalType")
+        if lt is not None and (t, lt) in _LOGICAL:
+            node = {"type": t, "logicalType": lt}
+            if lt == "decimal":
+                node["precision"] = int(s["precision"])
+                node["scale"] = int(s.get("scale", 0))
+                if t == "fixed":
+                    node["size"] = int(s["size"])
+            return node
         if t in _PRIMITIVES:
             return {"type": t}
         if t == "record":
@@ -83,6 +102,20 @@ def avro_to_arrow_schema(schema) -> pa.Schema:
 
 def _arrow_type(s) -> tuple[pa.DataType, bool]:
     t = s["type"]
+    lt = s.get("logicalType")
+    if lt is not None:
+        if lt == "decimal":
+            return pa.decimal128(s["precision"], s["scale"]), False
+        if lt == "date":
+            return pa.date32(), False
+        if lt == "time-micros":
+            return pa.time64("us"), False
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            # canonicalized to UTC µs (reference: moonlink_type.rs's
+            # TimeStampTz contract); -millis decodes scaled ×1000
+            return pa.timestamp("us", tz="UTC"), False
+        if lt == "local-timestamp-micros":
+            return pa.timestamp("us"), False
     simple = {"null": pa.null(), "boolean": pa.bool_(), "int": pa.int32(),
               "long": pa.int64(), "float": pa.float32(),
               "double": pa.float64(), "bytes": pa.binary(),
@@ -143,6 +176,20 @@ class _Reader:
 
 def _decode(r: _Reader, s) -> object:
     t = s["type"]
+    lt = s.get("logicalType")
+    if lt is not None:
+        if lt == "decimal":
+            raw = (r.read(s["size"]) if t == "fixed"
+                   else r.read(r.long()))
+            import decimal as _dec
+
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return _dec.Decimal(unscaled).scaleb(-s["scale"])
+        if lt == "timestamp-millis":
+            return r.long() * 1000  # → µs, matching the Arrow type
+        # date / time-micros / timestamp-micros / local-…: the raw
+        # int IS the Arrow storage value (days / µs)
+        return r.long()
     if t == "null":
         return None
     if t == "boolean":
@@ -215,6 +262,34 @@ def _zigzag(n: int) -> bytes:
 
 def encode_avro(schema, value) -> bytes:
     t = schema["type"]
+    lt = schema.get("logicalType")
+    if lt is not None:
+        if lt == "decimal":
+            import decimal as _dec
+
+            unscaled = int(_dec.Decimal(value).scaleb(schema["scale"]))
+            if t == "fixed":
+                return unscaled.to_bytes(schema["size"], "big", signed=True)
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            raw = unscaled.to_bytes(nbytes, "big", signed=True)
+            return _zigzag(len(raw)) + raw
+        if lt == "date" and not isinstance(value, int):
+            import datetime as _dt
+
+            value = (value - _dt.date(1970, 1, 1)).days
+        elif lt == "timestamp-millis" and not isinstance(value, int):
+            value = round(value.timestamp() * 1000)
+        elif lt in ("timestamp-micros", "local-timestamp-micros") \
+                and not isinstance(value, int):
+            import datetime as _dt
+
+            epoch = (_dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                     if value.tzinfo else _dt.datetime(1970, 1, 1))
+            value = round((value - epoch).total_seconds() * 1_000_000)
+        elif lt == "time-micros" and not isinstance(value, int):
+            value = ((value.hour * 3600 + value.minute * 60
+                      + value.second) * 1_000_000 + value.microsecond)
+        return _zigzag(int(value))
     if t == "null":
         return b""
     if t == "boolean":

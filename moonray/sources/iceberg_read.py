@@ -52,7 +52,7 @@ def _decode_bound(raw: bytes, ice_type: str):
 
     if ice_type in ("int", "date"):
         return _struct.unpack("<i", raw)[0]
-    if ice_type == "long":
+    if ice_type in ("long", "time", "timestamp", "timestamptz"):
         return _struct.unpack("<q", raw)[0]
     if ice_type == "float":
         return _struct.unpack("<f", raw)[0]
@@ -62,7 +62,38 @@ def _decode_bound(raw: bytes, ice_type: str):
         return raw.decode()
     if ice_type == "boolean":
         return raw != b"\x00"
+    if isinstance(ice_type, str) and ice_type.startswith("decimal("):
+        return int.from_bytes(raw, "big", signed=True)  # unscaled
+    if ice_type == "uuid" or (isinstance(ice_type, str)
+                              and ice_type.startswith("fixed[")) \
+            or ice_type == "binary":
+        return raw
     return None
+
+
+def _ice_bound_encoded(v, ice_type):
+    """User-supplied bound (natural Python value) → the same domain
+    _decode_bound returns, per Iceberg type (moonray/types.py does the
+    per-Arrow-type work)."""
+    import pyarrow as _pa
+
+    from moonray import types as _ty
+
+    if v is None:
+        return None
+    if ice_type == "date":
+        return _ty.bound_encoded(v, _pa.date32())
+    if ice_type in ("timestamp", "timestamptz"):
+        return _ty.bound_encoded(v, _pa.timestamp("us"))
+    if ice_type == "time":
+        return _ty.bound_encoded(v, _pa.time64("us"))
+    if isinstance(ice_type, str) and ice_type.startswith("decimal("):
+        p, s = ice_type[8:-1].split(",")
+        return _ty.bound_encoded(v, _pa.decimal128(int(p), int(s)))
+    if ice_type in ("uuid", "binary") or (isinstance(ice_type, str)
+                                          and ice_type.startswith("fixed[")):
+        return bytes.fromhex(v) if isinstance(v, str) else bytes(v)
+    return v
 
 
 def _bounds_overlap(df: dict, ranges: dict, fid_of: dict,
@@ -81,8 +112,13 @@ def _bounds_overlap(df: dict, ranges: dict, fid_of: dict,
         fmax = _decode_bound(hi_map[fid], typ)
         if fmin is None or fmax is None:
             continue
-        if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
-            return False
+        try:
+            elo, ehi = _ice_bound_encoded(lo, typ), _ice_bound_encoded(hi, typ)
+            if (elo is not None and fmax < elo) or \
+                    (ehi is not None and fmin > ehi):
+                return False
+        except (TypeError, ValueError):  # uncomparable → keep the file
+            continue
     return True
 
 

@@ -16,6 +16,19 @@ import json
 import pyarrow as pa
 
 
+def _typed_array(values: list, typ: pa.DataType) -> pa.Array:
+    """pa.array with extended-type coercion: JSON spells decimals as
+    digit strings/numbers, dates/timestamps as ISO strings, binary/UUID
+    as hex — moonray/types.coerce_value maps them (recursively for
+    list/struct/map) onto what the Arrow builder accepts. Flat
+    int/float/string/bool schemas skip the per-value pass entirely."""
+    from moonray.types import coerce_value, needs_coercion
+
+    if needs_coercion(typ):
+        values = [coerce_value(v, typ) for v in values]
+    return pa.array(values, typ)
+
+
 class JsonToRows:
     """map_batches stage: a string column of JSON objects → typed Arrow
     columns per ``schema``. Use for payload extraction from embedded
@@ -34,7 +47,7 @@ class JsonToRows:
         for kc in self.keep_cols:
             cols[kc] = batch[kc]
         for field in self.schema:
-            cols[field.name] = pa.array(
+            cols[field.name] = _typed_array(
                 [p.get(field.name) for p in parsed], field.type)
         return pa.table(cols)
 
@@ -55,7 +68,7 @@ def json_changes(ds, schema: pa.Schema, *, json_col: str = "json"):
             "lsn": pa.array([p["lsn"] for p in parsed], pa.int64()),
         }
         for field in schema:
-            cols[field.name] = pa.array(
+            cols[field.name] = _typed_array(
                 [p.get("row", {}).get(field.name) for p in parsed], field.type)
         return pa.table(cols)
 

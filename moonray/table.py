@@ -64,15 +64,21 @@ def _rg_stats_overlap(pf, rg_idx: int, ranges: dict, present: set,
         st = stats_of(col) if col in present else None
         if st is None:
             continue
-        if (lo is not None and st.max < lo) or \
-                (hi is not None and st.min > hi):
-            return False
+        try:
+            if (lo is not None and st.max < lo) or \
+                    (hi is not None and st.min > hi):
+                return False
+        except TypeError:  # uncomparable stat/bound domains → keep
+            continue
     for col, values in (in_sets or {}).items():
         st = stats_of(col) if col in present else None
         if st is None:
             continue
-        if not any(st.min <= v <= st.max for v in values):
-            return False
+        try:
+            if not any(st.min <= v <= st.max for v in values):
+                return False
+        except TypeError:
+            continue
     return True
 
 
@@ -1318,11 +1324,23 @@ class MoonrayTable:
         frags = m["fragments"]
         bloom_info = None
         user_schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
+        # two predicate domains (moonray/types.py): zone maps persist
+        # extended types as order-preserving JSON primitives, so
+        # PRUNING compares encoded bounds, while the in-task Arrow
+        # kernels get natural Python values. For int/float/string
+        # columns both transforms are identity.
+        from moonray import types as _ty
+
         if predicate_ranges:
-            frags = [f for f in frags if _zones_overlap(f["zones"], predicate_ranges)]
+            predicate_ranges = _ty.normalize_ranges(predicate_ranges,
+                                                    user_schema)
+            enc_ranges = _ty.encode_ranges(predicate_ranges, user_schema)
+            frags = [f for f in frags if _zones_overlap(f["zones"], enc_ranges)]
         if predicate_in:
+            predicate_in = _ty.normalize_in(predicate_in, user_schema)
+            enc_in = _ty.encode_in(predicate_in, user_schema)
             frags = [f for f in frags
-                     if _zones_contain_any(f["zones"], predicate_in)]
+                     if _zones_contain_any(f["zones"], enc_in)]
             if use_column_index and frags:
                 # bloom-sidecar pruning (build_column_index): drops
                 # fragments that PROVABLY lack every queried value, and

@@ -1,0 +1,295 @@
+"""Extended Arrow types end-to-end (round-4 VERDICT item 1): decimal,
+date32, time64, timestamp(µs), FixedSizeBinary[16]/UUID, list and
+struct columns through table schema, fragment IO, zone maps, identity
+hashing, MERGE, predicate pruning, point lookup, and the Iceberg/Delta
+export round trips — the reference's ingest data model
+(src/moonlink/src/row/moonlink_type.rs:5-21)."""
+
+import datetime
+import decimal
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+D = decimal.Decimal
+EPOCH = datetime.date(1970, 1, 1)
+
+
+def _typed_table(n: int, shift: int = 0) -> pa.Table:
+    ks = np.arange(n, dtype=np.int64) + shift
+    return pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "price": pa.array([D(f"{(int(k) * 7) % 1000}.{int(k) % 100:02d}")
+                           for k in ks], pa.decimal128(12, 2)),
+        "day": pa.array([int(k) % 3000 for k in ks], pa.date32()),
+        "ts": pa.array([int(k) * 1_000_000 for k in ks],
+                       pa.timestamp("us")),
+        "tod": pa.array([int(k) * 1000 % 86_400_000_000 for k in ks],
+                        pa.time64("us")),
+        "uid": pa.array([hashlib.md5(str(k).encode()).digest()
+                         for k in ks], pa.binary(16)),
+        "tags": pa.array([[f"t{int(k) % 3}", f"u{int(k) % 5}"]
+                          for k in ks], pa.list_(pa.string())),
+        "meta": pa.array([{"w": int(k) % 640, "h": int(k) % 480}
+                          for k in ks],
+                         pa.struct([("w", pa.int32()), ("h", pa.int32())])),
+    })
+
+
+def _mk_typed(prefix: str, n: int = 600, rpf: int = 100):
+    import ray.data as rd
+
+    from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
+
+    t = MoonrayTable.create(
+        scratch_root(prefix), key_col="k", schema=_typed_table(0).schema,
+        zone_cols=("price", "day", "ts", "uid"), rows_per_fragment=rpf,
+        index_partitions=4)
+    t.bulk_load(rd.from_arrow(_typed_table(n)))
+    return t
+
+
+def _expected_after_merge(n: int) -> dict[int, dict]:
+    rows = {r["k"]: r for r in _typed_table(n).to_pylist()}
+    for k in range(0, n, 5):          # deletes
+        rows.pop(k, None)
+    upd = {r["k"]: r for r in _typed_table(n, shift=0).to_pylist()}
+    for k in range(1, n, 5):          # updates: price += 1000.01, day += 7
+        r = dict(upd[k])
+        r["price"] = r["price"] + D("1000.01")
+        r["day"] = r["day"] + datetime.timedelta(days=7)
+        rows[k] = r
+    for k in range(n, n + 50):        # inserts past the tail
+        rows[k] = _typed_table(1, shift=k).to_pylist()[0]
+    return rows
+
+
+def _changes(n: int) -> pa.Table:
+    base = _typed_table(n)
+    dels = base.filter(pc.equal(pa.array(base["k"].to_numpy(zero_copy_only=False) % 5), 0))
+    ups = base.filter(pc.equal(pa.array(base["k"].to_numpy(zero_copy_only=False) % 5), 1))
+    ups = (ups.set_column(ups.column_names.index("price"), "price",
+                          pc.cast(pc.add(ups["price"], pa.scalar(
+                              D("1000.01"), pa.decimal128(12, 2))),
+                              pa.decimal128(12, 2)))
+           .set_column(ups.column_names.index("day"), "day",
+                       pc.cast(pc.cast(pc.add(pc.cast(ups["day"], pa.int32()),
+                                              7), pa.int32()), pa.date32())))
+    ins = _typed_table(50, shift=n)
+    parts = []
+    for op, t in (("D", dels), ("U", ups), ("I", ins)):
+        lsn = pa.array(t["k"].to_numpy(zero_copy_only=False) + 10_000,
+                       pa.int64())
+        cols = {"op": pa.array([op] * len(t), pa.string()), "lsn": lsn}
+        for c in t.column_names:
+            cols[c] = (t[c] if op != "D" or c == "k"
+                       else pa.nulls(len(t), t.schema.field(c).type))
+        parts.append(pa.table(cols))
+    return pa.concat_tables(parts)
+
+
+@pytest.fixture(scope="module")
+def merged():
+    import ray.data as rd
+
+    t = _mk_typed("mr-typed-", n=600)
+    t.merge(rd.from_arrow(_changes(600)), job_id="typed-merge")
+    return t, _expected_after_merge(600)
+
+
+def _assert_rows_equal(got_rows: list[dict], want: dict[int, dict]):
+    assert len(got_rows) == len(want)
+    for r in got_rows:
+        w = want[r["k"]]
+        for c, v in w.items():
+            assert r[c] == v, (r["k"], c, r[c], v)
+
+
+def test_typed_merge_scan_exact(merged):
+    t, want = merged
+    _assert_rows_equal(t.scan().take_all(), want)
+
+
+def test_typed_zone_pruning_prunes_and_matches(merged):
+    t, want = merged
+    m = t.manifest()
+    # decimal range: updated rows carry price >= 1000.01 — the range
+    # must both PRUNE fragments and return the exact row set
+    lo = D("1000.00")
+    pruned = t.scan(predicate_ranges={"price": (lo, None)})
+    from moonray.table import _zones_overlap
+
+    from moonray import types as ty
+
+    schema = t.schema()
+    enc = ty.encode_ranges({"price": (lo, None)}, schema)
+    kept = [f for f in m["fragments"] if _zones_overlap(f["zones"], enc)]
+    assert 0 < len(kept) < len(m["fragments"]), "range should prune"
+    got = pruned.to_pandas()
+    got = got[got["price"] >= lo]
+    want_ks = sorted(k for k, r in want.items() if r["price"] >= lo)
+    assert sorted(got["k"]) == want_ks
+
+    # date range with ISO-string bounds + exact_filter pushdown
+    day_lo, day_hi = "1970-04-01", datetime.date(1970, 6, 1)
+    ds = t.scan(predicate_ranges={"day": (day_lo, day_hi)},
+                exact_filter=True)
+    got_ks = sorted(r["k"] for r in ds.take_all())
+    want_ks = sorted(k for k, r in want.items()
+                     if datetime.date(1970, 4, 1) <= r["day"]
+                     <= datetime.date(1970, 6, 1))
+    assert got_ks == want_ks
+
+
+def test_typed_predicate_in_uuid(merged):
+    t, want = merged
+    uids = [hashlib.md5(b"17").digest(), hashlib.md5(b"23").digest()]
+    got = t.scan(predicate_in={"uid": uids}).take_all()
+    got_ks = sorted(r["k"] for r in got)
+    assert got_ks == [k for k in (17, 23) if k in want]
+
+
+def test_typed_lookup_point_reads(merged):
+    t, want = merged
+    keys = [1, 6, 599, 607]
+    got = t.lookup([k for k in keys if k in want])
+    _assert_rows_equal(got.to_pylist(),
+                       {k: want[k] for k in keys if k in want})
+    assert len(t.lookup([0])) == 0  # deleted key
+
+
+def test_typed_iceberg_export_roundtrip(merged, tmp_path):
+    import duckdb
+
+    from moonray.sinks.iceberg import export_iceberg
+    from moonray.sources.iceberg_read import read_iceberg_dataset
+
+    t, want = merged
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    back = read_iceberg_dataset(dest)
+    got = pa.concat_tables(list(back.iter_batches(batch_format="pyarrow",
+                                                  batch_size=4096)))
+    _assert_rows_equal(got.to_pylist(), want)
+    # typed bound pruning on the export: decimal range reads fewer files
+    pruned = read_iceberg_dataset(dest,
+                                  ranges={"price": (D("1000.00"), None)})
+    rows = pruned.take_all()
+    assert {r["k"] for r in rows} >= {k for k, r in want.items()
+                                      if r["price"] >= D("1000.00")}
+    # metadata declares the extended types
+    import json
+
+    meta_dir = os.path.join(dest, "metadata")
+    mfile = sorted(f for f in os.listdir(meta_dir) if f.endswith(".json"))[-1]
+    meta = json.load(open(os.path.join(meta_dir, mfile)))
+    fields = {f["name"]: f["type"] for f in meta["schemas"][-1]["fields"]}
+    assert fields["price"] == "decimal(12, 2)"
+    assert fields["day"] == "date"
+    assert fields["ts"] == "timestamp"
+    assert fields["tod"] == "time"
+    assert fields["uid"] == "uuid"
+    assert fields["tags"]["type"] == "list"
+    assert fields["meta"]["type"] == "struct"
+
+
+def test_typed_delta_export_roundtrip(merged, tmp_path):
+    import ray.data as rd
+
+    from moonray.sinks.delta import export_delta, read_delta_paths
+    from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
+
+    # Delta has no TIME type: exporting a time64 column raises loudly
+    t_full, _want = merged
+    with pytest.raises(ValueError, match="no Delta mapping"):
+        export_delta(t_full, str(tmp_path / "delta-bad"))
+
+    base = _typed_table(200).drop_columns(["tod"])
+    t = MoonrayTable.create(
+        scratch_root("mr-typed-delta-"), key_col="k", schema=base.schema,
+        zone_cols=("price", "day"), rows_per_fragment=64,
+        index_partitions=2)
+    t.bulk_load(rd.from_arrow(base))
+    dest = str(tmp_path / "delta")
+    export_delta(t, dest)
+    import pyarrow.parquet as pq
+
+    got = pa.concat_tables([pq.read_table(p).drop_columns(["_rowoff"])
+                            if "_rowoff" in pq.read_table(p).column_names
+                            else pq.read_table(p)
+                            for p in read_delta_paths(dest)])
+    want = {r["k"]: r for r in base.to_pylist()}
+    got = got.select([c for c in got.column_names
+                      if c in base.column_names])
+    _assert_rows_equal(got.to_pylist(), want)
+    import json
+
+    log = open(os.path.join(dest, "_delta_log",
+                            f"{0:020d}.json")).read().splitlines()
+    meta = next(json.loads(l)["metaData"] for l in log
+                if "metaData" in json.loads(l))
+    fields = {f["name"]: f["type"]
+              for f in json.loads(meta["schemaString"])["fields"]}
+    assert fields["price"] == "decimal(12,2)"
+    assert fields["day"] == "date"
+    assert fields["ts"] == "timestampNtz"
+    assert fields["uid"] == "binary"
+
+
+def test_typed_composite_key_identity():
+    """Composite (uuid, date) key: _ckey encoding must be injective for
+    FSB + date values (hex + ISO forms)."""
+    import ray.data as rd
+
+    from moonray.identity import encode_key_column
+    from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
+
+    n = 120
+    base = _typed_table(n).select(["uid", "day", "price", "k"])
+    t = MoonrayTable.create(
+        scratch_root("mr-typedck-"), key_cols=["uid", "day"],
+        schema=base.schema, rows_per_fragment=50, index_partitions=2)
+    t.bulk_load(rd.from_arrow(base))
+    # UPDATE half the rows through the composite key
+    upd = base.filter(pc.less(base["k"], 60))
+    upd = upd.set_column(upd.column_names.index("price"), "price",
+                         pc.cast(pc.add(upd["price"], pa.scalar(
+                             D("5.00"), pa.decimal128(12, 2))),
+                             pa.decimal128(12, 2)))
+    ch = pa.table({
+        "op": pa.array(["U"] * len(upd), pa.string()),
+        "lsn": pa.array(np.arange(len(upd)) + 1, pa.int64()),
+        **{c: upd[c] for c in upd.column_names},
+    })
+    t.merge(rd.from_arrow(ch), job_id="typed-ck")
+    got = t.scan().to_pandas().sort_values("k")
+    assert len(got) == n
+    base_pd = base.to_pandas().sort_values("k")
+    bumped = got["k"] < 60
+    assert (got.loc[bumped, "price"].to_numpy()
+            == (base_pd.loc[base_pd["k"] < 60, "price"]
+                + D("5.00")).to_numpy()).all()
+    # injectivity probe: ckey of distinct (uid, day) rows is distinct
+    enc = encode_key_column(base, ["uid", "day"])
+    assert len(set(enc.to_pylist())) == n
+
+
+def test_struct_list_key_encoding_injective():
+    from moonray.identity import encode_key_column
+
+    t = pa.table({
+        "s": pa.array([{"x": 1, "y": "a"}, {"x": 1, "y": "b"},
+                       {"x": 2, "y": "a"}],
+                      pa.struct([("x", pa.int64()), ("y", pa.string())])),
+        "l": pa.array([[1, 2], [1], [2, 1]], pa.list_(pa.int64())),
+    })
+    es = encode_key_column(t, ["s"]).to_pylist()
+    el = encode_key_column(t, ["l"]).to_pylist()
+    assert len(set(es)) == 3 and len(set(el)) == 3

@@ -378,6 +378,13 @@ def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
 
     meta = load_table_metadata(dest)
     prev_data, prev_deletes = ([], []) if meta is None else _replay_entries(meta)
+    # data manifests carry two entry kinds (reference utils.rs
+    # is_data_file/is_file_index): PARQUET rows and PUFFIN file-index
+    # blobs (content 0, no referenced_data_file/offset)
+    prev_index = [e for e in prev_data
+                  if e["data_file"]["file_format"] == "PUFFIN"]
+    prev_data = [e for e in prev_data
+                 if e["data_file"]["file_format"] == "PARQUET"]
     active = {e["data_file"]["file_path"]: e for e in prev_data}
     active_dv = {e["data_file"]["referenced_data_file"]: e
                  for e in prev_deletes}
@@ -545,6 +552,101 @@ def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
         else:
             data_entries.append(_carry(e, status=2, snapshot_id=snap_id))
 
+    # ---- file-index puffins (one per key-index partition), mirroring
+    # the reference's per-file-index blob commit
+    # (iceberg_table_syncer.rs:47-52 / persisted_bucket_hash_map.rs):
+    # an external reader answers point lookups from the export alone.
+    # Rebuilt when the engine index or the exported file set changed
+    # (each partition exports in its own Ray task — work ∝ index size
+    # / partitions, never driver-serial).
+    idx_state_prev = (meta or {}).get("properties", {}) \
+        .get("moonray.index-state", "")
+    idx_state = ""
+    if m.get("key_col") is not None:
+        idx_state = hashlib.sha256(json.dumps(
+            [sorted((m.get("index") or {}).get("partitions", {}).items()),
+             sorted(wanted), schema_state]).encode()).hexdigest()[:12]
+    if idx_state and (idx_state != idx_state_prev or meta is None
+                      or not prev_index):
+        frag_export = {f["id"]: p for p, f in wanted.items()}
+        key_col = m["key_col"]
+
+        @ray.remote
+        def export_index_partition(bucket: str, rels: list[str],
+                                   out_path: str) -> dict:
+            import pyarrow.parquet as _pq
+
+            from moonray.filecache import data_path
+            from moonray.sinks.puffin import (encode_index_blob,
+                                              write_puffin)
+            from moonray.util import hash_key_array
+
+            parts = [_pq.read_table(data_path(root, rel)) for rel in rels]
+            t = pa.concat_tables(parts) if parts else None
+            files: list[str] = []
+            fmap: dict[str, int] = {}
+            if t is not None and len(t):
+                frg = t["_frag"].to_pylist()
+                keep = [i for i, g in enumerate(frg) if g in frag_export]
+                t = t.take(pa.array(keep, pa.int64()))
+                frg = [frg[i] for i in keep]
+                for g in frg:
+                    p = frag_export[g]
+                    if p not in fmap:
+                        fmap[p] = len(files)
+                        files.append(p)
+            n = 0 if t is None else len(t)
+            if n:
+                hashes = hash_key_array(t[key_col])
+                fidx = np.array([fmap[frag_export[g]] for g in frg],
+                                np.uint32)
+                rows = t["_off"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint32)
+            else:
+                hashes = np.array([], np.uint64)
+                fidx = rows = np.array([], np.uint32)
+            blob = encode_index_blob(files, hashes, fidx, rows)
+            tmp = out_path + f".{uuid.uuid4().hex}.tmp"
+            write_puffin(tmp, [{
+                "type": "moonray-hash-index-v1",
+                "snapshot-id": snap_id, "sequence-number": seq,
+                "bytes": blob,
+                "properties": {
+                    "partition": bucket,
+                    "num-partitions": str(
+                        m["index"]["num_partitions"]),
+                    "key-column": key_col,
+                    "hash": "moonray-hash-key-array-v1"}}])
+            os.replace(tmp, out_path)
+            return {"path": out_path, "rows": int(n),
+                    "size": os.path.getsize(out_path)}
+
+        parts_map = (m.get("index") or {}).get("partitions", {})
+        idx_out = ray.get([
+            export_index_partition.remote(
+                b, rels, os.path.join(
+                    dest, "data", f"index-s{seq}-p{int(b):04d}.puffin"))
+            for b, rels in sorted(parts_map.items(), key=lambda kv:
+                                  int(kv[0]))])
+        for a in idx_out:
+            data_entries.append({
+                "status": 1, "snapshot_id": snap_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {"content": 0, "file_path": a["path"],
+                              "file_format": "PUFFIN", "partition": {},
+                              "record_count": a["rows"],
+                              "file_size_in_bytes": a["size"],
+                              "referenced_data_file": None,
+                              "content_offset": None,
+                              "content_size_in_bytes": None,
+                              "lower_bounds": None,
+                              "upper_bounds": None}})
+        for e in prev_index:
+            data_entries.append(_carry(e, status=2, snapshot_id=snap_id))
+    else:
+        for e in prev_index:
+            data_entries.append(_carry(e, status=0))
+
     delete_entries = ([{**e, "status": 0} for e in dv_carried]
                       + dv_entries_new)
 
@@ -613,6 +715,7 @@ def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {"moonray.dv-state": json.dumps(new_dv_states),
+                       "moonray.index-state": idx_state,
                        "moonray.table-root": str(table.root)},
         "current-snapshot-id": snap_id,
         "snapshots": ([] if meta is None else meta["snapshots"]) + [snapshot],
@@ -760,6 +863,8 @@ def read_iceberg_table(dest: str) -> pa.Table:
             df["content_size_in_bytes"])
     pieces = []
     for e in sorted(data, key=lambda e: e["data_file"]["file_path"]):
+        if e["data_file"]["file_format"] != "PARQUET":
+            continue  # file-index puffins are not row sources
         t = pq.read_table(e["data_file"]["file_path"])
         spec = dv_spec.get(e["data_file"]["file_path"])
         if spec is not None:
@@ -767,4 +872,110 @@ def read_iceberg_table(dest: str) -> pa.Table:
         pieces.append(t.replace_schema_metadata(None))
     if not pieces:
         return None
+    return pa.concat_tables(pieces)
+
+
+def iceberg_index_lookup(dest: str, keys, *,
+                         columns: list[str] | None = None) -> pa.Table:
+    """Point lookup served ENTIRELY from the export: route each key to
+    its index partition (hash % num-partitions, the engine's bucket
+    rule), read only the probed partitions' index puffins, fetch the
+    candidate rows from the exported parquet (row-group pruned), verify
+    exact key equality, and drop puffin-DV'd positions. I/O is
+    ∝ probed partitions + touched row groups — never a table scan.
+    Mirrors the reference's GlobalIndex-from-iceberg load
+    (iceberg_table_loader.rs + persisted_bucket_hash_map.rs)."""
+    import pyarrow.parquet as pq
+
+    from moonray.sinks.puffin import (decode_dv_blob, decode_index_blob,
+                                      index_blob_candidates, read_puffin)
+    from moonray.util import hash_key_array
+
+    meta = load_table_metadata(dest)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {dest}")
+    data, deletes = _replay_entries(meta)
+    idx_paths = sorted(e["data_file"]["file_path"] for e in data
+                       if e["data_file"]["file_format"] == "PUFFIN")
+    if not idx_paths:
+        raise ValueError("export carries no file-index puffins")
+    # peek one footer for the routing params
+    descs0, _raw0 = read_puffin(idx_paths[0])
+    props0 = descs0[0]["properties"]
+    P = int(props0["num-partitions"])
+    key_col = props0["key-column"]
+    by_partition: dict[int, str] = {}
+    for p in idx_paths:
+        descs, _ = read_puffin(p)
+        by_partition[int(descs[0]["properties"]["partition"])] = p
+
+    keys_arr = keys if isinstance(keys, pa.Array) else pa.array(keys)
+    hashes = hash_key_array(keys_arr)
+    buckets = (hashes % np.uint64(P)).astype(np.int64)
+    # candidate (file, row) locations per key — only probed partitions
+    # are opened
+    cand_by_file: dict[str, list[int]] = {}
+    for b in np.unique(buckets):
+        path = by_partition.get(int(b))
+        if path is None:
+            continue
+        descs, raw = read_puffin(path)
+        d = descs[0]
+        blob = raw[d["offset"]:d["offset"] + d["length"]]
+        idx = decode_index_blob(blob)
+        sel = np.flatnonzero(buckets == b)
+        for lists in index_blob_candidates(idx, hashes[sel]):
+            for f, row in lists:
+                cand_by_file.setdefault(f, []).append(row)
+    dv_spec = {e["data_file"]["referenced_data_file"]:
+               (e["data_file"]["file_path"],
+                e["data_file"]["content_offset"],
+                e["data_file"]["content_size_in_bytes"])
+               for e in deletes}
+    pieces = []
+    for f, rows in sorted(cand_by_file.items()):
+        rows = sorted(set(rows))
+        spec = dv_spec.get(f)
+        if spec is not None:
+            _, raw = None, read_puffin(spec[0])[1]
+            dead = decode_dv_blob(raw[spec[1]:spec[1] + spec[2]])
+            rows = [r for r in rows if r not in set(dead.tolist())]
+        if not rows:
+            continue
+        pf = pq.ParquetFile(f, memory_map=True)
+        # row-group pruned fetch: read only groups holding candidates
+        rg_rows = [pf.metadata.row_group(i).num_rows
+                   for i in range(pf.num_row_groups)]
+        bounds = np.cumsum([0] + rg_rows)
+        need = sorted({int(np.searchsorted(bounds, r, "right")) - 1
+                       for r in rows})
+        t = pf.read_row_groups(need)
+        base = {g: int(bounds[g]) for g in need}
+        local = []
+        off = 0
+        for g in need:
+            for r in rows:
+                gg = int(np.searchsorted(bounds, r, "right")) - 1
+                if gg == g:
+                    local.append(off + (r - base[g]))
+            off += rg_rows[g]
+        t = t.take(pa.array(sorted(local), pa.int64()))
+        # exact key verification (hash equality never proves keys)
+        mask = pa.compute.is_in(t[key_col], value_set=keys_arr.cast(
+            t.schema.field(key_col).type))
+        t = t.filter(mask)
+        if columns:
+            t = t.select(columns)
+        pieces.append(t.replace_schema_metadata(None))
+    if not pieces:
+        sch = pq.ParquetFile(
+            next(iter(sorted(cand_by_file)))).schema_arrow \
+            if cand_by_file else None
+        if sch is None:
+            # derive schema from any live data file
+            any_pq = next(e["data_file"]["file_path"] for e in data
+                          if e["data_file"]["file_format"] == "PARQUET")
+            sch = pq.ParquetFile(any_pq).schema_arrow
+        empty = sch.empty_table()
+        return empty.select(columns) if columns else empty
     return pa.concat_tables(pieces)

@@ -246,3 +246,97 @@ def apply_puffin_dv(table, puffin_path: str, offset: int, size: int):
     keep = np.ones(table.num_rows, dtype=bool)
     keep[dv.astype(np.int64)] = False
     return table.filter(pa.array(keep))
+
+
+# ---------------------------------------------- file-index blobs
+#
+# The reference commits each file index as a puffin blob alongside the
+# DV puffins (iceberg_table_syncer.rs:47-52); its on-disk shape is the
+# persisted bucket hash map of persisted_bucket_hash_map.rs — a bucket
+# array indexed by the hash's UPPER bits plus packed entries carrying
+# the LOWER hash bits for verification and the (file, row) location.
+# moonray's blob mirrors that architecture over its own key hash
+# (util.hash_key_array — splitmix64 for integer/temporal keys, the
+# polars string hash lanes otherwise):
+#
+#   | MRIX1 | u8 k | 3B pad | u32 nfiles | u64 nentries |
+#   | nfiles × (u32 len, utf8 path) |            exported data files
+#   | (2^k + 1) × u64 bucket offsets |           bucket = hash >> (64-k)
+#   | nentries × u32 hash_lo |                   low 32 hash bits
+#   | nentries × u32 file_idx |
+#   | nentries × u32 row_off |
+#
+# Entries are sorted by bucket; hash_lo verifies candidates before the
+# (always mandatory) exact key-equality check against the fetched row.
+
+INDEX_MAGIC = b"MRIX1"
+
+
+def encode_index_blob(files: list[str], hashes: np.ndarray,
+                      file_idx: np.ndarray, rows: np.ndarray,
+                      k: int | None = None) -> bytes:
+    n = len(hashes)
+    if k is None:
+        # ~4 entries per bucket on average, capped at 2^20 buckets
+        k = max(1, min(20, int(n).bit_length() - 2)) if n else 1
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    bucket = (h >> np.uint64(64 - k)).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    bucket = bucket[order]
+    h_lo = (h[order] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    fi = np.ascontiguousarray(file_idx, dtype=np.uint32)[order]
+    ro = np.ascontiguousarray(rows, dtype=np.uint32)[order]
+    nbuckets = 1 << k
+    counts = np.bincount(bucket, minlength=nbuckets)
+    offsets = np.zeros(nbuckets + 1, dtype=np.uint64)
+    np.cumsum(counts, out=offsets[1:])
+    out = [INDEX_MAGIC, struct.pack("<B3x", k),
+           struct.pack("<I", len(files)), struct.pack("<Q", n)]
+    for p in files:
+        pb = p.encode()
+        out.append(struct.pack("<I", len(pb)))
+        out.append(pb)
+    out.append(offsets.astype("<u8").tobytes())
+    out.append(h_lo.astype("<u4").tobytes())
+    out.append(fi.astype("<u4").tobytes())
+    out.append(ro.astype("<u4").tobytes())
+    return b"".join(out)
+
+
+def decode_index_blob(blob: bytes) -> dict:
+    if blob[:5] != INDEX_MAGIC:
+        raise ValueError("bad index blob magic")
+    pos = 5
+    (k,) = struct.unpack_from("<B3x", blob, pos); pos += 4
+    (nfiles,) = struct.unpack_from("<I", blob, pos); pos += 4
+    (n,) = struct.unpack_from("<Q", blob, pos); pos += 8
+    files = []
+    for _ in range(nfiles):
+        (ln,) = struct.unpack_from("<I", blob, pos); pos += 4
+        files.append(blob[pos:pos + ln].decode()); pos += ln
+    nbuckets = 1 << k
+    offsets = np.frombuffer(blob, "<u8", nbuckets + 1, pos)
+    pos += 8 * (nbuckets + 1)
+    h_lo = np.frombuffer(blob, "<u4", n, pos); pos += 4 * n
+    fi = np.frombuffer(blob, "<u4", n, pos); pos += 4 * n
+    ro = np.frombuffer(blob, "<u4", n, pos); pos += 4 * n
+    return {"k": k, "files": files, "offsets": offsets,
+            "h_lo": h_lo, "file_idx": fi, "rows": ro}
+
+
+def index_blob_candidates(idx: dict, hashes: np.ndarray
+                          ) -> list[list[tuple[str, int]]]:
+    """Per query hash: the [(file, row), ...] candidate locations whose
+    bucket + low-32 hash bits match (exact key verification is the
+    caller's job — hash equality can never prove key equality)."""
+    k = idx["k"]
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    buckets = (h >> np.uint64(64 - k)).astype(np.int64)
+    los = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out = []
+    for b, lo in zip(buckets, los):
+        s, e = int(idx["offsets"][b]), int(idx["offsets"][b + 1])
+        hits = np.flatnonzero(idx["h_lo"][s:e] == lo)
+        out.append([(idx["files"][int(idx["file_idx"][s + i])],
+                     int(idx["rows"][s + i])) for i in hits])
+    return out

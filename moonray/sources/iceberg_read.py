@@ -180,6 +180,11 @@ class IcebergDatasource(Datasource):
                                f"(have: {sorted(refs)})")
             snapshot_id = refs[ref]["snapshot-id"]
         data, deletes = _replay_entries(meta, snapshot_id)
+        # file-index puffins live in the data manifest (content 0,
+        # format PUFFIN) — they are lookup accelerators, not row
+        # sources (sinks.iceberg.iceberg_index_lookup reads them)
+        data = [e for e in data
+                if e["data_file"]["file_format"] == "PARQUET"]
         self._dest = dest
         self._columns = list(columns) if columns is not None else None
         self._dvs = _dv_specs(deletes)

@@ -68,6 +68,12 @@ def _independent_replay(dest):
                 continue
             df = e["data_file"]
             if mf["content"] == 0:
+                if df["file_format"] == "PUFFIN":
+                    # file-index blob (reference utils.rs is_file_index:
+                    # content Data + format Puffin, no referenced file)
+                    assert df["referenced_data_file"] is None
+                    assert df["content_offset"] is None
+                    continue
                 live_data.append(df)
             else:
                 assert df["file_format"] == "PUFFIN"
@@ -224,6 +230,8 @@ def test_data_manifest_carries_column_bounds(tmp_path):
     ids = {f["field-id"] for f in json.loads(sj)["fields"][-1]["type"]["fields"]}
     lows, highs = [], []
     for e in entries:
+        if e["data_file"]["file_format"] == "PUFFIN":
+            continue  # file-index blobs carry no column bounds
         lb = e["data_file"]["lower_bounds"]
         ub = e["data_file"]["upper_bounds"]
         assert lb and ub
@@ -251,3 +259,51 @@ def test_data_manifest_carries_column_bounds(tmp_path):
         if c != 0:
             for e in es:
                 assert "lower_bounds" not in e["data_file"]
+
+
+def test_index_puffins_answer_point_lookups_from_export_alone(tmp_path):
+    """File-index puffin blobs (reference iceberg_table_syncer.rs:47-52
+    / persisted_bucket_hash_map.rs): the export alone answers point
+    lookups — bucket-routed, candidate-verified, DV-filtered."""
+    from moonray.sinks.iceberg import iceberg_index_lookup
+
+    t = _mk(tmp_path / "tbl")
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+
+    got = iceberg_index_lookup(dest, [3, 17, 39]).to_pandas() \
+        .sort_values("id", ignore_index=True)
+    assert got["id"].tolist() == [3, 17, 39]
+    assert got["name"].tolist() == ["n3", "n17", "n39"]
+    # absent key → no row
+    assert len(iceberg_index_lookup(dest, [4040])) == 0
+
+    # merge: delete 3, update 17 — the incremental export re-ships the
+    # index and the lookup reflects the new state (DV'd row excluded)
+    t.merge(rd.from_items([
+        {"op": "D", "lsn": 100, "id": 3, "name": None, "score": None},
+        {"op": "U", "lsn": 101, "id": 17, "name": "updated",
+         "score": 9.5},
+    ]))
+    export_iceberg(t, dest)
+    got = iceberg_index_lookup(dest, [3, 17, 39]).to_pandas() \
+        .sort_values("id", ignore_index=True)
+    assert got["id"].tolist() == [17, 39]
+    assert got.loc[got["id"] == 17, "name"].item() == "updated"
+
+    # the replay reader still reconstructs the table exactly (index
+    # entries are skipped as row sources)
+    pd.testing.assert_frame_equal(_independent_replay(dest), _engine_df(t))
+
+    # index entries sit in the DATA manifest as content-0 PUFFIN files
+    # (reference utils.rs is_file_index) and survive expiry GC
+    from moonray.sinks.iceberg import expire_iceberg_snapshots
+
+    expire_iceberg_snapshots(dest, keep_last=1)
+    got2 = iceberg_index_lookup(dest, [17]).to_pandas()
+    assert got2["name"].tolist() == ["updated"]
+
+    # column projection works
+    thin = iceberg_index_lookup(dest, [39], columns=["id", "score"])
+    assert thin.column_names == ["id", "score"]
+    assert thin.to_pylist() == [{"id": 39, "score": 39.0}]

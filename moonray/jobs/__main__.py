@@ -223,7 +223,9 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("replicate")
     sp.add_argument("--wire", required=True,
-                    help="replication event file (JSONL wire)")
+                    help="replication wire: JSONL event file, or "
+                         "tcp://host:port for the socket protocol "
+                         "(keepalive/ack, auto-follow)")
     sp.add_argument("--map", action="append", required=True,
                     metavar="SRC=TABLE_ROOT",
                     help="source table name -> destination table root "
@@ -304,7 +306,14 @@ def main(argv=None) -> int:
             if not root:
                 raise SystemExit(f"--map needs SRC=TABLE_ROOT, got {spec!r}")
             tables[src] = MoonrayTable.open(root)
-        if args.follow:
+        if args.wire.startswith("tcp://"):
+            # socket wire (keepalive/ack protocol, cdc_socket.py) —
+            # inherently a follow loop; --idle-exit bounds it
+            from moonray.sources.cdc_socket import replicate_socket
+
+            applied = replicate_socket(args.wire, tables, args.state,
+                                       idle_exit=args.idle_exit)
+        elif args.follow:
             applied = replicate_follow(
                 args.wire, tables, args.state,
                 poll_interval=args.poll_interval, idle_exit=args.idle_exit)

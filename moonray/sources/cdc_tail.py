@@ -135,8 +135,15 @@ class CdcTail:
         if cut < 0:
             return []
         chunk, self.offset = buf[:cut + 1], self.offset + cut + 1
+        return self.consume_lines(chunk.splitlines())
+
+    def consume_lines(self, lines) -> list[CommittedTx]:
+        """The wire-agnostic framing core: feed complete event lines
+        (bytes or str), get back the transactions whose commit arrived,
+        in commit order. Both wires speak this grammar — the JSONL file
+        tail above and the TCP stream (sources/cdc_socket.py)."""
         done: list[CommittedTx] = []
-        for ln in chunk.splitlines():
+        for ln in lines:
             if not ln.strip():
                 continue
             ev = json.loads(ln)

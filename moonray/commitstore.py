@@ -62,8 +62,16 @@ class LocalCommitStore:
         CommitConflict if it exists. Temp + fsync + hard link: the
         object appears complete-or-not-at-all, and link(2) is the
         conditional create (EEXIST), with no exists()/rename race."""
+        from moonray import chaos
         from moonray.util import fsync_dir
 
+        # chaos fires BEFORE any side effect: put_if_absent is a
+        # conditional create, so only the pre-effect window may be
+        # transiently retried (a post-link retry would see its own
+        # object and mis-report CommitConflict)
+        if chaos.config_for(self.root):
+            chaos.with_io_retries(
+                lambda: chaos.maybe_fault(self.root, rel, "commit"))
         path = self._abs(rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
@@ -128,6 +136,12 @@ class LocalCommitStore:
         PutObject). For content/job-named artifacts only — races are
         benign because both writers carry identical bytes; version
         files must keep using put_if_absent."""
+        from moonray import chaos
+
+        if chaos.config_for(self.root):
+            # blind PUTs are idempotent — the whole op may retry
+            chaos.with_io_retries(
+                lambda: chaos.maybe_fault(self.root, rel, "commit"))
         path = self._abs(rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"

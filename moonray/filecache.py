@@ -62,7 +62,19 @@ class FileCache:
             os.utime(path)  # LRU touch
             return path
         tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
-        fetch(root, rel, tmp)
+        from moonray import chaos
+
+        def _fetch_once():
+            # throw away any torn copy from a previous attempt —
+            # partial fetches must never survive into the cache
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+            fetch(root, rel, tmp)
+            chaos.maybe_partial_fetch(root, rel, tmp)
+
+        chaos.with_io_retries(_fetch_once)
         os.rename(tmp, path)
         with self._lock:
             self.misses += 1
@@ -167,6 +179,13 @@ def data_path(root: str, rel: str) -> str:
     if ext is not None:
         return data_path(*ext)
     if not is_remote(root):
+        from moonray import chaos
+
+        if chaos.config_for(root):
+            # chaos-enabled root: the resolve itself runs under the
+            # retry absorber (accessor-level transient faults)
+            chaos.with_io_retries(
+                lambda: chaos.maybe_fault(root, rel, "read"))
         return os.path.join(root, rel)
     scheme = root.split("://", 1)[0]
     fetch = _FETCHERS.get(scheme)

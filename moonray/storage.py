@@ -80,15 +80,22 @@ def publish_file(root: str, rel: str, tmp: str, *, durable: bool = True) -> None
     content/job-derived, so a retried task re-publishes identical
     bytes and last-writer-wins is sound). ``tmp`` is consumed."""
     if not is_remote(root):
+        from moonray import chaos
         from moonray.util import fsync_file
 
+        if chaos.config_for(root):
+            chaos.with_io_retries(
+                lambda: chaos.maybe_fault(root, rel, "write"))
         if durable:
             fsync_file(tmp)
         os.rename(tmp, os.path.join(root, rel))
         return
+    from moonray import chaos
     from moonray.commitstore import store_for
 
-    store_for(root).put(rel, tmp)
+    chaos.with_io_retries(lambda: (
+        chaos.maybe_fault(root, rel, "write"),
+        store_for(root).put(rel, tmp)))
     try:
         os.unlink(tmp)
     except FileNotFoundError:

@@ -125,15 +125,17 @@ class GenImagesWithDups:
     n); payload bytes are shared with the base (curation never decodes)."""
 
     def __init__(self, seed: int = 42, dup_every: int = 5,
-                 junk_every: int = 7):
+                 junk_every: int = 7, sizes=None):
         self.seed = seed
         self.dup_every = dup_every
         self.junk_every = junk_every
+        self.sizes = sizes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
         for i in batch["id"].to_pylist():
-            base = image_row(f"img-{i:012d}", self.seed, 0, hot_pct=0)
+            base = image_row(f"img-{i:012d}", self.seed, 0, hot_pct=0,
+                             sizes=self.sizes)
             if i % self.junk_every == 3:
                 base = dict(base, caption="junk")
             rows.append(base)
@@ -151,11 +153,12 @@ class GenImagesWithDups:
 
 def make_images_with_dup_families(n_base: int, *, seed: int = 42,
                                   dup_every: int = 5, junk_every: int = 7,
-                                  concurrency=None):
+                                  concurrency=None, sizes=None):
     import ray.data as rd
 
     ds = rd.range(n_base, override_num_blocks=max(1, n_base // 256))
-    return ds.map_batches(GenImagesWithDups(seed, dup_every, junk_every),
+    return ds.map_batches(GenImagesWithDups(seed, dup_every, junk_every,
+                                            sizes=sizes),
                           batch_format="pyarrow", batch_size=256,
                           concurrency=concurrency)
 

@@ -347,8 +347,44 @@ def phash_near_dups(ds, *, id_col: str = "image_id",
 
     uniq_pairs.__name__ = "uniq_pairs"
 
-    cand = (ds.select_columns([id_col, phash_col])
-            .map_batches(band, batch_format="pyarrow")
-            .groupby(["band", "bucket"])
-            .map_groups(bucket_pairs, batch_format="pyarrow"))
+    # the banding exchange carries 8× the corpus in thin rows — route it
+    # through the storage-backed shuffle (shuffle.py), not Ray's
+    # object-store groupby: the driver owns every shuffle object in
+    # local mode and its residency grows O(corpus) under the native
+    # path (measured ~1 GB at 280k images), while run files on storage
+    # keep the driver O(buckets). Same cost model as MERGE/cluster.
+    import ray.data as rd
+
+    from moonray import shuffle as sh
+    from moonray.util import new_job_id, scratch_root
+
+    sroot = scratch_root("moonray-phash-")
+    job = new_job_id()
+
+    def bucket_fn(b: pa.Table) -> np.ndarray:
+        return (b["band"].to_numpy(zero_copy_only=False) * 256
+                + b["bucket"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int32)
+
+    bands = ds.select_columns([id_col, phash_col]).map_batches(
+        band, batch_format="pyarrow")
+    buckets = sh.write_runs(bands, sroot, job, "phash", 2048, bucket_fn,
+                            id_cols=("id", "band"))
+
+    def reduce_bucket(b: pa.Table) -> pa.Table:
+        outs = []
+        for bk in b["bucket"].to_pylist():
+            g = sh.read_bucket(sroot, job, "phash", int(bk))
+            if g is not None and len(g):
+                outs.append(bucket_pairs(g))
+        return (pa.concat_tables(outs) if outs else
+                pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "hamming": pa.array([], pa.int64())}))
+
+    reduce_bucket.__name__ = "phash_bucket_pairs"
+    cand = rd.from_items([{"bucket": int(b)} for b in buckets],
+                         override_num_blocks=max(1, min(len(buckets),
+                                                        256))) \
+        .map_batches(reduce_bucket, batch_format="pyarrow", batch_size=4)
     return cand.repartition(1).map_batches(uniq_pairs, batch_format="pyarrow")

@@ -314,7 +314,21 @@ def curate_table(table, *, lsn: int, id_col: str = "image_id",
     import pyarrow.compute as pc
 
     thin_cols = list(dict.fromkeys([id_col, "phash", "w", "h", caption_col]))
-    thin = table.scan(columns=thin_cols).materialize()
+    # coalesce to FEW LARGE blocks before the wide stages: the scan
+    # emits one block per fragment, and Ray's sort shuffle creates
+    # O(input blocks × partitions) intermediate objects whose inlined
+    # copies accumulate in the DRIVER (the object owner) — measured
+    # ~2 GB driver heap at 280k rows × 280 fragments. Thin rows are
+    # ~50 B each, so ~500k rows per block keeps blocks in the tens of
+    # MiB and the intermediate count O(cpus × partitions).
+    import ray as _ray
+
+    cpus = (int(_ray.cluster_resources().get("CPU", 8))
+            if _ray.is_initialized() else 8)
+    card = table.describe()["cardinality"]
+    nblocks = max(2 * cpus, card // 500_000)
+    thin = (table.scan(columns=thin_cols).repartition(nblocks)
+            .materialize())
 
     def tok_ok(b: pa.Table) -> pa.Array:
         # same band as caption_quality_filter — the two curation paths

@@ -119,6 +119,48 @@ def run_one(n_images: int, n_changes: int, sizes=None) -> dict:
     return out
 
 
+def run_curate(n_base: int, sizes=None) -> dict:
+    """Curation-flagship stress: dup-family corpus → bulk load →
+    curate_table (quality gate → pHash LSH families → distributed
+    components → one MERGE of D rows). Driver holds the drop summary
+    only — RSS must stay ~flat at 10×."""
+    from moonray.fixtures import IMAGE_SCHEMA, make_images_with_dup_families
+    from moonray.pipelines.curation import curate_table
+    from moonray.table import MoonrayTable
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="moonray-curate-stress-", dir=base)
+    out: dict = {"n_base": n_base,
+                 "payload": "thin" if sizes else "full",
+                 "rss_mib_start": round(rss_mib(), 1)}
+    try:
+        t0 = time.perf_counter()
+        t = MoonrayTable.create(root, key_col="image_id",
+                                schema=IMAGE_SCHEMA,
+                                zone_cols=("phash", "w", "h"),
+                                index_partitions=32,
+                                rows_per_fragment=1024)
+        t.bulk_load(make_images_with_dup_families(n_base, seed=42,
+                                                  sizes=sizes))
+        out["load_s"] = round(time.perf_counter() - t0, 2)
+        n_loaded = t.describe()["cardinality"]
+        out["rows_loaded"] = n_loaded
+        out["rss_mib_after_load"] = round(rss_mib(), 1)
+
+        t1 = time.perf_counter()
+        curate_table(t, lsn=5_000_000)
+        out["curate_s"] = round(time.perf_counter() - t1, 2)
+        out["curate_rows_per_s"] = round(n_loaded / out["curate_s"], 1)
+        out["rss_mib_after_curate"] = round(rss_mib(), 1)
+        d = t.describe()
+        out["kept"] = d["cardinality"]
+        out["dropped"] = n_loaded - d["cardinality"]
+        out["total_s"] = round(time.perf_counter() - t0, 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     import ray
 
@@ -141,12 +183,43 @@ def main() -> int:
         "MOONRAY_MANIFEST_INLINE_MAX", "24"))
     _mf._SEG_TARGET = int(os.environ.get(
         "MOONRAY_MANIFEST_SEGMENT_TARGET", "48"))
-    mults = [int(m) for m in sys.argv[1:] if not m.startswith("--")] or [1, 10]
+    pipeline = "merge"
+    if "--pipeline" in sys.argv:
+        pipeline = sys.argv[sys.argv.index("--pipeline") + 1]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")
+            and a != pipeline]
+    mults = [int(m) for m in args] or [1, 10]
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     ray.data.DataContext.get_current().enable_progress_bars = False
+    if pipeline == "curate":
+        recs = []
+        for m in mults:
+            r = run_curate(20_000 * m, sizes=sizes)
+            r.update({"kind": "scale_stress_curate", "mult": m,
+                      "num_cpus": num_cpus, "t": time.time()})
+            print(json.dumps(r))
+            recs.append(r)
+            hist = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BENCH_SCALING_HISTORY.jsonl")
+            with open(hist, "a") as f:
+                f.write(json.dumps(r) + "\n")
+        if len(recs) >= 2:
+            a, b = recs[0], recs[-1]
+            print(json.dumps({
+                "kind": "scale_stress_curate_summary",
+                "data_scale": b["n_base"] / a["n_base"],
+                "wall_scale": round(b["total_s"] / a["total_s"], 2),
+                "curate_scale": round(b["curate_s"] / a["curate_s"], 2),
+                "rss_scale": round(b["rss_mib_after_curate"]
+                                   / a["rss_mib_after_curate"], 2),
+                "drop_rate_a": round(a["dropped"] / a["rows_loaded"], 4),
+                "drop_rate_b": round(b["dropped"] / b["rows_loaded"], 4),
+            }))
+        ray.shutdown()
+        return 0
     recs = []
     for m in mults:
         r = run_one(BASE_IMAGES * m, BASE_CHANGES * m, sizes=sizes)

@@ -293,6 +293,7 @@ class CdcWireServer:
         sent_rel_ids: set[int] = set()
         sent_blocks = 0
         consumed = 0
+        idle_ticks = 0
         while True:
             with self._lock:
                 if self._closed:
@@ -318,7 +319,22 @@ class CdcWireServer:
                         {"event": "keepalive", "wal_end": end_lsn,
                          "reply": True}) + "\n").encode())
             if not progressed:
+                # idle: a dead client must release the handler so the
+                # accept loop can serve a reconnect — the ack reader
+                # exits on disconnect, and a periodic keepalive probes
+                # the transport (sendall on a closed peer raises)
+                if not ack_thread.is_alive():
+                    return
+                idle_ticks += 1
+                if idle_ticks % 5 == 0:
+                    with self._lock:
+                        lsn_now = self.confirmed_flush_lsn
+                    conn.sendall((json.dumps(
+                        {"event": "keepalive", "wal_end": lsn_now,
+                         "reply": True}) + "\n").encode())
                 with self._lock:
                     if self._closed:
                         return
                     self._lock.wait(timeout=0.2)
+            else:
+                idle_ticks = 0

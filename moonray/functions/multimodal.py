@@ -356,35 +356,57 @@ def phash_near_dups(ds, *, id_col: str = "image_id",
     import ray.data as rd
 
     from moonray import shuffle as sh
-    from moonray.util import new_job_id, scratch_root
+    from moonray.util import default_buckets, new_job_id, scratch_root
 
     sroot = scratch_root("moonray-phash-")
     job = new_job_id()
+    # cpu-scaled bucket count (NOT one per (band, byte) group —
+    # 2048 sliver directories dominate wall time at small corpora);
+    # each storage bucket holds several (band, byte) groups and the
+    # reducer re-splits them before pairing, so banding exactness is
+    # untouched
+    P = default_buckets()
 
     def bucket_fn(b: pa.Table) -> np.ndarray:
-        return (b["band"].to_numpy(zero_copy_only=False) * 256
-                + b["bucket"].to_numpy(zero_copy_only=False)) \
-            .astype(np.int32)
+        g = (b["band"].to_numpy(zero_copy_only=False) * 256
+             + b["bucket"].to_numpy(zero_copy_only=False))
+        from moonray.util import splitmix64
+
+        return (splitmix64(g.astype(np.uint64))
+                % np.uint64(P)).astype(np.int32)
 
     bands = ds.select_columns([id_col, phash_col]).map_batches(
         band, batch_format="pyarrow")
-    buckets = sh.write_runs(bands, sroot, job, "phash", 2048, bucket_fn,
+    buckets = sh.write_runs(bands, sroot, job, "phash", P, bucket_fn,
                             id_cols=("id", "band"))
 
     def reduce_bucket(b: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "hamming": pa.array([], pa.int64())})
         outs = []
         for bk in b["bucket"].to_pylist():
             g = sh.read_bucket(sroot, job, "phash", int(bk))
-            if g is not None and len(g):
-                outs.append(bucket_pairs(g))
-        return (pa.concat_tables(outs) if outs else
-                pa.table({"a": pa.array([], pa.string()),
-                          "b": pa.array([], pa.string()),
-                          "hamming": pa.array([], pa.int64())}))
+            if g is None or not len(g):
+                continue
+            # split the colocated (band, byte) groups back apart —
+            # pairing across groups would only ADD exact-verified
+            # candidates, but the per-group blocked hamming is the
+            # cost model banding promises
+            s = g.sort_by([("band", "ascending"), ("bucket", "ascending")])
+            bd = s["band"].to_numpy(zero_copy_only=False)
+            bt = s["bucket"].to_numpy(zero_copy_only=False)
+            new = np.ones(len(s), dtype=bool)
+            new[1:] = (bd[1:] != bd[:-1]) | (bt[1:] != bt[:-1])
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(s))
+            for a0, a1 in zip(starts, ends):
+                if a1 - a0 >= 2:
+                    outs.append(bucket_pairs(s.slice(a0, a1 - a0)))
+        return pa.concat_tables(outs) if outs else empty
 
     reduce_bucket.__name__ = "phash_bucket_pairs"
     cand = rd.from_items([{"bucket": int(b)} for b in buckets],
-                         override_num_blocks=max(1, min(len(buckets),
-                                                        256))) \
-        .map_batches(reduce_bucket, batch_format="pyarrow", batch_size=4)
+                         override_num_blocks=max(1, len(buckets))) \
+        .map_batches(reduce_bucket, batch_format="pyarrow", batch_size=1)
     return cand.repartition(1).map_batches(uniq_pairs, batch_format="pyarrow")

@@ -118,12 +118,19 @@ def fsck(table, *, deep: bool = True, concurrency=None) -> dict:
                     if c in pf.schema_arrow.names]
             if want:
                 t = pf.read(columns=want)
+                # recompute in the same ENCODED domain the zone maps
+                # persist (moonray/types.py) — comparing natural
+                # date/decimal/bytes values against encoded zones
+                # either crashes (TypeError) or goes vacuous
+                from moonray.types import compute_zones_typed
+
+                actual = compute_zones_typed(t, zone_cols)
                 for c in zone_cols:
                     z = u["zones"].get(c)
-                    if c not in t.column_names or not z or len(t) == 0:
+                    a = actual.get(c)
+                    if not z or a is None or len(t) == 0:
                         continue
-                    mm = pc.min_max(t[c])
-                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    lo, hi = a
                     if (z[0] is not None and lo is not None and lo < z[0]) \
                             or (z[1] is not None and hi is not None
                                 and hi > z[1]):

@@ -408,5 +408,11 @@ def phash_near_dups(ds, *, id_col: str = "image_id",
     reduce_bucket.__name__ = "phash_bucket_pairs"
     cand = rd.from_items([{"bucket": int(b)} for b in buckets],
                          override_num_blocks=max(1, len(buckets))) \
-        .map_batches(reduce_bucket, batch_format="pyarrow", batch_size=1)
+        .map_batches(reduce_bucket, batch_format="pyarrow", batch_size=1) \
+        .materialize()
+    # the reduces have consumed every run file — reclaim the scratch
+    # (tmpfs-backed) now instead of waiting for the 2 h stale-dir GC
+    import shutil as _shutil
+
+    _shutil.rmtree(sroot, ignore_errors=True)
     return cand.repartition(1).map_batches(uniq_pairs, batch_format="pyarrow")

@@ -574,12 +574,24 @@ class MoonrayService:
         # across an ALTER must describe the files it actually lists
         sch = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_ipc"])))
         try:
+            # zone maps store extended types in the ENCODED JSON domain
+            # (moonray/types.py) — put the user's bounds there before
+            # pruning (identity for int/float/string columns), exactly
+            # like table.scan does; the natural-value spec is echoed
+            # back in pruned_by for the consumer's exact row filter
+            from moonray import types as _ty
+
+            enc_ranges = (_ty.encode_ranges(
+                _ty.normalize_ranges(ranges, sch), sch)
+                if ranges else None)
+            nat_in = _ty.normalize_in(in_sets, sch) if in_sets else None
+            enc_in = _ty.encode_in(nat_in, sch) if in_sets else None
             kept = [f for f in m["fragments"]
-                    if (not ranges
-                        or _zones_overlap(f.get("zones", {}), ranges))
-                    and (not in_sets
+                    if (not enc_ranges
+                        or _zones_overlap(f.get("zones", {}), enc_ranges))
+                    and (not enc_in
                          or _zones_contain_any(f.get("zones", {}),
-                                               in_sets))]
+                                               enc_in))]
             if in_sets and kept:
                 # bloom column indexes prune server-side too — the
                 # consumer downloads only fragments that may hold a
@@ -587,7 +599,7 @@ class MoonrayService:
                 # row filter, echoed back in pruned_by)
                 from moonray import colindex
 
-                kept = colindex.prune_fragments(t.root, kept, in_sets,
+                kept = colindex.prune_fragments(t.root, kept, nat_in,
                                                 sch)
             frags = [{
                 "path": f["path"], "rows": f["rows"], "bytes": f["bytes"],

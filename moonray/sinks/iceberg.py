@@ -568,8 +568,11 @@ def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
              sorted(wanted), schema_state]).encode()).hexdigest()[:12]
     if idx_state and (idx_state != idx_state_prev or meta is None
                       or not prev_index):
+        from moonray.identity import key_cols_of
+
         frag_export = {f["id"]: p for p, f in wanted.items()}
         key_col = m["key_col"]
+        user_key_cols = key_cols_of(m)
 
         @ray.remote
         def export_index_partition(bucket: str, rels: list[str],
@@ -616,6 +619,10 @@ def export_iceberg(table, dest: str, *, version: int | None = None) -> int:
                     "num-partitions": str(
                         m["index"]["num_partitions"]),
                     "key-column": key_col,
+                    # the USER key columns (≠ key-column for composite
+                    # identities, whose derived _ckey never reaches the
+                    # exported parquet — lookups re-encode from these)
+                    "key-cols": json.dumps(user_key_cols),
                     "hash": "moonray-hash-key-array-v1"}}])
             os.replace(tmp, out_path)
             return {"path": out_path, "rows": int(n),
@@ -899,17 +906,51 @@ def iceberg_index_lookup(dest: str, keys, *,
                        if e["data_file"]["file_format"] == "PUFFIN")
     if not idx_paths:
         raise ValueError("export carries no file-index puffins")
+    parquet_paths = [e["data_file"]["file_path"] for e in data
+                     if e["data_file"]["file_format"] == "PARQUET"]
     # peek one footer for the routing params
     descs0, _raw0 = read_puffin(idx_paths[0])
     props0 = descs0[0]["properties"]
     P = int(props0["num-partitions"])
     key_col = props0["key-column"]
+    key_cols = json.loads(props0.get("key-cols", f'["{key_col}"]'))
     by_partition: dict[int, str] = {}
     for p in idx_paths:
         descs, _ = read_puffin(p)
         by_partition[int(descs[0]["properties"]["partition"])] = p
 
-    keys_arr = keys if isinstance(keys, pa.Array) else pa.array(keys)
+    if not parquet_paths:
+        # all rows deleted/compacted away: any lookup is empty; the
+        # result schema comes from nowhere, so say so explicitly
+        raise ValueError("export has no live data files to look up in")
+    file_schema = pq.read_schema(parquet_paths[0])
+    if len(key_cols) == 1:
+        # probe keys cast to the COLUMN type — an inferred decimal
+        # scale / int width would hash into the wrong buckets
+        keys_arr = (keys if isinstance(keys, pa.Array)
+                    else pa.array(list(keys))).cast(
+            file_schema.field(key_cols[0]).type)
+        probe_keys = keys_arr
+
+        def verify_mask(t: pa.Table):
+            return pa.compute.is_in(t[key_cols[0]], value_set=probe_keys)
+    else:
+        # composite identity: the index hashes the derived _ckey
+        # encoding, which the exported parquet does NOT carry —
+        # re-encode the probe tuples AND the fetched rows
+        from moonray.identity import encode_key_column
+
+        probe_tbl = pa.table({
+            c: pa.array([k[i] for k in keys],
+                        file_schema.field(c).type)
+            for i, c in enumerate(key_cols)})
+        keys_arr = encode_key_column(probe_tbl, key_cols)
+        probe_keys = keys_arr
+
+        def verify_mask(t: pa.Table):
+            return pa.compute.is_in(encode_key_column(t, key_cols),
+                                    value_set=probe_keys)
+
     hashes = hash_key_array(keys_arr)
     buckets = (hashes % np.uint64(P)).astype(np.int64)
     # candidate (file, row) locations per key — only probed partitions
@@ -937,9 +978,10 @@ def iceberg_index_lookup(dest: str, keys, *,
         rows = sorted(set(rows))
         spec = dv_spec.get(f)
         if spec is not None:
-            _, raw = None, read_puffin(spec[0])[1]
-            dead = decode_dv_blob(raw[spec[1]:spec[1] + spec[2]])
-            rows = [r for r in rows if r not in set(dead.tolist())]
+            raw = read_puffin(spec[0])[1]
+            dead = set(decode_dv_blob(
+                raw[spec[1]:spec[1] + spec[2]]).tolist())
+            rows = [r for r in rows if r not in dead]
         if not rows:
             continue
         pf = pq.ParquetFile(f, memory_map=True)
@@ -961,21 +1003,11 @@ def iceberg_index_lookup(dest: str, keys, *,
             off += rg_rows[g]
         t = t.take(pa.array(sorted(local), pa.int64()))
         # exact key verification (hash equality never proves keys)
-        mask = pa.compute.is_in(t[key_col], value_set=keys_arr.cast(
-            t.schema.field(key_col).type))
-        t = t.filter(mask)
+        t = t.filter(verify_mask(t))
         if columns:
             t = t.select(columns)
         pieces.append(t.replace_schema_metadata(None))
     if not pieces:
-        sch = pq.ParquetFile(
-            next(iter(sorted(cand_by_file)))).schema_arrow \
-            if cand_by_file else None
-        if sch is None:
-            # derive schema from any live data file
-            any_pq = next(e["data_file"]["file_path"] for e in data
-                          if e["data_file"]["file_format"] == "PARQUET")
-            sch = pq.ParquetFile(any_pq).schema_arrow
-        empty = sch.empty_table()
+        empty = file_schema.empty_table()
         return empty.select(columns) if columns else empty
     return pa.concat_tables(pieces)

@@ -277,15 +277,17 @@ def encode_avro(schema, value) -> bytes:
             import datetime as _dt
 
             value = (value - _dt.date(1970, 1, 1)).days
-        elif lt == "timestamp-millis" and not isinstance(value, int):
-            value = round(value.timestamp() * 1000)
-        elif lt in ("timestamp-micros", "local-timestamp-micros") \
-                and not isinstance(value, int):
+        elif lt in ("timestamp-millis", "timestamp-micros",
+                    "local-timestamp-micros") and not isinstance(value, int):
             import datetime as _dt
 
+            # naive datetimes are UTC wall time here (matching _decode
+            # and the engine's canonicalization) — value.timestamp()
+            # would interpret them in the HOST's local timezone
             epoch = (_dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
                      if value.tzinfo else _dt.datetime(1970, 1, 1))
-            value = round((value - epoch).total_seconds() * 1_000_000)
+            us = round((value - epoch).total_seconds() * 1_000_000)
+            value = us // 1000 if lt == "timestamp-millis" else us
         elif lt == "time-micros" and not isinstance(value, int):
             value = ((value.hour * 3600 + value.minute * 60
                       + value.second) * 1_000_000 + value.microsecond)

@@ -286,10 +286,29 @@ def decimal_to_unscaled(col) -> "object":
 # ------------------------------------------------------------ zone maps
 
 
+def temporal_storage_int(col, t: pa.DataType):
+    """Temporal column → int column in the CANONICAL encoded unit
+    (days for dates, µs for times/timestamps) regardless of the
+    column's physical unit — the zone/bound/hash domains must agree,
+    and date64 (ms) / timestamp(s|ms|ns) / time32(s|ms) store other
+    units. Also the one place that knows Arrow's missing direct casts
+    (date32→int64, time32→int64 don't exist; go through the canonical
+    temporal type first)."""
+    if pa.types.is_date(t):
+        return pc.cast(pc.cast(col, pa.date32()), pa.int32())
+    if pa.types.is_time(t):
+        return pc.cast(pc.cast(col, pa.time64("us")), pa.int64())
+    if pa.types.is_timestamp(t):
+        return pc.cast(pc.cast(col, pa.timestamp("us", tz=t.tz)),
+                       pa.int64())
+    raise TypeError(f"not a temporal type: {t}")
+
+
 def compute_zones_typed(table: pa.Table, zone_cols) -> dict:
     """min/max per zone column as order-preserving JSON primitives.
-    Temporal columns min/max over their integer storage view (one cast,
-    no per-value Python); nested/unorderable columns are skipped."""
+    Temporal columns min/max over their CANONICAL integer view (days /
+    µs — one cast, no per-value Python); nested/unorderable columns
+    are skipped."""
     zones = {}
     for c in zone_cols:
         if c not in table.column_names or len(table) == 0:
@@ -300,8 +319,7 @@ def compute_zones_typed(table: pa.Table, zone_cols) -> dict:
         col = table[c]
         if pa.types.is_date(t) or pa.types.is_time(t) \
                 or pa.types.is_timestamp(t):
-            width = pa.int32() if pa.types.is_date32(t) else pa.int64()
-            mm = pc.min_max(pc.cast(col, width))
+            mm = pc.min_max(temporal_storage_int(col, t))
             zones[c] = [mm["min"].as_py(), mm["max"].as_py()]
         else:
             mm = pc.min_max(col)

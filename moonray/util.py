@@ -70,15 +70,18 @@ def hash_key_array(arr, seed: int = 0) -> np.ndarray:
         if arr.null_count == 0 and (
                 pa.types.is_date(arr.type) or pa.types.is_time(arr.type)
                 or pa.types.is_timestamp(arr.type)):
-            # temporal → integer storage view, then the splitmix64 lane:
-            # byte-stable forever (polars' hash of temporal types is an
+            # temporal → CANONICAL integer view (days / µs — see
+            # types.temporal_storage_int; also dodges Arrow's missing
+            # date32→int64 / time32→int64 casts), then the splitmix64
+            # lane: byte-stable forever (polars' temporal hash is an
             # implementation detail of its version). Null-bearing
             # temporal columns fall through to the generic lane.
             import pyarrow.compute as _pc
 
-            if pa.types.is_date32(arr.type):
-                arr = _pc.cast(arr, pa.int32())
-            arr = _pc.cast(arr, pa.int64())
+            from moonray.types import temporal_storage_int
+
+            arr = _pc.cast(temporal_storage_int(arr, arr.type),
+                           pa.int64())
         if pa.types.is_integer(arr.type):
             vals = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
             h = splitmix64(vals)

@@ -119,3 +119,35 @@ def test_proto_stage():
     assert out["id"].to_pylist() == list(range(6))
     assert out["name"].to_pylist() == [f"n{i}" for i in range(6)]
     assert out["ok"].to_pylist() == [True, False, True, False, True, False]
+
+
+def test_avro_timestamp_millis_naive_is_utc_wall_time(monkeypatch):
+    """Naive datetimes encode as UTC wall time for BOTH millis and
+    micros logical types, independent of the host timezone (review
+    finding: timestamp-millis used value.timestamp() — local TZ)."""
+    import datetime
+    import json
+    import os
+    import time as _time
+
+    from moonray.sources.avro_ingest import (decode_avro, encode_avro,
+                                             parse_avro_schema)
+
+    monkeypatch.setenv("TZ", "America/New_York")
+    _time.tzset()
+    try:
+        sch = parse_avro_schema(json.dumps({
+            "type": "record", "name": "r", "fields": [
+                {"name": "ms", "type": {"type": "long",
+                                        "logicalType": "timestamp-millis"}},
+                {"name": "us", "type": {"type": "long",
+                                        "logicalType": "timestamp-micros"}},
+            ]}))
+        naive = datetime.datetime(2020, 1, 1, 0, 0)
+        out = decode_avro(sch, encode_avro(sch, {"ms": naive, "us": naive}))
+        want_us = 1577836800 * 1_000_000  # 2020-01-01T00:00Z
+        assert out["ms"] == want_us       # millis decode scales to µs
+        assert out["us"] == want_us
+    finally:
+        monkeypatch.delenv("TZ")
+        _time.tzset()

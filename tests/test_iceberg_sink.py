@@ -307,3 +307,38 @@ def test_index_puffins_answer_point_lookups_from_export_alone(tmp_path):
     thin = iceberg_index_lookup(dest, [39], columns=["id", "score"])
     assert thin.column_names == ["id", "score"]
     assert thin.to_pylist() == [{"id": 39, "score": 39.0}]
+
+
+def test_index_puffins_composite_key_lookup(tmp_path):
+    """Composite (id, name) identity: puffins hash the derived _ckey
+    (absent from exported parquet) — lookup re-encodes probe tuples
+    AND fetched rows (review finding: this path KeyError'd before)."""
+    from moonray.sinks.iceberg import iceberg_index_lookup
+
+    t = MoonrayTable.create(str(tmp_path / "tblc"),
+                            key_cols=["id", "name"], schema=SCHEMA,
+                            index_partitions=4, rows_per_fragment=8)
+    t.bulk_load(rd.from_items(
+        [{"id": i % 10, "name": f"n{i}", "score": float(i)}
+         for i in range(40)]))
+    dest = str(tmp_path / "icec")
+    export_iceberg(t, dest)
+    got = iceberg_index_lookup(dest, [(3, "n3"), (3, "n13")]).to_pandas()
+    assert sorted(got["score"]) == [3.0, 13.0]
+    assert len(iceberg_index_lookup(dest, [(3, "nope")])) == 0
+
+
+def test_index_lookup_empty_export_is_loud(tmp_path):
+    import pytest as _pytest
+
+    from moonray.sinks.iceberg import iceberg_index_lookup
+
+    t = _mk(tmp_path / "tble")
+    t.merge(rd.from_items(
+        [{"op": "D", "lsn": 100 + i, "id": i, "name": None, "score": None}
+         for i in range(40)]))
+    t.optimize("data", force_full=True)   # folds DVs, drops empty frags
+    dest = str(tmp_path / "icee")
+    export_iceberg(t, dest)
+    with _pytest.raises((ValueError, FileNotFoundError)):
+        iceberg_index_lookup(dest, [3])

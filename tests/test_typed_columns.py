@@ -293,3 +293,99 @@ def test_struct_list_key_encoding_injective():
     es = encode_key_column(t, ["s"]).to_pylist()
     el = encode_key_column(t, ["l"]).to_pylist()
     assert len(set(es)) == 3 and len(set(el)) == 3
+
+
+def test_nonstandard_temporal_units_zone_and_hash():
+    """date64 (ms) / timestamp(ms) / time32(s) columns must zone-map
+    and hash in the CANONICAL encoded units (days / µs) — raw-unit
+    zones pruned every fragment for day-scale bounds (review finding),
+    and time32 had no int64 cast at all."""
+    import ray.data as rd
+
+    from moonray import types as ty
+    from moonray.table import MoonrayTable, _zones_overlap
+    from moonray.util import hash_key_array, scratch_root
+
+    n = 200
+    tbl = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "d64": pa.array((np.arange(n) + 18000) * 86_400_000,
+                        pa.date64()),
+        "tsms": pa.array(np.arange(n) * 1000, pa.timestamp("ms")),
+        "t32": pa.array((np.arange(n) % 86_400).astype(np.int32))
+        .cast(pa.time32("s")),
+    })
+    # hashing: canonical units mean date64 hashes equal date32 of the
+    # same day, and time32(s) equals time64(us) of the same instant
+    h64 = hash_key_array(tbl["d64"].combine_chunks())
+    h32 = hash_key_array(pa.array(np.arange(n, dtype=np.int32) + 18000,
+                                  pa.date32()))
+    assert (h64 == h32).all()
+    a32 = hash_key_array(tbl["t32"].combine_chunks())
+    a64 = hash_key_array(pa.array((np.arange(n) % 86_400) * 1_000_000,
+                                  pa.time64("us")))
+    assert (a32 == a64).all()
+
+    # zones + pruning end-to-end
+    t = MoonrayTable.create(scratch_root("mr-tunits-"), key_col="k",
+                            schema=tbl.schema, zone_cols=("d64", "tsms"),
+                            rows_per_fragment=50, index_partitions=2)
+    t.bulk_load(rd.from_arrow(tbl))
+    m = t.manifest()
+    z = m["fragments"][0]["zones"]
+    assert 17990 < z["d64"][0] < 18260          # days, not epoch-ms
+    assert z["tsms"][1] == (n - 1) * 1_000_000  # µs, not raw ms ticks
+    lo, hi = datetime.date(2019, 4, 14), "2019-05-10"
+    enc = ty.encode_ranges({"d64": (lo, hi)}, t.schema())
+    kept = [f for f in m["fragments"] if _zones_overlap(f["zones"], enc)]
+    assert 0 < len(kept) < len(m["fragments"])
+    got = sorted(r["k"] for r in
+                 t.scan(predicate_ranges={"d64": (lo, hi)},
+                        exact_filter=True).take_all())
+    want = [k for k in range(n)
+            if datetime.date(2019, 4, 14)
+            <= EPOCH + datetime.timedelta(days=18000 + k)
+            <= datetime.date(2019, 5, 10)]
+    assert got == want
+
+
+def test_scanplan_typed_ranges_over_http(merged):
+    """service.scan_plan must encode typed predicate bounds into the
+    zone-JSON domain before pruning (review finding: raw Decimal / ISO
+    bounds vs encoded zones silently dropped matching fragments)."""
+    from moonray.service import MoonrayService
+
+    t, want = merged
+    svc = MoonrayService.__new__(MoonrayService)
+    svc._tables = {"typed": t}
+    svc._table = lambda name: t
+    import json as _json
+
+    plan = svc.scan_plan("typed", {
+        "ranges": [_json.dumps({"price": ["1000.00", None],
+                                "day": ["1970-04-01", "1970-06-01"]})],
+    })
+    m = t.manifest()
+    assert 0 < len(plan["fragments"]) < len(m["fragments"])
+    # every key the predicate matches must live in a planned fragment
+    planned = {f["path"] for f in plan["fragments"]}
+    lo_p, lo_d, hi_d = (decimal.Decimal("1000.00"),
+                        datetime.date(1970, 4, 1),
+                        datetime.date(1970, 6, 1))
+    want_ks = {k for k, r in want.items()
+               if r["price"] >= lo_p and lo_d <= r["day"] <= hi_d}
+    got_ks = set()
+    import pyarrow.parquet as pq_
+    for f in plan["fragments"]:
+        part = pq_.read_table(os.path.join(t.root, f["path"]),
+                              columns=["k"])
+        got_ks.update(part["k"].to_pylist())
+    assert want_ks <= got_ks
+
+
+def test_fsck_deep_on_typed_table(merged):
+    from moonray.fsck import fsck
+
+    t, _want = merged
+    rep = fsck(t, deep=True)
+    assert rep["ok"], rep["issues"]

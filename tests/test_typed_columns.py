@@ -389,3 +389,44 @@ def test_fsck_deep_on_typed_table(merged):
     t, _want = merged
     rep = fsck(t, deep=True)
     assert rep["ok"], rep["issues"]
+
+
+def test_uuid_keyed_table_export_lookup_and_colindex(tmp_path):
+    """FSB16 (uuid) as THE key column: engine lookup, bloom column
+    index consult, and the export-side index-puffin point lookup must
+    all hash/compare the binary keys consistently."""
+    import ray.data as rd
+
+    from moonray.sinks.iceberg import export_iceberg, iceberg_index_lookup
+    from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
+
+    n = 300
+    uids = [hashlib.md5(f"u{i}".encode()).digest() for i in range(n)]
+    tbl = pa.table({
+        "uid": pa.array(uids, pa.binary(16)),
+        "price": pa.array([D(f"{i}.25") for i in range(n)],
+                          pa.decimal128(12, 2)),
+        "lab": pa.array([f"l{i % 7}" for i in range(n)], pa.string()),
+    })
+    t = MoonrayTable.create(scratch_root("mr-uuidkey-"), key_col="uid",
+                            schema=tbl.schema, zone_cols=("price",),
+                            rows_per_fragment=64, index_partitions=4)
+    t.bulk_load(rd.from_arrow(tbl))
+    # engine point lookup on binary keys
+    got = t.lookup([uids[5], uids[250]])
+    assert sorted(got["price"].to_pylist()) == [D("5.25"), D("250.25")]
+
+    # bloom column index over the uuid column (non-key equality shape:
+    # index it as a value column too via predicate_in on uid itself)
+    t.build_column_index("lab")
+    got2 = t.scan(predicate_in={"lab": ["l3"]}).take_all()
+    assert {r["lab"] for r in got2} == {"l3"}
+    assert len(got2) == len([i for i in range(n) if i % 7 == 3])
+
+    # export: index puffins answer uuid point lookups externally
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    ext = iceberg_index_lookup(dest, [uids[5], uids[250]]).to_pandas()
+    assert sorted(ext["price"]) == [D("5.25"), D("250.25")]
+    assert len(iceberg_index_lookup(dest, [b"\x00" * 16])) == 0

@@ -60,6 +60,10 @@ def _spark_type(t: pa.DataType):
         return {"type": "struct", "fields": [
             {"name": f.name, "type": _spark_type(f.type), "nullable": True,
              "metadata": {}} for f in t]}
+    if pa.types.is_map(t):
+        return {"type": "map", "keyType": _spark_type(t.key_type),
+                "valueType": _spark_type(t.item_type),
+                "valueContainsNull": True}
     try:
         return _SPARK_TYPES[str(t)]
     except KeyError:

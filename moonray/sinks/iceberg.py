@@ -95,6 +95,12 @@ def _iceberg_type(t: pa.DataType, alloc) -> object:
         return {"type": "struct", "fields": [
             {"id": alloc(), "name": f.name, "required": False,
              "type": _iceberg_type(f.type, alloc)} for f in t]}
+    if pa.types.is_map(t):
+        kid, vid = alloc(), alloc()
+        return {"type": "map", "key-id": kid,
+                "key": _iceberg_type(t.key_type, alloc),
+                "value-id": vid, "value-required": False,
+                "value": _iceberg_type(t.item_type, alloc)}
     raise ValueError(f"no Iceberg mapping for Arrow type {t}")
 
 

@@ -430,3 +430,63 @@ def test_uuid_keyed_table_export_lookup_and_colindex(tmp_path):
     ext = iceberg_index_lookup(dest, [uids[5], uids[250]]).to_pandas()
     assert sorted(ext["price"]) == [D("5.25"), D("250.25")]
     assert len(iceberg_index_lookup(dest, [b"\x00" * 16])) == 0
+
+
+def test_map_column_merge_and_exports(tmp_path):
+    """Map columns (reference moonlink_type Map): schema, fragment IO,
+    MERGE, and both export type mappings (no zones — maps are
+    unordered)."""
+    import json
+
+    import ray.data as rd
+
+    from moonray.sinks.delta import export_delta
+    from moonray.sinks.iceberg import export_iceberg, read_iceberg_table
+    from moonray.table import MoonrayTable
+    from moonray.util import scratch_root
+
+    n = 120
+    mt = pa.map_(pa.string(), pa.int64())
+    tbl = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "props": pa.array([[(f"p{i % 3}", i), ("z", i * 2)]
+                           for i in range(n)], mt),
+    })
+    t = MoonrayTable.create(scratch_root("mr-map-"), key_col="k",
+                            schema=tbl.schema, rows_per_fragment=50,
+                            index_partitions=2)
+    t.bulk_load(rd.from_arrow(tbl))
+    t.merge(rd.from_arrow(pa.table({
+        "op": pa.array(["U", "D"], pa.string()),
+        "lsn": pa.array([1, 2], pa.int64()),
+        "k": pa.array([3, 7], pa.int64()),
+        "props": pa.array([[("upd", 99)], None], mt),
+    })), job_id="map-merge")
+    rows = {r["k"]: r["props"] for r in t.scan().take_all()}
+    assert len(rows) == n - 1 and 7 not in rows
+    assert rows[3] == [("upd", 99)]
+    assert rows[4] == [("p1", 4), ("z", 8)]
+
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    back = read_iceberg_table(dest)
+    got = {r["k"]: r["props"] for r in back.to_pylist()}
+    assert got == rows
+    meta_dir = os.path.join(dest, "metadata")
+    mfile = sorted(f for f in os.listdir(meta_dir)
+                   if f.endswith(".json"))[-1]
+    meta = json.load(open(os.path.join(meta_dir, mfile)))
+    f_props = next(f for f in meta["schemas"][-1]["fields"]
+                   if f["name"] == "props")
+    assert f_props["type"]["type"] == "map"
+    assert f_props["type"]["key"] == "string"
+
+    ddest = str(tmp_path / "delta")
+    export_delta(t, ddest)
+    log = open(os.path.join(ddest, "_delta_log",
+                            f"{0:020d}.json")).read().splitlines()
+    md = next(json.loads(l)["metaData"] for l in log
+              if "metaData" in json.loads(l))
+    fm = {f["name"]: f["type"]
+          for f in json.loads(md["schemaString"])["fields"]}
+    assert fm["props"]["type"] == "map"

@@ -866,6 +866,26 @@ def minhash_lsh_join(ds_a, ds_b, *, text_col: str = "text",
     # co-shuffle join (same shape as _verify_pairs.attach), not
     # Dataset.join — chaining Ray's hash-join operator output into
     # another join loses empty partitions' schemas.
+    #
+    # Fast path: when every class is a singleton (no digest-equal docs
+    # anywhere — the COMMON corpus), witnesses ARE the members; skip
+    # all four expansion exchanges and the final distinct
+    # (_verify_pairs already emits each pair once).
+    from ray.data.aggregate import Count
+
+    n_docs = members.count()
+    n_classes = (members.groupby(["d1", "d2"])
+                 .aggregate(Count(alias_name="_n")).count())
+    if n_classes == n_docs:
+        def decode_direct(b: pa.Table) -> pa.Table:
+            a = b["a"].to_numpy(zero_copy_only=False) // 2
+            bb = b["b"].to_numpy(zero_copy_only=False) // 2
+            return pa.table({"a": pa.array(a, pa.int64()),
+                             "b": pa.array(bb, pa.int64())})
+
+        decode_direct.__name__ = "decode_pair_ids"
+        return verified.map_batches(decode_direct, batch_format="pyarrow")
+
     j1 = _bucket_expand_join(verified, members, ("a",), ("id",),
                              carry=("a", "b"),
                              out={"d1": "ad1", "d2": "ad2"})

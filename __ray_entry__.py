@@ -865,6 +865,30 @@ def _q_exact_k_sample(sf_dir: str):
         100, "doc_id", seed=42)
 
 
+def _q_incremental_dedup_index(sf_dir: str):
+    """Persisted-LSH incremental dedup (functions/textlsh): index the
+    even-id half of the documents table, then filter the odd-id half
+    against the INDEX (the production ingest shape — the historical
+    corpus is never recomputed). Rows-only: the signature-Jaccard
+    estimator is not SQL-expressible; exact-agreement vs the batch
+    join is pinned by tests/test_textlsh.py."""
+    import pyarrow.compute as _pc
+
+    from moonray.functions.textlsh import build_lsh_index, dedup_incremental
+    from moonray.util import scratch_root
+
+    docs = _docs(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow")
+    hist = docs.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    new = docs.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow")
+    idx = build_lsh_index(hist, scratch_root("moonray-lshidx-"))
+    return dedup_incremental(new, idx, jaccard_threshold=0.8)
+
+
 def _q_text_embed_knn(sf_dir: str):
     """Text → deterministic feature-hashing embeddings → brute-force
     cosine top-5 for three probe documents (the produced-embedding
@@ -1260,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": _q_distinct_hll,
         "distinct_users_by_type_hll": _q_distinct_by_hll,
         "minhash_lsh_dedup": _q_minhash,
+        "incremental_dedup_index": _q_incremental_dedup_index,
         "simhash_fingerprints": _q_simhash,
         "embedding_near_dup_pairs_lsh": _q_near_dups_lsh,
         "knn_cosine_ivf_top10": _q_knn_ivf,

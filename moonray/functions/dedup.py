@@ -181,20 +181,18 @@ class MinHashBands:
     # 1.35 s → 0.12 s for 260k shingles × 64 perms on this box)
     _CHUNK_ELEMS = 1_000_000
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        shingles = self._shingle_hashes_batch(batch[self.text_col].to_pylist())
-        n = len(ids)
-        if n == 0:
-            cols = {"band": pa.array([], pa.int32()),
-                    "bhash": pa.array([], pa.uint64()),
-                    "id": pa.array([], pa.int64())}
-            if self.with_digest:
-                cols["d1"] = pa.array([], pa.int64())
-                cols["d2"] = pa.array([], pa.int64())
-            return pa.table(cols)
+    def signatures(self, texts: list[str]):
+        """THE signature/band computation, shared by the per-band row
+        emitter below and the persisted index (functions/textlsh) —
+        one definition so band hashes can never drift between the
+        batch paths and on-disk indexes. Returns (sigs uint64
+        (n, num_perm), band_digests uint64 (n, bands), flat shingle
+        hashes, per-doc offsets)."""
+        shingles = self._shingle_hashes_batch(texts)
+        n = len(shingles)
         lens = np.array([len(s) for s in shingles], dtype=np.int64)
-        flat = np.concatenate(shingles)
+        flat = (np.concatenate(shingles) if shingles
+                else np.empty(0, np.uint64))
         offsets = np.concatenate([[0], np.cumsum(lens)])
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         # all docs' signatures via minimum.reduceat over doc boundaries,
@@ -212,16 +210,30 @@ class MinHashBands:
             sigs[lo:hi] = np.minimum.reduceat(m, cuts, axis=1).T
             lo = hi
         # band digests: splitmix64 fold over each band's rows_per_band
-        # signature values (seeded by band index) — vectorized over
-        # (docs × bands); replaces the per-doc/per-band md5 loop. Digest
-        # collisions only ADD candidate pairs (exact verify removes
-        # them), never lose one: equal signatures hash equal.
+        # signature values (seeded by band index). Digest collisions
+        # only ADD candidate pairs (exact verify removes them), never
+        # lose one: equal signatures hash equal.
         sig3 = sigs.reshape(n, self.bands, self.rows_per_band)
         acc = np.broadcast_to(
             splitmix64(np.arange(1, self.bands + 1, dtype=np.uint64))[None, :],
             (n, self.bands)).copy()
         for j in range(self.rows_per_band):
             acc = splitmix64(acc ^ sig3[:, :, j])
+        return sigs, acc, flat, offsets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        n = len(ids)
+        if n == 0:
+            cols = {"band": pa.array([], pa.int32()),
+                    "bhash": pa.array([], pa.uint64()),
+                    "id": pa.array([], pa.int64())}
+            if self.with_digest:
+                cols["d1"] = pa.array([], pa.int64())
+                cols["d2"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        _sigs, acc, flat, offsets = self.signatures(
+            batch[self.text_col].to_pylist())
         cols = {
             "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
             "bhash": pa.array(acc.reshape(-1), pa.uint64()),
@@ -867,23 +879,32 @@ def minhash_lsh_join(ds_a, ds_b, *, text_col: str = "text",
     # Dataset.join — chaining Ray's hash-join operator output into
     # another join loses empty partitions' schemas.
     #
-    # Fast path: when every class is a singleton (no digest-equal docs
-    # anywhere — the COMMON corpus), witnesses ARE the members; skip
-    # all four expansion exchanges and the final distinct
-    # (_verify_pairs already emits each pair once).
+    # Fast paths (both skip the four expansion exchanges + distinct):
+    # 1. no verified pairs at all — the common decontamination outcome;
+    # 2. every digest class is a singleton (no digest-equal docs
+    #    anywhere), so witnesses ARE the members. The class-count
+    #    aggregate only runs when there ARE verified pairs to expand —
+    #    a thin (d1, d2) all-to-all, cheap next to the expansion it
+    #    can avoid (and unavoidable in general: the distinct-class
+    #    count is corpus-sized, so a driver-side unique would not
+    #    scale; see _candidate_ids_ref for the small-side variant).
+    verified = verified.materialize()
+
+    def decode_direct(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False) // 2
+        bb = b["b"].to_numpy(zero_copy_only=False) // 2
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(bb, pa.int64())})
+
+    decode_direct.__name__ = "decode_pair_ids"
+    if verified.count() == 0:
+        return verified.map_batches(decode_direct, batch_format="pyarrow")
     from ray.data.aggregate import Count
 
     n_docs = members.count()
     n_classes = (members.groupby(["d1", "d2"])
                  .aggregate(Count(alias_name="_n")).count())
     if n_classes == n_docs:
-        def decode_direct(b: pa.Table) -> pa.Table:
-            a = b["a"].to_numpy(zero_copy_only=False) // 2
-            bb = b["b"].to_numpy(zero_copy_only=False) // 2
-            return pa.table({"a": pa.array(a, pa.int64()),
-                             "b": pa.array(bb, pa.int64())})
-
-        decode_direct.__name__ = "decode_pair_ids"
         return verified.map_batches(decode_direct, batch_format="pyarrow")
 
     j1 = _bucket_expand_join(verified, members, ("a",), ("id",),

@@ -30,8 +30,11 @@ paths keep their EXACT shingle-set verification; choose the threshold
 margin accordingly when mixing the two.
 
 Writes are staged + atomically renamed (like IvfIndex.append):
-probes never see a half-written file, and a crashed append leaves
-only invisible temp files.
+probes never see a half-written file. Within one append task the
+SIGNATURE files land before the band files, so a crash between the
+two leaves orphan signatures (harmless — nothing routes to them)
+rather than band entries whose signature fetch would silently miss
+forever; a retried Ray task then re-writes both.
 """
 
 from __future__ import annotations
@@ -78,32 +81,10 @@ class _BandsAndSigs:
                 "bhash": pa.array([], pa.list_(pa.int64())),
                 "sig": pa.array([], pa.list_(pa.int64())),
             })
-        shingles = self.inner._shingle_hashes_batch(
+        # THE shared signature/band math (MinHashBands.signatures) —
+        # the persisted index and the batch paths can never drift
+        sigs, acc, _flat, _offsets = self.inner.signatures(
             batch[self.text_col].to_pylist())
-        from moonray.util import splitmix64
-
-        lens = np.array([len(s) for s in shingles], dtype=np.int64)
-        flat = np.concatenate(shingles)
-        offsets = np.concatenate([[0], np.cumsum(lens)])
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        lo = 0
-        max_sh = max(1, MinHashBands._CHUNK_ELEMS // self.num_perm)
-        while lo < n:
-            hi = lo + 1
-            while hi < n and offsets[hi + 1] - offsets[lo] <= max_sh:
-                hi += 1
-            seg = flat[offsets[lo]:offsets[hi]]
-            m = splitmix64(seg[None, :] ^ self.inner.seeds[:, None])
-            cuts = offsets[lo:hi] - offsets[lo]
-            sigs[lo:hi] = np.minimum.reduceat(m, cuts, axis=1).T
-            lo = hi
-        rpb = self.num_perm // self.bands
-        sig3 = sigs.reshape(n, self.bands, rpb)
-        acc = np.broadcast_to(
-            splitmix64(np.arange(1, self.bands + 1, dtype=np.uint64))[None, :],
-            (n, self.bands)).copy()
-        for j in range(rpb):
-            acc = splitmix64(acc ^ sig3[:, :, j])
         return pa.table({
             "id": pa.array(ids, pa.int64()),
             "bhash": pa.array(list(acc.view(np.int64)),
@@ -123,6 +104,40 @@ def _write_sorted(path_dir: str, t: pa.Table, sort_col: str,
                                  f"part-{uuid.uuid4().hex}.parquet"))
 
 
+class _IndexWriter:
+    """map_batches stage: (id, bhash, sig) rows → index part files as
+    a side effect, tiny count row out (the FragmentWriter shape).
+    Signature files are written BEFORE band files — see append."""
+
+    def __init__(self, root: str, bands: int, sig_buckets: int):
+        self.root = root
+        self.bands = bands
+        self.sig_buckets = sig_buckets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from moonray.util import cap_kernel_threads, splitmix64
+
+        cap_kernel_threads()
+        if len(t) == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        bkt = (splitmix64(ids.astype(np.uint64))
+               % np.uint64(self.sig_buckets)).astype(np.int64)
+        for k in np.unique(bkt):
+            sel = np.flatnonzero(bkt == k)
+            _write_sorted(_sig_dir(self.root, int(k)), pa.table({
+                "id": pa.array(ids[sel], pa.int64()),
+                "sig": t["sig"].take(pa.array(sel)),
+            }), "id")
+        bh = np.stack([np.asarray(x) for x in t["bhash"].to_pylist()])
+        for b in range(self.bands):
+            _write_sorted(_band_dir(self.root, b), pa.table({
+                "bhash": pa.array(bh[:, b], pa.int64()),
+                "id": pa.array(ids, pa.int64()),
+            }), "bhash")
+        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+
 class LshIndex:
     def __init__(self, root: str):
         self.root = root
@@ -132,45 +147,25 @@ class LshIndex:
     # ------------------------------------------------------ append
     def append(self, ds, *, text_col: str = "text",
                id_col: str = "doc_id") -> int:
-        """Index a new batch of documents: per-band sorted hash files +
-        per-bucket sorted signature files, each written staged →
-        renamed (probes never see partial files). Returns docs added."""
+        """Index a new batch of documents, fully DISTRIBUTED (one
+        map_batches pipeline, like IvfIndex.append — the corpus never
+        funnels through the driver): per-band sorted hash files +
+        per-bucket sorted signature files, each staged → renamed so
+        probes never see partial files. SIGNATURES LAND FIRST — a
+        crash between the two writes must leave orphan signatures
+        (harmless) rather than band entries whose sig fetch silently
+        misses forever. Returns docs added. Many appends mean many
+        small part files per band; compact by rebuilding the index
+        (build into a fresh root) when probe footers dominate."""
         m = self.meta
-        rows = ds.map_batches(
+        writer = _IndexWriter(self.root, m["bands"], m["sig_buckets"])
+        rows = (ds.map_batches(
             as_fn(_BandsAndSigs(text_col, id_col, m["num_perm"],
                                 m["bands"]), "bands_and_sigs"),
             batch_format="pyarrow")
-        import ray
-
-        root, bands, P = self.root, m["bands"], m["sig_buckets"]
-
-        @ray.remote
-        def write_batch(t: pa.Table) -> int:
-            from moonray.util import cap_kernel_threads, splitmix64
-
-            cap_kernel_threads()
-            if len(t) == 0:
-                return 0
-            ids = t["id"].to_numpy(zero_copy_only=False)
-            bh = np.stack([np.asarray(x) for x in t["bhash"].to_pylist()])
-            for b in range(bands):
-                _write_sorted(_band_dir(root, b), pa.table({
-                    "bhash": pa.array(bh[:, b], pa.int64()),
-                    "id": pa.array(ids, pa.int64()),
-                }), "bhash")
-            bkt = (splitmix64(ids.astype(np.uint64))
-                   % np.uint64(P)).astype(np.int64)
-            for k in np.unique(bkt):
-                sel = np.flatnonzero(bkt == k)
-                _write_sorted(_sig_dir(root, int(k)), pa.table({
-                    "id": pa.array(ids[sel], pa.int64()),
-                    "sig": t["sig"].take(pa.array(sel)),
-                }), "id")
-            return len(t)
-
-        out = [write_batch.remote(b) for b in
-               rows.iter_batches(batch_format="pyarrow", batch_size=8192)]
-        return int(sum(ray.get(out)))
+            .map_batches(as_fn(writer, "lsh_index_writer"),
+                         batch_format="pyarrow", batch_size=8192))
+        return int(sum(r["rows"] for r in rows.take_all()))
 
     # ------------------------------------------------------- probe
     def _probe_band_files(self, b: int, probe_sorted: np.ndarray
@@ -237,12 +232,17 @@ class LshIndex:
                              "est_jaccard": pa.array([], pa.float64())})
 
         idx = self
+        # the probe set ships ONCE (ray.put), not once per band task —
+        # the single-put broadcast doctrine (see functions/knn.py)
+        new_bh_ref = ray.put(new_bh)
 
         @ray.remote
         def probe_band(b: int, probe_pairs) -> list[tuple[int, int]]:
             from moonray.util import cap_kernel_threads
 
             cap_kernel_threads()
+            # probe_pairs arrives auto-dereferenced from the ONE
+            # ray.put'd copy all band tasks share
             # probe_pairs: (new ids, their hash in THIS band)
             nids = np.concatenate([p[0] for p in probe_pairs])
             nh = np.concatenate([p[1][:, b] for p in probe_pairs])
@@ -257,7 +257,7 @@ class LshIndex:
                         cands.append((int(nids_s[p]), int(mid[j])))
             return cands
 
-        cand_lists = ray.get([probe_band.remote(b, new_bh)
+        cand_lists = ray.get([probe_band.remote(b, new_bh_ref)
                               for b in range(m["bands"])])
         cands = sorted({c for lst in cand_lists for c in lst})
         if not cands:
@@ -319,9 +319,19 @@ def build_lsh_index(ds, root: str, *, text_col: str = "text",
                     id_col: str = "doc_id", num_perm: int = 64,
                     bands: int = 16, sig_buckets: int = 32) -> "LshIndex":
     """Create the layout and index ``ds``. One meta.json + the first
-    append; further batches go through ``LshIndex.append``."""
+    append; further batches go through ``LshIndex.append``. Refuses a
+    non-empty root: stale part files from a previous build (possibly
+    under different num_perm/bands, or over a corpus since edited)
+    would silently mix into probes — rebuild into a FRESH root."""
     assert num_perm % bands == 0
     os.makedirs(root, exist_ok=True)
+    existing = [f for f in os.listdir(root) if not f.startswith(".")]
+    if existing:
+        raise ValueError(
+            f"refusing to build an LSH index into non-empty {root!r} "
+            f"(found {sorted(existing)[:3]}...): stale band/signature "
+            "files would mix into probes — use a fresh directory, or "
+            "LshIndex(root).append(...) to extend the existing index")
     meta = {"num_perm": num_perm, "bands": bands,
             "sig_buckets": sig_buckets, "version": 1}
     tmp = os.path.join(root, ".meta.tmp")

@@ -92,11 +92,21 @@ def _topk_reduce(rows, q_ids, k: int, exclude_self: bool) -> pa.Table:
 
 def knn_cosine(ds, queries: list[tuple[int, np.ndarray]], *, k: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               exclude_self: bool = True, concurrency=None) -> pa.Table:
+               exclude_self: bool = True, concurrency=None,
+               force: bool = False) -> pa.Table:
     """Exact cosine top-k of each query over the Dataset (brute-force
     baseline). Returns an arrow table (qid, nid, rank)."""
     import ray
 
+    if not force and len(queries) > 100_000:
+        # corpus side streams (per-batch matmul + algebraic top-k
+        # reduce), but every batch multiplies against ALL queries —
+        # O(corpus × queries). Route big query sets through
+        # knn_cosine_ivf / ann_join instead.
+        raise ValueError(
+            f"knn_cosine is the brute-force baseline and got "
+            f"{len(queries)} queries (> 100000). Use knn_cosine_ivf / "
+            "ann_join at scale, or pass force=True.")
     q_ids, q_mat = _normalize_queries(queries)
     q_ref = ray.put((q_ids, q_mat))
     kk = k + (1 if exclude_self else 0)

@@ -72,25 +72,36 @@ class _BandsAndSigs:
         self.text_col = text_col
         self.id_col = id_col
 
+    @staticmethod
+    def _list_col(mat: np.ndarray, width: int) -> pa.Array:
+        # (n, width) uint64 → list<int64> straight from the flat
+        # buffer (FixedSizeListArray view + vectorized offsets cast) —
+        # the per-row list(mat.view(...)) form allocated ~width Python
+        # objects per doc on the 100 TB build path. Cast to the
+        # variable-width list type so index files stay byte-identical
+        # to the pre-vectorization layout.
+        flat = pa.array(np.ascontiguousarray(mat).reshape(-1).view(np.int64))
+        return pa.FixedSizeListArray.from_arrays(flat, width) \
+            .cast(pa.list_(pa.int64()))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        n = len(ids)
+        n = len(batch)
         if n == 0:
             return pa.table({
                 "id": pa.array([], pa.int64()),
                 "bhash": pa.array([], pa.list_(pa.int64())),
                 "sig": pa.array([], pa.list_(pa.int64())),
             })
+        ids = batch[self.id_col].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
         # THE shared signature/band math (MinHashBands.signatures) —
         # the persisted index and the batch paths can never drift
         sigs, acc, _flat, _offsets = self.inner.signatures(
             batch[self.text_col].to_pylist())
         return pa.table({
             "id": pa.array(ids, pa.int64()),
-            "bhash": pa.array(list(acc.view(np.int64)),
-                              pa.list_(pa.int64())),
-            "sig": pa.array(list(sigs.view(np.int64)),
-                            pa.list_(pa.int64())),
+            "bhash": self._list_col(acc, self.bands),
+            "sig": self._list_col(sigs, self.num_perm),
         })
 
 
@@ -129,7 +140,8 @@ class _IndexWriter:
                 "id": pa.array(ids[sel], pa.int64()),
                 "sig": t["sig"].take(pa.array(sel)),
             }), "id")
-        bh = np.stack([np.asarray(x) for x in t["bhash"].to_pylist()])
+        bha = t["bhash"].combine_chunks()
+        bh = np.asarray(bha.flatten()).reshape(len(t), self.bands)
         for b in range(self.bands):
             _write_sorted(_band_dir(self.root, b), pa.table({
                 "bhash": pa.array(bh[:, b], pa.int64()),

@@ -81,9 +81,11 @@ def _log_path(dest: str, v: int) -> str:
 
 
 def _read_log_state(dest: str, up_to: int | None = None
-                    ) -> tuple[int, dict[str, dict], str | None]:
+                    ) -> tuple[int, dict[str, dict], str | None,
+                               dict | None]:
     """Replay the existing _delta_log → (next log version,
-    {data path: its add-action tags}, last logged schemaString).
+    {data path: its add-action tags}, last logged schemaString,
+    last logged protocol action).
     ``up_to``: stop AFTER commit ``up_to`` (Delta versionAsOf time
     travel — raises if that commit doesn't exist)."""
     if up_to is not None and not os.path.exists(_log_path(dest, up_to)):
@@ -92,6 +94,7 @@ def _read_log_state(dest: str, up_to: int | None = None
     active: dict[str, dict] = {}
     v = 0
     schema_str = None
+    protocol = None
     while os.path.exists(_log_path(dest, v)) \
             and (up_to is None or v <= up_to):
         with open(_log_path(dest, v)) as f:
@@ -103,8 +106,38 @@ def _read_log_state(dest: str, up_to: int | None = None
                     active.pop(a["remove"]["path"], None)
                 elif "metaData" in a:
                     schema_str = a["metaData"]["schemaString"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
         v += 1
-    return v, active, schema_str
+    return v, active, schema_str, protocol
+
+
+def _needed_protocol(schema_str: str) -> dict:
+    """The minimum Delta protocol for this schema. timestampNtz is a
+    table feature (Delta spec: gated behind reader 3 / writer 7 with
+    explicit readerFeatures/writerFeatures entries) — a (1,2) log that
+    ships an NTZ column is rejected by spec-compliant engines. When
+    upgrading to the features protocol, writerFeatures must also carry
+    the features implied by the legacy writer version 2
+    (appendOnly, invariants) per the table-features upgrade rule."""
+    if '"timestampNtz"' in schema_str:
+        return {"minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["appendOnly", "invariants",
+                                   "timestampNtz"]}
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _protocol_satisfies(logged: dict | None, needed: dict) -> bool:
+    if logged is None:
+        return False
+    if logged.get("minReaderVersion", 0) < needed["minReaderVersion"] \
+            or logged.get("minWriterVersion", 0) < needed["minWriterVersion"]:
+        return False
+    return (set(needed.get("readerFeatures", []))
+            <= set(logged.get("readerFeatures", []))
+            and set(needed.get("writerFeatures", []))
+            <= set(logged.get("writerFeatures", [])))
 
 
 def _export_name(frag: dict, schema_str: str) -> str:
@@ -129,7 +162,7 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
 
     m = table.manifest(version)
     os.makedirs(os.path.join(dest, "_delta_log"), exist_ok=True)
-    next_v, active, logged_schema = _read_log_state(dest)
+    next_v, active, logged_schema, logged_protocol = _read_log_state(dest)
 
     # the SNAPSHOT's schema (not the latest) — a pinned-version export
     # must ship the shape that version actually had
@@ -142,7 +175,10 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
     to_add = [f for name, f in wanted.items() if name not in active]
     to_remove = sorted(set(active) - set(wanted))
     schema_changed = logged_schema is not None and logged_schema != schema_str
-    if next_v > 0 and not to_add and not to_remove and not schema_changed:
+    protocol = _needed_protocol(schema_str)
+    protocol_upgrade = not _protocol_satisfies(logged_protocol, protocol)
+    if next_v > 0 and not to_add and not to_remove and not schema_changed \
+            and not protocol_upgrade:
         return next_v - 1  # unchanged snapshot → no empty commit
 
     root = table.root
@@ -208,9 +244,11 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
 
     now_ms = int(time.time() * 1000)
     actions = []
-    if next_v == 0:
-        actions.append({"protocol": {"minReaderVersion": 1,
-                                     "minWriterVersion": 2}})
+    if next_v == 0 or protocol_upgrade:
+        # first commit, or an ALTER introduced a type that needs a
+        # higher protocol (e.g. a new naive-timestamp column on a
+        # (1,2) table) — protocol actions only ever ratchet up
+        actions.append({"protocol": protocol})
     if next_v == 0 or schema_changed:
         # ALTER TABLE → re-emit metaData (Delta metadata-update action);
         # every pre-ALTER file also re-exports (schema is part of the
@@ -255,7 +293,7 @@ def export_delta(table, dest: str, *, version: int | None = None) -> int:
 def read_delta_paths(dest: str) -> list[str]:
     """The active data files of the Delta table (log replay) — what a
     Delta reader would scan."""
-    _, active, _ = _read_log_state(dest)
+    _, active, _, _ = _read_log_state(dest)
     return [os.path.join(dest, p) for p in sorted(active)]
 
 
@@ -302,7 +340,7 @@ def read_delta_dataset(dest: str, *, columns=None, ranges=None,
     (the Iceberg reader's ``snapshot_id=`` analogue)."""
     import ray.data
 
-    _, active, schema_str = _read_log_state(dest, up_to=version)
+    _, active, schema_str, _ = _read_log_state(dest, up_to=version)
     if schema_str is None:
         raise FileNotFoundError(f"no Delta table at {dest}")
     keep = sorted(active)
@@ -343,7 +381,7 @@ def vacuum_delta(dest: str) -> dict:
     retention window needed: the one writer is the only committer, and
     readers of a pinned older log version re-export rather than rely on
     removed files). The log itself is never touched."""
-    _, active, schema_str = _read_log_state(dest)
+    _, active, schema_str, _ = _read_log_state(dest)
     if schema_str is None:
         raise FileNotFoundError(f"no Delta table at {dest}")
     removed = 0

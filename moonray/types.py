@@ -63,14 +63,21 @@ def _is_binary_like(t: pa.DataType) -> bool:
             or pa.types.is_fixed_size_binary(t))
 
 
+_ONE_US = _dt.timedelta(microseconds=1)
+
+
 def _ts_to_us(v, t: pa.DataType) -> int:
+    # exact integer µs via timedelta floor-division — float
+    # total_seconds() loses ±1 µs above ~2^53 µs (year ~2255 /
+    # large pre-1970 negatives), enough to mis-prune a fragment
+    # whose zone boundary equals the true bound
     if isinstance(v, (int,)):
         return int(v)
     if isinstance(v, str):
         v = _dt.datetime.fromisoformat(v)
     if v.tzinfo is not None:
-        return round((v - _EPOCH_DT_UTC).total_seconds() * 1_000_000)
-    return round((v - _EPOCH_DT).total_seconds() * 1_000_000)
+        return (v - _EPOCH_DT_UTC) // _ONE_US
+    return (v - _EPOCH_DT) // _ONE_US
 
 
 def zone_encode_value(v, t: pa.DataType):
@@ -231,7 +238,10 @@ def coerce_value(v, t: pa.DataType):
         return {f.name: coerce_value(v.get(f.name), f.type) for f in t}
     if pa.types.is_map(t):
         items = v.items() if isinstance(v, dict) else v
-        return [(k, coerce_value(x, t.item_type)) for k, x in items]
+        # keys coerce too: map<date32,...> / map<binary,...> arrive
+        # from the JSON/Avro converters as strings just like values
+        return [(coerce_value(k, t.key_type),
+                 coerce_value(x, t.item_type)) for k, x in items]
     return v
 
 
@@ -248,7 +258,7 @@ def needs_coercion(t: pa.DataType) -> bool:
     if pa.types.is_struct(t):
         return any(needs_coercion(f.type) for f in t)
     if pa.types.is_map(t):
-        return needs_coercion(t.item_type)
+        return needs_coercion(t.key_type) or needs_coercion(t.item_type)
     return False
 
 
@@ -269,11 +279,17 @@ def unscaled_to_decimal(unscaled, precision: int, scale: int) -> pa.Array:
 def decimal_to_unscaled(col) -> "object":
     """decimal128 column → int64 unscaled values (numpy), the inverse
     of unscaled_to_decimal for |values| < 2^63 — raises on overflow
-    rather than wrapping."""
+    rather than wrapping. Raises on nulls: a null slot's storage is
+    arbitrary bytes, so decoding it would yield a garbage int — the
+    caller must fill/drop nulls first (Arrow has no int64 NaN)."""
     import numpy as np
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            "decimal_to_unscaled: column has nulls; null slots decode "
+            "as arbitrary ints — fill or drop them first")
     n = len(col)
     raw = np.frombuffer(col.buffers()[1], "<i8",
                         count=2 * (col.offset + n))[2 * col.offset:]

@@ -33,7 +33,14 @@ try:  # vectorized string hashing
 except ImportError:  # pragma: no cover
     _HAS_POLARS = False
 
-HASH_IMPL = "splitmix64+polars0" if _HAS_POLARS else "splitmix64+blake2b8"
+# The "+temporal1" suffix records the canonical temporal hash lane
+# (date/time/timestamp keys hash via temporal_storage_int → splitmix64
+# instead of polars' string/physical lane). Tables persisted under an
+# older HASH_IMPL would probe indexes with a different hash — the
+# manifest guard (manifest.load_manifest) rejects them loudly rather
+# than misrouting lookups or silently dropping bloom-pruned fragments.
+HASH_IMPL = ("splitmix64+polars0+temporal1" if _HAS_POLARS
+             else "splitmix64+blake2b8+temporal1")
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:

@@ -196,7 +196,7 @@ def test_delta_stats_and_ranges_pruned_read(tmp_path):
     dest = str(tmp_path / "delta6")
     export_delta(t, dest)
 
-    _, active, _ = _read_log_state(dest)
+    _, active, _, _ = _read_log_state(dest)
     stats = [_json.loads(a["stats"]) for a in active.values()]
     assert all("minValues" in s and "maxValues" in s for s in stats)
     assert min(s["minValues"]["score"] for s in stats) == 0.0

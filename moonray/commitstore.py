@@ -225,6 +225,13 @@ class S3CommitStore:  # pragma: no cover - no object store in this sandbox
 def store_for(root: str):
     if root.startswith("mock://"):
         return MockCommitStore(root)
+    if root.startswith("s3test://"):
+        # the S3 conditional-write protocol over real HTTP (s3http.py)
+        # — the tested implementation of the contract S3CommitStore
+        # documents; real s3:// only needs SigV4 transport on top
+        from moonray.s3http import S3HttpCommitStore
+
+        return S3HttpCommitStore(root)
     if root.startswith(("s3://", "gs://", "abfs://")):
         return S3CommitStore(root)
     return LocalCommitStore(root)

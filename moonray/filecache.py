@@ -124,7 +124,14 @@ def _s3_fetch(root: str, rel: str, dst: str) -> None:  # pragma: no cover
         "to deploy.")
 
 
-_FETCHERS = {"mock": _mock_fetch, "s3": _s3_fetch}
+def _s3test_fetch(root: str, rel: str, dst: str) -> None:
+    from moonray.s3http import s3test_fetch
+
+    s3test_fetch(root, rel, dst)
+
+
+_FETCHERS = {"mock": _mock_fetch, "s3": _s3_fetch,
+             "s3test": _s3test_fetch}
 
 
 def register_fetcher(scheme: str, fn) -> None:

@@ -165,6 +165,82 @@ class _SqliteRegistry:
         return json.loads(row[0])
 
 
+class _EntryRegistry:
+    """Glue-catalog-shaped registry (reference glue_catalog.rs:1-317):
+    ONE registry object per table behind per-entry catalog calls —
+    ``catalog/<name>.json`` through the commit store — instead of a
+    whole-registry file or a local database. Create is a conditional
+    object create (put_if_absent → the Glue AlreadyExistsException
+    semantics, serialized server-side even across racing drivers);
+    list/get are per-entry reads; delete is a per-entry delete.
+    Works on any commit-store scheme — mock:// and the real-HTTP
+    s3test:// object server in tests, the documented S3 conditional
+    writes in production. ``mutate`` is read-modify-write on the one
+    entry (per-table metadata follows the table's single-writer rule;
+    CREATE races are what the conditional create must serialize)."""
+
+    PREFIX = "catalog"
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+
+    def _store(self):
+        from moonray.commitstore import store_for
+
+        return store_for(self.warehouse)
+
+    def _rel(self, name: str) -> str:
+        if "/" in name or "\\" in name:
+            raise ValueError(f"invalid table name {name!r}")
+        return f"{self.PREFIX}/{name}.json"
+
+    def entries(self) -> dict:
+        st = self._store()
+        out = {}
+        for rel in st.list(self.PREFIX):
+            fn = os.path.basename(rel)
+            if fn.endswith(".json"):
+                out[fn[:-5]] = json.loads(st.read(rel))
+        return out
+
+    def insert(self, name: str, entry: dict) -> None:
+        from moonray.commitstore import CommitConflict
+
+        try:
+            self._store().put_if_absent(
+                self._rel(name),
+                json.dumps(entry, sort_keys=True).encode())
+        except CommitConflict:
+            raise ValueError(f"table {name!r} already exists") from None
+
+    def _get(self, name: str) -> dict:
+        try:
+            return json.loads(self._store().read(self._rel(name)))
+        except FileNotFoundError:
+            raise KeyError(f"no such table {name!r}") from None
+
+    def mutate(self, name: str, fn) -> None:
+        entry = fn(self._get(name))
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            f.write(json.dumps(entry, sort_keys=True))
+            tmp = f.name
+        try:
+            self._store().put(self._rel(name), tmp)
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def delete(self, name: str) -> dict:
+        entry = self._get(name)
+        self._store().delete(self._rel(name))
+        return entry
+
+
 class MoonrayCatalog:
     """A warehouse may live on a local filesystem OR an object store
     (``scheme://`` — mock:// in tests, the documented S3 mapping in
@@ -172,7 +248,9 @@ class MoonrayCatalog:
     backend, table roots are ``<warehouse>/<name>`` on the same scheme,
     and drop deletes the table's objects by prefix. The json backend
     assumes one catalog writer per warehouse; the sqlite backend allows
-    concurrent writers."""
+    concurrent writers on a shared filesystem; the ``entry`` backend
+    (per-table registry objects, conditional create — the Glue shape)
+    allows concurrent CREATE racers on any commit-store scheme."""
 
     def __init__(self, warehouse: str, backend: str | None = None):
         from moonray.filecache import is_remote
@@ -182,8 +260,13 @@ class MoonrayCatalog:
         if not self._remote:
             os.makedirs(warehouse, exist_ok=True)
         if backend is None:
-            backend = ("sqlite" if not self._remote and os.path.exists(
-                os.path.join(warehouse, _SqliteRegistry.FILE)) else "json")
+            if not self._remote and os.path.exists(
+                    os.path.join(warehouse, _SqliteRegistry.FILE)):
+                backend = "sqlite"
+            elif self._detect_entry_registry():
+                backend = "entry"
+            else:
+                backend = "json"
         if backend == "sqlite":
             if self._remote:
                 raise ValueError("sqlite catalog backend requires a local "
@@ -191,9 +274,27 @@ class MoonrayCatalog:
             self._reg = _SqliteRegistry(warehouse)
         elif backend == "json":
             self._reg = _JsonRegistry(warehouse, self._remote)
+        elif backend == "entry":
+            self._reg = _EntryRegistry(warehouse)
         else:
             raise ValueError(f"unknown catalog backend {backend!r}")
         self.backend = backend
+
+    def _detect_entry_registry(self) -> bool:
+        """backend=None auto-detect of the per-entry (Glue-shaped)
+        registry: a populated ``catalog/`` prefix with no whole-file
+        registry present."""
+        if not self._remote:
+            d = os.path.join(self.warehouse, _EntryRegistry.PREFIX)
+            return (not os.path.exists(
+                os.path.join(self.warehouse, "tables.json"))
+                and os.path.isdir(d)
+                and any(f.endswith(".json") for f in os.listdir(d)))
+        from moonray.commitstore import store_for
+
+        st = store_for(self.warehouse)
+        return (not st.exists("tables.json")
+                and bool(st.list(_EntryRegistry.PREFIX)))
 
     # ---------------- operations ----------------
     def create_table(self, name: str, *, schema: pa.Schema,

@@ -238,6 +238,11 @@ def main(argv=None) -> int:
     sp.add_argument("--idle-exit", type=int, default=None,
                     help="with --follow: exit after N consecutive "
                          "empty drains (default: run forever)")
+    sp.add_argument("--codec", choices=("jsonl", "pgoutput"),
+                    default="jsonl",
+                    help="tcp:// wire codec: newline JSON events or "
+                         "the pgoutput binary message set "
+                         "(CopyData/XLogData/StandbyStatusUpdate)")
 
     sp = sub.add_parser("vacuum")
     tbl(sp)
@@ -312,7 +317,8 @@ def main(argv=None) -> int:
             from moonray.sources.cdc_socket import replicate_socket
 
             applied = replicate_socket(args.wire, tables, args.state,
-                                       idle_exit=args.idle_exit)
+                                       idle_exit=args.idle_exit,
+                                       codec=args.codec)
         elif args.follow:
             applied = replicate_follow(
                 args.wire, tables, args.state,

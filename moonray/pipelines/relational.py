@@ -258,14 +258,21 @@ def branch_publish_merge(sf_dir: str):
     return t.scan()
 
 
-def cdc_wire_replication(sf_dir: str, tx_size: int = 1000):
-    """CDC-in through the file-tailing wire connector
-    (moonray/sources/cdc_tail.py — the reference postgres_source.rs
-    event grammar over a JSONL file): the orders-derived change set is
-    written to the wire as Relation + Begin/DML/Commit transactions of
-    ``tx_size`` events, tailed back, and applied transaction-by-
-    transaction. Final state must equal the one-shot MERGE
-    (the merge_upsert SQL oracle)."""
+def cdc_wire_replication(sf_dir: str, tx_size: int = 1000,
+                         codec: str = "pgoutput"):
+    """CDC-in through the replication wire: the orders-derived change
+    set is written to the wire as Relation + Begin/DML/Commit
+    transactions of ``tx_size`` events and applied transaction-by-
+    transaction. Final state must equal the one-shot MERGE (the
+    merge_upsert SQL oracle).
+
+    ``codec="pgoutput"`` (default) runs the ACTUAL pgoutput binary
+    message set in CopyData frames (sources/pgoutput.py — the format
+    the reference's connector decodes, postgres_source.rs);
+    ``codec="jsonl"`` keeps the JSONL file wire
+    (sources/cdc_tail.py). Both feed CdcTail.consume_events, both
+    keep the torn-tail crash property, and both produce identical
+    output."""
     import json
 
     from moonray.sources.cdc_tail import CdcTail
@@ -275,34 +282,50 @@ def cdc_wire_replication(sf_dir: str, tx_size: int = 1000):
     ch = pa.concat_tables(list(_changes_dataset(sf_dir).iter_batches(
         batch_format="pyarrow", batch_size=65536))).combine_chunks()
     ch = ch.sort_by([("lsn", "ascending")])
-    log = os.path.join(scratch_root("moonray-cdcwire-"), "wire.jsonl")
+    log = os.path.join(scratch_root("moonray-cdcwire-"), f"wire.{codec}")
     cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
             "c_mktsegment"]
     kinds = {"I": "insert", "U": "update", "D": "delete"}
-    with open(log, "w") as f:
-        f.write(json.dumps({
-            "event": "relation", "rel_id": 1, "table": "customer",
-            "columns": [["c_custkey", "int64"], ["c_name", "string"],
-                        ["c_nationkey", "int32"], ["c_acctbal", "float64"],
-                        ["c_mktsegment", "string"]],
-            "key_cols": ["c_custkey"]}) + "\n")
-        ops = ch["op"].to_pylist()
-        lsns = ch["lsn"].to_pylist()
-        vals = [ch[c].to_pylist() for c in cols]
-        n = len(ops)
+    ops = ch["op"].to_pylist()
+    lsns = ch["lsn"].to_pylist()
+    vals = [ch[c].to_pylist() for c in cols]
+    n = len(ops)
+
+    def events():
+        yield {"event": "relation", "rel_id": 1, "table": "customer",
+               "columns": [["c_custkey", "int64"], ["c_name", "string"],
+                           ["c_nationkey", "int32"],
+                           ["c_acctbal", "float64"],
+                           ["c_mktsegment", "string"]],
+               "key_cols": ["c_custkey"]}
         for s in range(0, n, tx_size):
             e = min(s + tx_size, n)
-            xid = s // tx_size + 1
-            f.write(json.dumps({"event": "begin", "xid": xid}) + "\n")
+            yield {"event": "begin", "xid": s // tx_size + 1}
             for i in range(s, e):
-                f.write(json.dumps({
-                    "event": kinds[ops[i]], "rel_id": 1,
-                    "values": [v[i] for v in vals],
-                    "lsn": lsns[i]}) + "\n")
-            f.write(json.dumps({"event": "commit", "xid": xid,
-                                "end_lsn": lsns[e - 1]}) + "\n")
-    tail = CdcTail(log)
-    tail.run_until_idle({"customer": t})
+                yield {"event": kinds[ops[i]], "rel_id": 1,
+                       "values": [v[i] for v in vals], "lsn": lsns[i]}
+            yield {"event": "commit", "xid": s // tx_size + 1,
+                   "end_lsn": lsns[e - 1]}
+
+    if codec == "jsonl":
+        with open(log, "w") as f:
+            for ev in events():
+                f.write(json.dumps(ev) + "\n")
+        tail = CdcTail(log)
+        tail.run_until_idle({"customer": t})
+    else:
+        from moonray.sources.pgoutput import PgWireDecoder, PgWireEncoder
+
+        enc = PgWireEncoder()
+        with open(log, "wb") as f:
+            for ev in events():
+                f.write(enc.encode(ev))
+        tail = CdcTail(path="")
+        dec = PgWireDecoder()
+        with open(log, "rb") as f:
+            while chunk := f.read(1 << 20):
+                for tx in tail.consume_events(dec.feed(chunk)):
+                    tail.apply(tx, {"customer": t})
     return t.scan()
 
 

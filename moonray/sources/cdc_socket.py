@@ -65,16 +65,29 @@ def _save_state(state_path: str, flush_lsn: int, tail: CdcTail) -> None:
 def replicate_socket(url: str, tables: dict[str, object], state_path: str,
                      *, stop=None, idle_exit: int | None = None,
                      recv_timeout: float = 0.5,
-                     reconnect_delay: float = 0.2) -> dict:
+                     reconnect_delay: float = 0.2,
+                     codec: str = "jsonl") -> dict:
     """Consume the replication stream at ``url`` (``tcp://host:port``)
     into the destination tables. Resumes from the checkpoint file's
     confirmed-flush LSN; acks after every applied commit; answers
     reply-requested keepalives; reconnects on drops. Exit when
     ``stop()`` is true or after ``idle_exit`` consecutive idle recv
     windows (None = run until stopped). Returns cumulative
-    {table: rows_applied}."""
+    {table: rows_applied}.
+
+    ``codec``: ``"jsonl"`` (newline JSON events) or ``"pgoutput"``
+    (the real binary message set in CopyData frames with XLogData /
+    keepalive envelopes and StandbyStatusUpdate acks — see
+    sources/pgoutput.py). The JSON start_replication handshake line
+    stands in for the START_REPLICATION command in both."""
     if not url.startswith("tcp://"):
         raise ValueError(f"socket wire url must be tcp://host:port, got {url!r}")
+    if codec not in ("jsonl", "pgoutput"):
+        raise ValueError(f"unknown wire codec {codec!r}")
+    use_pg = codec == "pgoutput"
+    if use_pg:
+        from moonray.sources.pgoutput import (PgWireDecoder,
+                                              status_update_frame)
     host, port_s = url[6:].rsplit(":", 1)
     port = int(port_s)
     flush_lsn, rels = _load_state(state_path)
@@ -88,9 +101,12 @@ def replicate_socket(url: str, tables: dict[str, object], state_path: str,
     idle = 0
 
     def _ack(sock, lsn: int) -> None:
-        sock.sendall((json.dumps(
-            {"msg": "status_update", "write_lsn": lsn,
-             "flush_lsn": lsn, "apply_lsn": lsn}) + "\n").encode())
+        if use_pg:
+            sock.sendall(status_update_frame(lsn, lsn, lsn))
+        else:
+            sock.sendall((json.dumps(
+                {"msg": "status_update", "write_lsn": lsn,
+                 "flush_lsn": lsn, "apply_lsn": lsn}) + "\n").encode())
 
     while not (stop is not None and stop()):
         try:
@@ -105,9 +121,10 @@ def replicate_socket(url: str, tables: dict[str, object], state_path: str,
         try:
             sock.settimeout(recv_timeout)
             sock.sendall((json.dumps(
-                {"msg": "start_replication", "lsn": flush_lsn})
-                + "\n").encode())
+                {"msg": "start_replication", "lsn": flush_lsn,
+                 "codec": codec}) + "\n").encode())
             buf = b""
+            decoder = PgWireDecoder() if use_pg else None
             while not (stop is not None and stop()):
                 try:
                     data = sock.recv(65536)
@@ -118,22 +135,35 @@ def replicate_socket(url: str, tables: dict[str, object], state_path: str,
                     _ack(sock, flush_lsn)   # idle heartbeat
                     continue
                 if not data:
-                    break                    # server closed → reconnect
-                buf += data
-                cut = buf.rfind(b"\n")
-                if cut < 0:
-                    continue
-                lines, buf = buf[:cut].split(b"\n"), buf[cut + 1:]
+                    # server closed → reconnect; counts as an idle
+                    # window so a server that refuses this client
+                    # (e.g. codec mismatch) can't spin forever under
+                    # idle_exit — any applied tx resets the counter
+                    idle += 1
+                    break
                 stream, reply_wanted = [], False
-                for ln in lines:
-                    if not ln.strip():
+                if use_pg:
+                    # CopyData reassembly (torn frames stay buffered)
+                    for ev in decoder.feed(data):
+                        if ev.get("event") == "keepalive":
+                            reply_wanted |= bool(ev.get("reply"))
+                            continue
+                        stream.append(ev)
+                else:
+                    buf += data
+                    cut = buf.rfind(b"\n")
+                    if cut < 0:
                         continue
-                    ev = json.loads(ln)
-                    if ev.get("event") == "keepalive":
-                        reply_wanted |= bool(ev.get("reply"))
-                        continue
-                    stream.append(ln)
-                for tx in tail.consume_lines(stream):
+                    lines, buf = buf[:cut].split(b"\n"), buf[cut + 1:]
+                    for ln in lines:
+                        if not ln.strip():
+                            continue
+                        ev = json.loads(ln)
+                        if ev.get("event") == "keepalive":
+                            reply_wanted |= bool(ev.get("reply"))
+                            continue
+                        stream.append(ev)
+                for tx in tail.consume_events(stream):
                     if tx.end_lsn <= flush_lsn:
                         continue             # resend of an acked tx
                     idle = 0
@@ -154,6 +184,8 @@ def replicate_socket(url: str, tables: dict[str, object], state_path: str,
             sock.close()
         if stop is not None and stop():
             break
+        if idle_exit is not None and idle >= idle_exit:
+            break
         time.sleep(reconnect_delay)
     return total
 
@@ -167,12 +199,15 @@ class CdcWireServer:
     a replication slot, without Postgres."""
 
     def __init__(self, events: list[dict] | None = None, *,
-                 keepalive_every: int = 4):
+                 keepalive_every: int = 4, codec: str = "jsonl"):
+        if codec not in ("jsonl", "pgoutput"):
+            raise ValueError(f"unknown wire codec {codec!r}")
         self._events: list[dict] = list(events or [])
         self._lock = threading.Condition()
         self._closed = False
         self.confirmed_flush_lsn = 0
         self.keepalive_every = keepalive_every
+        self.codec = codec
         self._srv = socket.create_server(("127.0.0.1", 0))
         self._srv.settimeout(0.2)
         self.port = self._srv.getsockname()[1]
@@ -256,14 +291,44 @@ class CdcWireServer:
         start = json.loads(line)
         if start.get("msg") != "start_replication":
             raise ValueError("expected start_replication")
+        if start.get("codec", "jsonl") != self.codec:
+            raise ValueError(
+                f"client codec {start.get('codec')!r} != server codec "
+                f"{self.codec!r}")
+        use_pg = self.codec == "pgoutput"
+        if use_pg:
+            from moonray.sources.pgoutput import (PgWireDecoder,
+                                                  PgWireEncoder,
+                                                  keepalive_frame)
+            encoder = PgWireEncoder()
         with self._lock:
             lsn = max(int(start.get("lsn", 0)), self.confirmed_flush_lsn)
+
+        def _slot_advance(flush: int) -> None:
+            with self._lock:
+                self.confirmed_flush_lsn = max(
+                    self.confirmed_flush_lsn, flush)
 
         # ack reader: advance the slot from status updates
         def _read_acks(extra: bytes) -> None:
             nonlocal_buf = extra
             conn2 = conn
+            ack_dec = PgWireDecoder() if use_pg else None
             while True:
+                if use_pg:
+                    try:
+                        d = conn2.recv(4096)
+                    except socket.timeout:
+                        continue
+                    except OSError:
+                        return
+                    if not d:
+                        return
+                    for m in ack_dec.feed(nonlocal_buf + d):
+                        if m.get("msg") == "status_update":
+                            _slot_advance(int(m["flush_lsn"]))
+                    nonlocal_buf = b""
+                    continue
                 cut = nonlocal_buf.find(b"\n")
                 if cut >= 0:
                     ln, nonlocal_buf = (nonlocal_buf[:cut],
@@ -271,10 +336,7 @@ class CdcWireServer:
                     if ln.strip():
                         m = json.loads(ln)
                         if m.get("msg") == "status_update":
-                            with self._lock:
-                                self.confirmed_flush_lsn = max(
-                                    self.confirmed_flush_lsn,
-                                    int(m["flush_lsn"]))
+                            _slot_advance(int(m["flush_lsn"]))
                     continue
                 try:
                     d = conn2.recv(4096)
@@ -311,13 +373,19 @@ class CdcWireServer:
                         sent_rel_ids.add(rid)
                         out.append(r)
                 out.extend(block)
-                payload = "".join(json.dumps(e) + "\n" for e in out)
-                conn.sendall(payload.encode())
+                if use_pg:
+                    conn.sendall(b"".join(encoder.encode(e) for e in out))
+                else:
+                    conn.sendall("".join(
+                        json.dumps(e) + "\n" for e in out).encode())
                 progressed = True
                 if sent_blocks % self.keepalive_every == 0:
-                    conn.sendall((json.dumps(
-                        {"event": "keepalive", "wal_end": end_lsn,
-                         "reply": True}) + "\n").encode())
+                    if use_pg:
+                        conn.sendall(keepalive_frame(end_lsn, True))
+                    else:
+                        conn.sendall((json.dumps(
+                            {"event": "keepalive", "wal_end": end_lsn,
+                             "reply": True}) + "\n").encode())
             if not progressed:
                 # idle: a dead client must release the handler so the
                 # accept loop can serve a reconnect — the ack reader
@@ -329,9 +397,12 @@ class CdcWireServer:
                 if idle_ticks % 5 == 0:
                     with self._lock:
                         lsn_now = self.confirmed_flush_lsn
-                    conn.sendall((json.dumps(
-                        {"event": "keepalive", "wal_end": lsn_now,
-                         "reply": True}) + "\n").encode())
+                    if use_pg:
+                        conn.sendall(keepalive_frame(lsn_now, True))
+                    else:
+                        conn.sendall((json.dumps(
+                            {"event": "keepalive", "wal_end": lsn_now,
+                             "reply": True}) + "\n").encode())
                 with self._lock:
                     if self._closed:
                         return

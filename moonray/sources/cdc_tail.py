@@ -138,15 +138,19 @@ class CdcTail:
         return self.consume_lines(chunk.splitlines())
 
     def consume_lines(self, lines) -> list[CommittedTx]:
-        """The wire-agnostic framing core: feed complete event lines
-        (bytes or str), get back the transactions whose commit arrived,
-        in commit order. Both wires speak this grammar — the JSONL file
-        tail above and the TCP stream (sources/cdc_socket.py)."""
+        """JSONL entry point: parse complete event lines (bytes or
+        str) and delegate to consume_events."""
+        return self.consume_events(
+            json.loads(ln) for ln in lines if ln.strip())
+
+    def consume_events(self, events) -> list[CommittedTx]:
+        """The wire-agnostic framing core: feed event dicts, get back
+        the transactions whose commit arrived, in commit order. All
+        three wires speak this grammar — the JSONL file tail, the TCP
+        JSON stream (sources/cdc_socket.py) and the pgoutput binary
+        codec (sources/pgoutput.py)."""
         done: list[CommittedTx] = []
-        for ln in lines:
-            if not ln.strip():
-                continue
-            ev = json.loads(ln)
+        for ev in events:
             kind = ev.get("event")
             if kind == "relation":
                 self.relations[int(ev["rel_id"])] = Relation(

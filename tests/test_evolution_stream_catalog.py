@@ -137,7 +137,7 @@ def test_stream_xact_abort(tmp_path):
     assert t.latest_version() == 1
 
 
-@pytest.mark.parametrize("backend", ["json", "sqlite"])
+@pytest.mark.parametrize("backend", ["json", "sqlite", "entry"])
 def test_catalog_registry(tmp_path, backend):
     cat = MoonrayCatalog(str(tmp_path / "wh"), backend=backend)
     t = cat.create_table("events", key_col="id", schema=SCHEMA,

@@ -182,3 +182,60 @@ def test_concurrent_version_commit_serialized_by_http_store(server):
     assert sum(1 for s, _ in results if s == "ok") == 1
     winner = next(tag for s, tag in results if s == "ok")
     assert st.read("versions/v9.json") == winner
+
+
+def test_entry_catalog_over_http(server):
+    """The Glue-shaped per-entry catalog backend (one registry object
+    per table, conditional create) on the real-HTTP object store:
+    racing CREATEs of the same name get exactly one winner via
+    PutObject + If-None-Match, per-table meta round-trips, a fresh
+    MoonrayCatalog auto-detects the entry registry, and drop removes
+    the registry object plus the table's data prefix."""
+    from moonray.catalog import MoonrayCatalog
+
+    wh = server.root("cat-wh")
+    try:
+        cat = MoonrayCatalog(wh, backend="entry")
+        schema = pa.schema([("id", pa.int64()), ("v", pa.string())])
+        t = cat.create_table("docs", key_col="id", schema=schema,
+                             index_partitions=4, rows_per_fragment=32)
+        t.bulk_load(rd.from_arrow(pa.table({
+            "id": pa.array(range(30), pa.int64()),
+            "v": pa.array([f"v{i}" for i in range(30)], pa.string()),
+        })))
+        assert cat.table_exists("docs")
+        assert set(cat.list_tables()) == {"docs"}
+
+        wins = []
+
+        def race(_i):
+            try:
+                MoonrayCatalog(wh, backend="entry").create_table(
+                    "dup", key_col="id", schema=schema,
+                    index_partitions=4, rows_per_fragment=32)
+                wins.append(1)
+            except ValueError:
+                pass
+
+        threads = [threading.Thread(target=race, args=(i,))
+                   for i in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert len(wins) == 1
+
+        cat.set_table_meta("docs", "topic", "clicks")
+        reopened = MoonrayCatalog(wh)        # backend=None
+        assert reopened.backend == "entry"
+        assert reopened.get_table_meta("docs", "topic") == "clicks"
+        assert reopened.open_table("docs").scan().count() == 30
+
+        reopened.drop_table("dup")
+        reopened.drop_table("docs")
+        assert not MoonrayCatalog(wh, backend="entry").table_exists("docs")
+        st = S3HttpCommitStore(wh)
+        assert st.list("catalog") == []
+        assert st.list("docs") == []
+    finally:
+        shutil.rmtree(scratch_for(wh + "/docs"), ignore_errors=True)

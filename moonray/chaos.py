@@ -51,16 +51,15 @@ def config_for(root: str) -> dict | None:
     if c is not None or root in _CONFIGS:
         return c
     cfg = None
-    # mock:// roots resolve to a local dir (test double for S3) — read
-    # their CHAOS.json from it so the remote fetch plane is chaos-able
-    local = root[len("mock://"):] if root.startswith("mock://") else root
-    if "://" not in local:
-        p = os.path.join(local, "CHAOS.json")
-        try:
-            with open(p) as f:
-                cfg = json.load(f)
-        except (FileNotFoundError, NotADirectoryError, ValueError):
-            cfg = None
+    # mock:// roots resolve to a local dir (test double for S3); other
+    # remote schemes resolve to the shared scratch dir — so every
+    # remote plane (fetch, publish, commit) is chaos-able
+    p = os.path.join(_local_dir(root), "CHAOS.json")
+    try:
+        with open(p) as f:
+            cfg = json.load(f)
+    except (FileNotFoundError, NotADirectoryError, ValueError, OSError):
+        cfg = None
     _CONFIGS[root] = cfg
     return cfg
 
@@ -76,7 +75,17 @@ def _decide(cfg: dict, op: str, rel: str, prob_key: str) -> bool:
 
 
 def _local_dir(root: str) -> str:
-    return root[len("mock://"):] if root.startswith("mock://") else root
+    """Where a root's CHAOS.json + chaos.log live: mock:// resolves to
+    its backing dir; other remote schemes (e.g. the HTTP object store)
+    use the table's shared scratch dir — visible to every worker, the
+    same plane the shuffle run files ride."""
+    if root.startswith("mock://"):
+        return root[len("mock://"):]
+    if "://" in root:
+        from moonray.storage import scratch_for
+
+        return scratch_for(root)
+    return root
 
 
 def _log(root: str, line: str) -> None:

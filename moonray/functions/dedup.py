@@ -660,7 +660,7 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     verified_first, tested_ids = run_verify(cand)
     verified_parts = [verified_first]
     linked = uniq_col_ids(verified_first, ("a", "b"))
-    hubs = uniq_col_ids(cand, ("a",))
+    hubs = None     # computed lazily: only needed once a round fires
 
     # intra-run edge recovery (docstring): re-band the candidates that
     # failed every verification so far, prior hubs excluded — a fresh
@@ -668,8 +668,12 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     # emitted pair is genuinely new (its hub never served before), so
     # the rounds never re-test a pair.
     for _ in range(recover_rounds):
-        active = np.setdiff1d(np.setdiff1d(tested_ids, linked,
-                                           assume_unique=True), hubs)
+        unlinked = np.setdiff1d(tested_ids, linked, assume_unique=True)
+        if not len(unlinked):
+            break   # every candidate verified somewhere — no hubs scan
+        if hubs is None:
+            hubs = uniq_col_ids(cand, ("a",))
+        active = np.setdiff1d(unlinked, hubs)
         if not len(active):
             break
         active_ref = ray.put(active)

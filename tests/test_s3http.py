@@ -239,3 +239,34 @@ def test_entry_catalog_over_http(server):
         assert st.list("docs") == []
     finally:
         shutil.rmtree(scratch_for(wh + "/docs"), ignore_errors=True)
+
+
+def test_chaos_faults_over_http_store(server, tmp_path):
+    """Fault injection on the REAL HTTP write plane: seeded transient
+    commit/write/read faults + truncated fetches under the same
+    bounded-retry absorber, against the s3test object store. Results
+    must be chaos-free-identical while faults demonstrably fire."""
+    import json as _json
+    import os
+
+    from moonray import chaos
+
+    chaos.reset_for_tests()
+    want = sorted(_drive(_mk(str(tmp_path / "clean"))).scan().take_all(),
+                  key=lambda r: r["id"])
+
+    root = server.root("chaotic")
+    sc = scratch_for(root)
+    try:
+        with open(os.path.join(sc, "CHAOS.json"), "w") as f:
+            _json.dump({"seed": 20260820, "read_error_prob": 0.4,
+                        "write_error_prob": 0.4, "commit_error_prob": 0.4,
+                        "partial_fetch_prob": 0.5, "delay_ms": [0, 2]}, f)
+        t = _drive(_mk(root))
+        got = sorted(t.scan().take_all(), key=lambda r: r["id"])
+        assert got == want
+        assert chaos.fired_count(root) > 0, "no fault ever fired"
+        lk = {r["id"]: r["size"] for r in t.lookup([20, 50]).to_pylist()}
+        assert lk == {20: 3, 50: 100}
+    finally:
+        shutil.rmtree(sc, ignore_errors=True)

@@ -192,6 +192,13 @@ class _EntryRegistry:
     def _rel(self, name: str) -> str:
         if "/" in name or "\\" in name:
             raise ValueError(f"invalid table name {name!r}")
+        if name == self.PREFIX:
+            # a table named 'catalog' would root at <warehouse>/catalog
+            # — the registry's own prefix: entries() would read its
+            # manifests as phantom tables and drop would wipe EVERY
+            # registration
+            raise ValueError(
+                f"table name {name!r} is reserved by the entry registry")
         return f"{self.PREFIX}/{name}.json"
 
     def entries(self) -> dict:
@@ -200,7 +207,10 @@ class _EntryRegistry:
         for rel in st.list(self.PREFIX):
             fn = os.path.basename(rel)
             if fn.endswith(".json"):
-                out[fn[:-5]] = json.loads(st.read(rel))
+                try:
+                    out[fn[:-5]] = json.loads(st.read(rel))
+                except FileNotFoundError:
+                    continue   # dropped between list and read — omit
         return out
 
     def insert(self, name: str, entry: dict) -> None:

@@ -267,26 +267,32 @@ def _jaccard(a: set, b: set) -> float:
 # ∝ corpus × n_tables.
 
 
+def uniq_col_ids(pairs_ds, cols) -> np.ndarray:
+    """Distinct ids in the given int64 columns, sorted — per-batch
+    unique + a driver np.unique instead of Dataset.unique: the ids
+    are tiny (O(candidate ids) driver budget), and the Aggregate
+    pipeline behind ``unique()`` costs a whole extra all-to-all
+    launch."""
+    def ids_of(b: pa.Table, _c=tuple(cols)) -> pa.Table:
+        v = np.concatenate(
+            [b[c].to_numpy(zero_copy_only=False) for c in _c])
+        return pa.table({"id": pa.array(np.unique(v), pa.int64())})
+
+    ids_of.__name__ = "pair_col_ids"
+    parts = [np.asarray(t["id"]) for t in
+             pairs_ds.map_batches(ids_of, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=65536)]
+    return (np.unique(np.concatenate(parts)).astype(np.int64) if parts
+            else np.empty(0, np.int64))
+
+
 def _candidate_ids_ref(pairs):
     """Distinct ids appearing in the candidate pairs, sorted, broadcast
     once via ray.put. This is the legitimate SMALL-side broadcast:
-    O(candidate ids) — two int64 columns' worth — never the corpus.
-    Per-batch unique + a driver np.unique instead of Dataset.unique:
-    the ids are already tiny, and the Aggregate pipeline behind
-    ``unique()`` costs a whole extra all-to-all launch."""
+    O(candidate ids) — two int64 columns' worth — never the corpus."""
     import ray
 
-    def ids_of(b: pa.Table) -> pa.Table:
-        v = np.concatenate([b["a"].to_numpy(zero_copy_only=False),
-                            b["b"].to_numpy(zero_copy_only=False)])
-        return pa.table({"id": pa.array(np.unique(v), pa.int64())})
-
-    ids_of.__name__ = "pair_ids"
-    parts = [np.asarray(t["id"]) for t in pairs.map_batches(
-        ids_of, batch_format="pyarrow").iter_batches(batch_format="pyarrow",
-                                                     batch_size=65536)]
-    ids = np.unique(np.concatenate(parts)) if parts else np.array([], np.int64)
-    return ray.put(ids.astype(np.int64))
+    return ray.put(uniq_col_ids(pairs, ("a", "b")))
 
 
 def _filter_to_ids(batch: pa.Table, id_col: str, cand_sorted: np.ndarray) -> pa.Table:
@@ -640,22 +646,6 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         v = _verify_pairs(cand_ds, payloads, pa.list_(pa.uint64()),
                           jaccard_verdict, n_candidate_ids=len(cand_ids))
         return v.materialize(), cand_ids
-
-    def uniq_col_ids(pairs_ds, cols) -> np.ndarray:
-        """Distinct ids in the given int64 columns — per-batch unique,
-        driver union (same O(candidate ids) driver budget as
-        _candidate_ids_ref)."""
-        def ids_of(b: pa.Table, _c=tuple(cols)) -> pa.Table:
-            v = np.concatenate(
-                [b[c].to_numpy(zero_copy_only=False) for c in _c])
-            return pa.table({"id": pa.array(np.unique(v), pa.int64())})
-
-        ids_of.__name__ = "pair_col_ids"
-        parts = [np.asarray(t["id"]) for t in
-                 pairs_ds.map_batches(ids_of, batch_format="pyarrow")
-                 .iter_batches(batch_format="pyarrow", batch_size=65536)]
-        return (np.unique(np.concatenate(parts)) if parts
-                else np.empty(0, np.int64))
 
     verified_first, tested_ids = run_verify(cand)
     verified_parts = [verified_first]
@@ -1073,7 +1063,12 @@ def _guard_oracle_scale(ds, what: str, twin: str, force: bool,
     """All-pairs oracle baselines materialize/broadcast the corpus —
     correct at test scale, quadratic at corpus scale. Refuse loudly
     above ``limit`` rows so nobody runs one against a real corpus by
-    accident (the comment-level warning the r4 judge asked to harden)."""
+    accident (the comment-level warning the r4 judge asked to harden).
+    ``count()`` may execute a non-materialized input once (doubling a
+    transformed pipeline's cost), but it is the DISTRIBUTED way to
+    learn n — counting after take_all would refuse only after the
+    driver already materialized the corpus, which is exactly the
+    failure the guard exists to prevent."""
     n = ds.count()
     if not force and n > limit:
         raise ValueError(

@@ -112,6 +112,23 @@ def _read_log_state(dest: str, up_to: int | None = None
     return v, active, schema_str, protocol
 
 
+def _uses_ntz(t) -> bool:
+    """Whether a parsed Spark-schema type tree contains timestampNtz —
+    checks TYPE positions only (a column merely NAMED 'timestampNtz'
+    must not ratchet the protocol)."""
+    if isinstance(t, str):
+        return t == "timestampNtz"
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return any(_uses_ntz(f.get("type")) for f in t.get("fields", []))
+        if kind == "array":
+            return _uses_ntz(t.get("elementType"))
+        if kind == "map":
+            return _uses_ntz(t.get("keyType")) or _uses_ntz(t.get("valueType"))
+    return False
+
+
 def _needed_protocol(schema_str: str) -> dict:
     """The minimum Delta protocol for this schema. timestampNtz is a
     table feature (Delta spec: gated behind reader 3 / writer 7 with
@@ -120,7 +137,7 @@ def _needed_protocol(schema_str: str) -> dict:
     upgrading to the features protocol, writerFeatures must also carry
     the features implied by the legacy writer version 2
     (appendOnly, invariants) per the table-features upgrade rule."""
-    if '"timestampNtz"' in schema_str:
+    if _uses_ntz(json.loads(schema_str)):
         return {"minReaderVersion": 3, "minWriterVersion": 7,
                 "readerFeatures": ["timestampNtz"],
                 "writerFeatures": ["appendOnly", "invariants",

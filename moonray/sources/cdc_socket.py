@@ -125,6 +125,11 @@ def replicate_socket(url: str, tables: dict[str, object], state_path: str,
                  "codec": codec}) + "\n").encode())
             buf = b""
             decoder = PgWireDecoder() if use_pg else None
+            # a disconnect mid-transaction leaves the interrupted tx
+            # open in the framing state; the server replays the whole
+            # tx from the slot on reconnect, so stale opens must drop
+            # or its Begin re-arrives as "begin for open xid"
+            tail._open_tx.clear()
             while not (stop is not None and stop()):
                 try:
                     data = sock.recv(65536)
@@ -199,7 +204,8 @@ class CdcWireServer:
     a replication slot, without Postgres."""
 
     def __init__(self, events: list[dict] | None = None, *,
-                 keepalive_every: int = 4, codec: str = "jsonl"):
+                 keepalive_every: int = 4, codec: str = "jsonl",
+                 _drop_mid_tx_once: bool = False):
         if codec not in ("jsonl", "pgoutput"):
             raise ValueError(f"unknown wire codec {codec!r}")
         self._events: list[dict] = list(events or [])
@@ -208,6 +214,10 @@ class CdcWireServer:
         self.confirmed_flush_lsn = 0
         self.keepalive_every = keepalive_every
         self.codec = codec
+        # test seam: sever the FIRST connection halfway through its
+        # first transaction payload — the deterministic repro for the
+        # reconnect-with-open-tx framing state
+        self._drop_mid_tx_once = _drop_mid_tx_once
         self._srv = socket.create_server(("127.0.0.1", 0))
         self._srv.settimeout(0.2)
         self.port = self._srv.getsockname()[1]
@@ -314,6 +324,14 @@ class CdcWireServer:
             nonlocal_buf = extra
             conn2 = conn
             ack_dec = PgWireDecoder() if use_pg else None
+            if use_pg and nonlocal_buf:
+                # acks may already sit in the post-handshake leftover
+                # (handshake line + first status frame in one segment)
+                # — drain them now, not after the next recv
+                for m in ack_dec.feed(nonlocal_buf):
+                    if m.get("msg") == "status_update":
+                        _slot_advance(int(m["flush_lsn"]))
+                nonlocal_buf = b""
             while True:
                 if use_pg:
                     try:
@@ -324,10 +342,9 @@ class CdcWireServer:
                         return
                     if not d:
                         return
-                    for m in ack_dec.feed(nonlocal_buf + d):
+                    for m in ack_dec.feed(d):
                         if m.get("msg") == "status_update":
                             _slot_advance(int(m["flush_lsn"]))
-                    nonlocal_buf = b""
                     continue
                 cut = nonlocal_buf.find(b"\n")
                 if cut >= 0:
@@ -374,10 +391,15 @@ class CdcWireServer:
                         out.append(r)
                 out.extend(block)
                 if use_pg:
-                    conn.sendall(b"".join(encoder.encode(e) for e in out))
+                    payload_b = b"".join(encoder.encode(e) for e in out)
                 else:
-                    conn.sendall("".join(
-                        json.dumps(e) + "\n" for e in out).encode())
+                    payload_b = "".join(
+                        json.dumps(e) + "\n" for e in out).encode()
+                if self._drop_mid_tx_once:
+                    self._drop_mid_tx_once = False
+                    conn.sendall(payload_b[:len(payload_b) // 2])
+                    return                      # sever mid-transaction
+                conn.sendall(payload_b)
                 progressed = True
                 if sent_blocks % self.keepalive_every == 0:
                     if use_pg:

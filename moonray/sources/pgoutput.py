@@ -90,15 +90,25 @@ def _tuple_data(values: list, types: list[str]) -> bytes:
     return b"".join(out)
 
 
-def _read_tuple(b: bytes, off: int, types: list[str]) -> tuple[list, int]:
+def _read_tuple(b: bytes, off: int,
+                types: list[str]) -> tuple[list, list[int], int]:
+    """→ (values, positions of 'u' unchanged-toast columns, new off).
+    'u' slots come back as None placeholders — the CALLER must
+    substitute the old-tuple value (they are NOT nulls; treating them
+    as nulls silently wipes TOASTed columns on update)."""
     (n,) = struct.unpack_from(">H", b, off)
     off += 2
-    vals = []
+    vals: list = []
+    unchanged: list[int] = []
     for i in range(n):
         kind = b[off:off + 1]
         off += 1
-        if kind == b"n" or kind == b"u":      # null / unchanged toast
+        if kind == b"n":
             vals.append(None)
+            continue
+        if kind == b"u":                       # unchanged TOAST
+            vals.append(None)
+            unchanged.append(i)
             continue
         if kind != b"t":
             raise CdcProtocolError(f"unknown tuple column kind {kind!r}")
@@ -106,7 +116,7 @@ def _read_tuple(b: bytes, off: int, types: list[str]) -> tuple[list, int]:
         off += 4
         vals.append(_value_of(b[off:off + ln], types[i]))
         off += ln
-    return vals, off
+    return vals, unchanged, off
 
 
 # ---------------------------------------------------------- messages
@@ -226,23 +236,38 @@ def decode_message(b: bytes, lsn: int,
         if tag == b"I":
             if b[off:off + 1] != b"N":
                 raise CdcProtocolError("insert without new tuple")
-            vals, _ = _read_tuple(b, off + 1, types)
+            vals, unchanged, _ = _read_tuple(b, off + 1, types)
+            if unchanged:
+                raise CdcProtocolError(
+                    "insert tuple carries unchanged-toast columns")
             return {"event": "insert", "rel_id": rid, "values": vals,
                     "lsn": lsn}
         if tag == b"D":
             if b[off:off + 1] not in (b"K", b"O"):
                 raise CdcProtocolError("delete without key/old tuple")
-            vals, _ = _read_tuple(b, off + 1, types)
+            vals, _unchanged, _ = _read_tuple(b, off + 1, types)
             return {"event": "delete", "rel_id": rid, "values": vals,
                     "lsn": lsn}
         old = None
         marker = b[off:off + 1]
         if marker in (b"K", b"O"):
-            old, off = _read_tuple(b, off + 1, types)
+            old, _ou, off = _read_tuple(b, off + 1, types)
             marker = b[off:off + 1]
         if marker != b"N":
             raise CdcProtocolError("update without new tuple")
-        vals, _ = _read_tuple(b, off + 1, types)
+        vals, unchanged, _ = _read_tuple(b, off + 1, types)
+        if unchanged:
+            # real walsenders send 'u' for unchanged TOASTed columns;
+            # the stored value must be PRESERVED, which needs the old
+            # tuple (REPLICA IDENTITY FULL) — refuse loudly rather
+            # than fold 'u' into NULL and wipe the column on merge
+            if old is None:
+                raise CdcProtocolError(
+                    "update carries unchanged-toast columns but no old "
+                    "tuple — set REPLICA IDENTITY FULL on the source "
+                    "table so unchanged values can be reconstructed")
+            for i in unchanged:
+                vals[i] = old[i]
         ev = {"event": "update", "rel_id": rid, "values": vals,
               "lsn": lsn}
         if old is not None:

@@ -249,3 +249,69 @@ def test_cdc_wire_replication_codec_parity():
                key=key)
     assert len(a) > 0
     assert a == b
+
+
+def test_unchanged_toast_preserved_from_old_tuple():
+    """'u' columns are NOT nulls: with the old tuple present the value
+    is reconstructed; without it the decoder refuses loudly."""
+    import struct as _s
+
+    from moonray.sources.pgoutput import (_tuple_data, decode_message,
+                                          encode_message)
+
+    rels = {}
+    encode_message(REL, rels)
+    types = ["int64", "string", "float64"]
+    # hand-build an Update whose new tuple marks col 1 unchanged ('u')
+    new = bytearray(_tuple_data([7, "x", 2.5], types))
+    # tuple layout: ncols(2B) + col0('t'+4B+..) — find col1's kind byte
+    off = 2
+    for _ in range(1):
+        off += 1 + 4 + _s.unpack_from(">I", new, off + 1)[0]
+    assert new[off:off + 1] == b"t"
+    ln = _s.unpack_from(">I", new, off + 1)[0]
+    new[off:off + 5 + ln] = b"u"
+    old = _tuple_data([7, "keepme", 2.0], types)
+    msg = b"U" + _s.pack(">I", 1) + b"O" + old + b"N" + bytes(new)
+    ev = decode_message(msg, 42, rels)
+    assert ev["values"] == [7, "keepme", 2.5]
+
+    # no old tuple → loud refusal, never a silent NULL
+    msg2 = b"U" + _s.pack(">I", 1) + b"N" + bytes(new)
+    import pytest as _pytest
+
+    from moonray.sources.cdc_tail import CdcProtocolError
+    with _pytest.raises(CdcProtocolError, match="REPLICA IDENTITY"):
+        decode_message(msg2, 42, rels)
+
+
+def test_reconnect_after_mid_tx_disconnect_resumes(tmp_path):
+    """The server severs the FIRST connection halfway through a
+    transaction payload (deterministic seam): the client has the tx's
+    Begin open in its framing state, reconnects inside the SAME
+    replicate_socket call, and the server replays the whole tx from
+    the slot — it must apply cleanly, not die with
+    'begin for open xid'. Both codecs."""
+    for codec in ("pgoutput", "jsonl"):
+        evs = [REL]
+        lsn = 100
+        rows_all = {}
+        for xid in (1, 2, 3):
+            block, lsn = _tx(xid, [("insert", [xid * 10 + j,
+                                               f"r{xid}{j}", 1.0], None)
+                                   for j in range(4)], lsn + 1)
+            evs.extend(block)
+            for e in block:
+                if e["event"] == "insert":
+                    rows_all[e["values"][0]] = (e["values"][1], 1.0)
+        srv = CdcWireServer(evs, keepalive_every=1, codec=codec,
+                            _drop_mid_tx_once=True)
+        try:
+            t = _table(tmp_path, name=f"cust-{codec}")
+            state = str(tmp_path / f"state-{codec}.json")
+            total = replicate_socket(srv.url, {"cust": t}, state,
+                                     idle_exit=4, codec=codec)
+            assert total == {"cust": 12}, codec
+            assert _state(t) == rows_all, codec
+        finally:
+            srv.close()

@@ -246,3 +246,46 @@ def test_components_regimes_parity():
             ds, components=comp, **kw).take_all())
     assert len(set(map(tuple, outs.values()))) == 1
     assert len(outs["driver"]) == 2 + 4  # one rep per cluster + uniques
+
+
+def test_delta_ntz_detection_checks_types_not_names(tmp_path):
+    """A column merely NAMED timestampNtz must not ratchet the
+    protocol; a nested (list<timestamp-naive>) column must."""
+    from moonray.sinks.delta import _needed_protocol, _schema_string
+
+    named = pa.schema([("id", pa.int64()), ("timestampNtz", pa.string())])
+    assert _needed_protocol(_schema_string(named)) == {
+        "minReaderVersion": 1, "minWriterVersion": 2}
+    nested = pa.schema([("id", pa.int64()),
+                        ("ts_list", pa.list_(pa.timestamp("us")))])
+    p = _needed_protocol(_schema_string(nested))
+    assert p["minReaderVersion"] == 3
+    assert "timestampNtz" in p["readerFeatures"]
+
+
+def test_entry_catalog_reserved_name_and_toctou(tmp_path):
+    from moonray.catalog import MoonrayCatalog, _EntryRegistry
+
+    wh = str(tmp_path / "wh")
+    cat = MoonrayCatalog(wh, backend="entry")
+    schema = pa.schema([("id", pa.int64())])
+    with pytest.raises(ValueError, match="reserved"):
+        cat.create_table("catalog", key_col="id", schema=schema)
+    # TOCTOU: entry listed but deleted before read → omitted, no raise
+    reg = _EntryRegistry(wh)
+    reg.insert("ghost", {"root": f"{wh}/ghost"})
+    real_read = reg._store().__class__.read
+
+    class _Store(reg._store().__class__):
+        def read(self, rel):
+            if rel.endswith("ghost.json"):
+                raise FileNotFoundError(rel)
+            return real_read(self, rel)
+
+    import moonray.catalog as catmod
+    orig = catmod._EntryRegistry._store
+    try:
+        catmod._EntryRegistry._store = lambda self: _Store(self.warehouse)
+        assert "ghost" not in reg.entries()
+    finally:
+        catmod._EntryRegistry._store = orig
